@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY §2.2/§2.3): scans with pushdown,
+  * filters/projections, hash aggregates, equi/semi/anti joins (broadcast
+  * where one side is a dim table), set ops, rollup, window functions,
+  * top-k, sessionization.
+  *
+  * Scale notes (100 TB): every query here is a declarative plan — filters
+  * and projections reach the parquet scan (PushedFilters/ReadSchema),
+  * dim-side joins use `broadcast(...)` so the fact table never shuffles for
+  * them, aggregations are partial (map-side combine) by construction, and
+  * window functions partition on high-cardinality keys (user_id), never a
+  * single global partition — except `ntile_bins`, kept for oracle parity
+  * with an approxQuantile-based scale path in ml.Binning.
+  */
+object Relational extends QueryPack {
+
+  /** TPC-H Q1 flavor: pruned scan + partial agg. Ref: FlashML delegates all
+    * ad-hoc SQL to Spark (dal/DataReader.scala:105-120). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 flavor: 3-way join (broadcast dims) + top-k. */
+  def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit("2000-01-01 00:00:00"))
+    Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_date")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavor: 6-way star join; all dims broadcast, single shuffle
+    * for the final agg. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  /** customFilter + projection (ref: dal/DataReader.scala:128-141) —
+    * both reach the parquet scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_price"))
+      .orderBy("o_orderkey")
+
+  /** Exact distinct aggregation (ref pattern: distinct visitor counts,
+    * WebCustomMetricsEvaluator.scala:126). */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Left-semi join = EXISTS (scale path for the reference's collected
+    * isin() lists, Publish.scala:325-333). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT set-op (ref: test split = df.except(trainDF),
+    * TrainTestSampler.scala:140). */
+  def exceptOp(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** ROLLUP hierarchy aggregate (beyond-reference analytics surface). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** lead() window — the reference's one window use: time-on-page from
+    * cumulative session time (dal/DataReader.scala:143-156). Here: dwell
+    * micros between consecutive events per user. */
+  def windowDwell(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("dwell_us"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (batch form; streaming twin lives in
+    * graft.streaming). Partitioned by user — no global sort. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 12L * 3600 * 1000000 // 12h
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** ntile equi-depth buckets — oracle-parity variant of equiarea binning;
+    * the scale path (approxQuantile → Bucketizer) is ml.Binning. */
+  def ntileBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> pricingSummary,
+    "q3_top_revenue" -> topRevenueOrders,
+    "q5_region_revenue" -> regionRevenue,
+    "filter_project" -> filterProject,
+    "distinct_counts" -> distinctCounts,
+    "semi_join" -> semiJoin,
+    "except_op" -> exceptOp,
+    "rollup_agg" -> rollupAgg,
+    "window_dwell" -> windowDwell,
+    "sessionize" -> sessionize,
+    "ntile_bins" -> ntileBins)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(o_orderdate AS DATE) AS o_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "filter_project" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_price FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000 ORDER BY o_orderkey""".stripMargin,
+    "distinct_counts" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "except_op" ->
+      """SELECT * FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "window_dwell" ->
+      """SELECT event_id, user_id,
+        | epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+        |   - epoch_us(CAST(ts AS TIMESTAMP)) AS dwell_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sessionize" ->
+      """WITH t AS (SELECT event_id, user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        | m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s FROM t),
+        | x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event
+        |FROM x GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "ntile_bins" ->
+      """SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+}
