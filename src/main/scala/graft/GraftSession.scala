@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone: oracle (DuckDB) parity for timestamp semantics.
   */
 object GraftSession {
+  /** Cores for driver-invoked mains: SPARK_GRAFT_CPUS, else all available. */
+  def envCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(8),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()

@@ -39,8 +39,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Per-table loader map — `events` gets its nanos→TimestampType
+    * normalization so the SQL view path sees the same schema as the API. */
+  def loader(name: String): (SparkSession, String) => DataFrame = name match {
+    case "events" => events
+    case n        => (s, d) => load(s, d, n)
+  }
+
   /** Register every table as a temp view named after itself — the SQL-view
     * entry path (SURVEY §3.2: Spark SQL is the user-facing query engine). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach(n => loader(n)(spark, dir).createOrReplaceTempView(n))
 }

@@ -1,0 +1,132 @@
+package graft.config
+
+/** Semantic config validation — the pipeline's "analyzer"
+  * (ref: util/conf/ConfigValidator.scala:14-146 and the per-engine
+  * validate() methods). Pure functions over [[GraftConf]]; returns ALL
+  * violations, not just the first, so a user fixes a config in one pass.
+  */
+object ConfigValidator {
+
+  final case class Violation(section: String, message: String) {
+    override def toString = s"[$section] $message"
+  }
+
+  private val sourceFormats = Set("parquet", "csv", "tsv", "json", "views")
+  private val samplingTypes = Set("random", "conditional", "stratified")
+  private val preprocessOps = Set("tokenizer", "case_normalization", "stemming",
+    "contractions_replacement", "lemma", "sentence_marker", "stopwords",
+    "nullcheck", "word_classes_replacement", "regex_replacement", "regex_removal")
+  private val binningModes = Set("equidistant", "equiarea", "intervals")
+  private val vecMethods = Set("hashingtf", "count_vectorizer", "word2vec", "tfidf")
+  private val algorithms = Set("logistic_regression", "svm", "decision_tree",
+    "random_forest", "gbt", "naive_bayes", "mlp")
+  private val buildTypes = Set("binary", "multi_intent", "ovr")
+  private val tuningMethods = Set("none", "cv", "hyperband")
+
+  def validate(c: GraftConf): Seq[Violation] = {
+    val v = Seq.newBuilder[Violation]
+    def err(section: String, msg: String): Unit = v += Violation(section, msg)
+
+    // data
+    val scheme = c.data.source.takeWhile(_ != ':')
+    if (!sourceFormats(scheme))
+      err("data", s"unknown source format '$scheme' (expected ${sourceFormats.mkString("|")})")
+    if (scheme == "views" && c.data.queries.isEmpty)
+      err("data", "source 'views://' requires at least one entry in data.queries")
+
+    // sampling
+    if (!samplingTypes(c.sampling.samplingType))
+      err("sampling", s"unknown samplingType '${c.sampling.samplingType}'")
+    if (c.sampling.samplingType == "conditional") {
+      if (c.sampling.conditions.isEmpty)
+        err("sampling", "conditional sampling requires conditions[]")
+    } else {
+      if (c.sampling.split.isEmpty)
+        err("sampling", "split[] must be non-empty")
+      if (math.abs(c.sampling.split.sum - 100.0) > 1e-9)
+        err("sampling", s"split[] must sum to 100 (got ${c.sampling.split.sum})")
+    }
+    c.sampling.rebalance.foreach { r =>
+      if (r.targetRatio <= 0 || r.targetRatio >= 1)
+        err("sampling", s"rebalance.targetRatio must be in (0,1), got ${r.targetRatio}")
+      if (!Set("undersample", "oversample")(r.mode))
+        err("sampling", s"unknown rebalance.mode '${r.mode}'")
+    }
+
+    // preprocessing: ops known; every input column must be declared text,
+    // or the output of an earlier step (chained columns).
+    val declared = scala.collection.mutable.Set[String](c.columns.text: _*)
+    c.preprocessing.zipWithIndex.foreach { case (p, i) =>
+      if (!preprocessOps(p.op)) err("preprocessing", s"step $i: unknown op '${p.op}'")
+      if (!declared(p.inputColumn))
+        err("preprocessing",
+          s"step $i: input '${p.inputColumn}' is not a declared text column or earlier output")
+      // register this step's output — explicit name or the engine's
+      // implicit `<input>_c<i>` (PreprocessingEngine.buildStages)
+      declared += p.outputColumn.getOrElse(s"${p.inputColumn}_c$i")
+      p.op match {
+        case "contractions_replacement" | "lemma" if p.replacements.isEmpty =>
+          err("preprocessing", s"step $i: '${p.op}' requires replacements{}")
+        case "word_classes_replacement" | "regex_replacement" if p.pairs.isEmpty =>
+          err("preprocessing", s"step $i: '${p.op}' requires pairs[]")
+        case "regex_removal" if p.pairs.isEmpty && p.pattern.isEmpty =>
+          err("preprocessing", s"step $i: 'regex_removal' requires pairs[] or pattern")
+        case "nullcheck" if p.value.isEmpty =>
+          err("preprocessing", s"step $i: 'nullcheck' requires value")
+        case _ => ()
+      }
+      p.pairs.zipWithIndex.foreach { case (pr, j) =>
+        if (pr.size != 2)
+          err("preprocessing", s"step $i: pairs[$j] must be [regex, replacement]")
+      }
+    }
+
+    // feature generation
+    if (c.featureGeneration.skipGramWindow != 0 && c.featureGeneration.skipGramWindow < 3)
+      err("featureGeneration", "skipGramWindow must be 0 (off) or >= 3 (ref: SkipGramGenerator guard)")
+    c.featureGeneration.ngrams.foreach { n =>
+      if (n < 2) err("featureGeneration", s"ngram size $n < 2 (unigrams are the base tokens)")
+    }
+    c.featureGeneration.binning.foreach { b =>
+      if (!binningModes(b.mode)) err("featureGeneration", s"unknown binning mode '${b.mode}'")
+      if (b.mode == "intervals" && b.intervals.size < 2)
+        err("featureGeneration", "intervals binning requires >= 2 boundary values")
+      if (b.mode != "intervals" && b.buckets < 2)
+        err("featureGeneration", s"binning buckets must be >= 2, got ${b.buckets}")
+      if (!c.columns.numerical.contains(b.inputColumn))
+        err("featureGeneration", s"binning input '${b.inputColumn}' is not a numerical column")
+    }
+
+    // vectorization
+    if (!vecMethods(c.vectorization.method))
+      err("vectorization", s"unknown method '${c.vectorization.method}'")
+    if (c.vectorization.slots <= 0)
+      err("vectorization", s"slots must be > 0, got ${c.vectorization.slots}")
+
+    // training + tuning
+    if (!algorithms(c.training.algorithm))
+      err("training", s"unknown algorithm '${c.training.algorithm}'")
+    if (!buildTypes(c.training.buildType))
+      err("training", s"unknown buildType '${c.training.buildType}'")
+    if (c.training.plattScaling && c.training.algorithm != "svm")
+      err("training", "plattScaling only applies to svm rawPrediction outputs")
+    if (c.training.topK > 0 && c.training.buildType == "binary")
+      err("training", "topK requires a multi-class buildType")
+    if (!tuningMethods(c.tuning.method))
+      err("tuning", s"unknown tuning method '${c.tuning.method}'")
+    if (c.tuning.method == "cv" && c.tuning.folds < 2)
+      err("tuning", s"cv folds must be >= 2, got ${c.tuning.folds}")
+    if (c.tuning.method == "hyperband" && c.tuning.eta < 2)
+      err("tuning", s"hyperband eta must be >= 2, got ${c.tuning.eta}")
+
+    v.result()
+  }
+
+  /** Throw with every violation listed if the config is invalid. */
+  def validateOrThrow(c: GraftConf): Unit = {
+    val vs = validate(c)
+    if (vs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid config (${vs.size} violations):\n  ${vs.mkString("\n  ")}")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.config
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Typed configuration model for the config-driven pipeline.
+  *
+  * Mirrors the semantics of the reference's JSON config surface
+  * (ref: util/FlashMLConfig.scala, util/conf/FlashMLConstants.scala:8-299)
+  * re-expressed as Scala case classes parsed with json4s (Spark's own JSON
+  * stack — no extra dependency).
+  *
+  * Design: every section is optional with defaults; the [[ConfigValidator]]
+  * enforces cross-section invariants before the pipeline runs.
+  */
+final case class ProjectConf(
+    name: String = "graft",
+    root: String = "/tmp/graft",
+    retrainId: String = "r0")
+
+/** Column roles (ref: ConfigValues.scala:63-101 — text / categorical /
+  * numerical / response / page / primary key / date / random variable). */
+final case class ColumnsConf(
+    response: String = "label",
+    text: Seq[String] = Nil,
+    categorical: Seq[String] = Nil,
+    numerical: Seq[String] = Nil,
+    page: Option[String] = None,
+    primaryKey: Seq[String] = Nil,
+    dateVariable: Option[String] = None,
+    randomVariable: Option[String] = None)
+
+/** Data source + user SQL view chain (ref: dal/DataReader.scala:105-141).
+  * `source` is `<format>://<path>` with format in parquet|csv|tsv|json,
+  * or `views://` when `queries` fully defines the input from already-
+  * registered temp views. */
+final case class DataConf(
+    source: String,
+    queries: Seq[String] = Nil,
+    customFilter: Option[String] = None,
+    tempViewPrefix: String = "graftView")
+
+/** Train/test sampling (ref: core/sampling/TrainTestSampler.scala:59-300). */
+final case class SamplingConf(
+    samplingType: String = "random", // random | conditional | stratified
+    split: Seq[Double] = Seq(80, 20), // percentages, train first
+    conditions: Seq[String] = Nil,    // for conditional: one filter per split
+    seed: Long = 20L,
+    minimumClassSupport: Long = 0L,   // rare-class stabilizer threshold
+    otherClassValue: String = "other",
+    rebalance: Option[RebalanceConf] = None)
+
+final case class RebalanceConf(
+    targetRatio: Double, // desired minority share after rebalance (0,1)
+    mode: String = "undersample") // undersample | oversample
+
+/** One preprocessing step on one input column (ref: PreprocessingEngine). */
+final case class PreprocessStep(
+    op: String,                    // tokenizer | case_normalization | stemming | ...
+    inputColumn: String,
+    outputColumn: Option[String] = None,
+    pattern: Option[String] = None,        // tokenizer/regex ops
+    replacements: Map[String, String] = Map.empty, // word substitution
+    pairs: Seq[Seq[String]] = Nil,         // ordered (regex, replacement)
+    stopwords: Seq[String] = Nil,
+    exceptions: Seq[String] = Nil,         // stemming exception list
+    value: Option[String] = None)          // imputer fill value
+
+final case class BinningConf(
+    inputColumn: String,
+    mode: String,               // equidistant | equiarea | intervals
+    buckets: Int = 10,
+    intervals: Seq[Double] = Nil)
+
+final case class FeatureGenConf(
+    ngrams: Seq[Int] = Nil,         // word n-gram sizes
+    skipGramWindow: Int = 0,        // >=3 enables skip-grams
+    gramInputColumn: Option[String] = None,
+    binning: Seq[BinningConf] = Nil)
+
+final case class VectorizationConf(
+    method: String = "tfidf",   // hashingtf | count_vectorizer | word2vec | tfidf
+    slots: Int = 4096,
+    textColumn: Option[String] = None,
+    assembleNumericals: Boolean = true)
+
+final case class TrainingConf(
+    algorithm: String = "logistic_regression",
+    // lr/svm/dt/rf/gbt/nb/mlp hyper-params; unknown keys ignored by factory
+    params: Map[String, Double] = Map.empty,
+    buildType: String = "binary",    // binary | multi_intent | ovr
+    seed: Long = 999L,
+    plattScaling: Boolean = false,
+    topK: Int = 0,
+    uplift: Option[String] = None)   // treatment column
+
+final case class TuningConf(
+    method: String = "none",        // none | cv | hyperband
+    folds: Int = 3,
+    parallelism: Int = 3,
+    evalMetric: String = "weightedPrecision",
+    grid: Map[String, Seq[Double]] = Map.empty,
+    maxHyperbandIter: Int = 81,
+    eta: Int = 3)
+
+final case class GraftConf(
+    project: ProjectConf = ProjectConf(),
+    data: DataConf,
+    columns: ColumnsConf = ColumnsConf(),
+    sampling: SamplingConf = SamplingConf(),
+    preprocessing: Seq[PreprocessStep] = Nil,
+    featureGeneration: FeatureGenConf = FeatureGenConf(),
+    vectorization: VectorizationConf = VectorizationConf(),
+    training: TrainingConf = TrainingConf(),
+    tuning: TuningConf = TuningConf(),
+    postPredictFilter: Option[String] = None)
+
+object GraftConf {
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Parse a config from JSON text. Fails fast with a readable error. */
+  def fromJson(json: String): GraftConf =
+    JsonMethods.parse(json).extract[GraftConf]
+
+  def fromFile(path: String): GraftConf =
+    fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force cosine top-k baseline),
+  * text analysis (language-ID heuristic, quality scoring, token counting,
+  * fingerprinting).
+  *
+  * Scale notes (100 TB):
+  *  - All dedup ops are expressed as shuffle-on-key joins/aggregations —
+  *    never all-pairs. MinHash-LSH pairs candidates through band-signature
+  *    buckets (shuffle keyed on the 128-bit band hash → uniform
+  *    distribution, no skew); the exact-Jaccard verify join only touches
+  *    candidate pairs.
+  *  - The n-gram inverted-index join (`neardup_pairs`) is quadratic in
+  *    per-shingle document frequency; at 100 TB it needs a DF cap on hot
+  *    shingles or the MinHash path. It is kept as the exactness baseline.
+  *  - Everything is hash-based on md5 (same function exists in the DuckDB
+  *    oracle), so correctness is verifiable bit-for-bit across engines.
+  *  - All expressions are Spark-SQL builtins → whole-stage codegen; no UDFs.
+  */
+object LlmData extends QueryPack {
+
+  /** Distinct word-trigram shingles per doc. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        """explode(array_distinct(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(0, size(toks) - 3),
+          |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |  ELSE array(concat_ws(' ', toks)) END)) AS s""".stripMargin)
+
+  /** DuckDB fragment matching [[shingles]] (1-based list indexing). */
+  private val shinglesSql =
+    """sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(1, len(toks) - 2),
+      |                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |    ELSE [concat_ws(' ', toks)] END) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on normalized text, keep lowest doc_id.
+    * One shuffle on the 128-bit hash — uniform keys, no skew at any scale. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+
+  /** Exact n-gram (trigram-shingle) Jaccard near-dup pairs via inverted-
+    * index join — the exactness baseline for MinHash. */
+  def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("jac") >= 0.8)
+      .select("da", "db", "jac")
+      .orderBy("da", "db")
+  }
+
+  /** MinHash signatures (12 hashes = min-md5 over salted shingles), banded
+    * 4×3 LSH: candidate pairs meet in a band-signature bucket (shuffle on
+    * the band hash — never all-pairs), then exact-Jaccard verified ≥ 0.7. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    // (doc_id, seed) -> min md5(seed|shingle)
+    val mh = sh
+      .selectExpr("doc_id", "explode(sequence(0, 11)) AS seed", "s")
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed"), lit("|"), col("s")))).as("mh"))
+    // band signature: md5 of seed:mh triplets, ordered by seed
+    val bands = mh
+      .withColumn("band", col("seed") % 4)
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|",
+        array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => concat(x("seed"), lit(":"), x("mh"))), "|"))).as("sig"))
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("db")), Seq("band", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    // verify candidates with exact jaccard
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    cand
+      .join(inter, Seq("da", "db"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("jac") >= 0.7)
+      .select("da", "db", "jac")
+      .orderBy("da", "db")
+  }
+
+  /** 32-bit SimHash per doc from distinct-token md5s (majority vote per
+    * bit). Single aggregation keyed by doc — embarrassingly parallel. */
+  def simhashSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
+      .selectExpr("doc_id",
+        "cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h")
+      .selectExpr("doc_id", "h", "explode(sequence(0, 31)) AS b")
+      .selectExpr("doc_id", "b",
+        "CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END AS v")
+      .groupBy("doc_id", "b").agg(sum("v").as("vs"))
+      .selectExpr("doc_id",
+        "CASE WHEN vs > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy("doc_id").agg(sum("bit").as("simhash"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 8) — the
+    * correctness baseline for ANN. The query side is tiny → broadcast
+    * nested-loop; candidates stream partition-parallel. Scale path:
+    * LSH-bucketed candidate generation (see AnnSpec). */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+    val q = e.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "v AS qv")
+    val c = e.selectExpr("vec_id AS c_id", "v AS cv")
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id",
+        """round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)
+          |  / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
+          |     * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Per-label embedding profile: count + mean L2 norm. */
+  def embedStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .selectExpr("label",
+        "sqrt(aggregate(transform(embedding, x -> cast(x AS DOUBLE)), 0D, (a, x) -> a + x * x)) AS nrm")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
+      .orderBy("label")
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
+    * tokens, distinct ratio, mean token length, stopword ratio. Pure
+    * row-local expressions — codegen'd, no shuffle except the final sort. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks", "text")
+      .selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_uniq",
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe",
+        """round(cast(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)
+          |  / size(toks), 6) AS avg_tok_len""".stripMargin,
+        """round(cast(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to'))) AS DOUBLE)
+          |  / size(toks), 6) AS stop_ratio""".stripMargin)
+      .orderBy("doc_id")
+
+  /** Language-ID by marker-token scoring (n-gram heuristic family):
+    * count stopword hits per language, argmax with fixed tie order. */
+  def langidMarkers(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS s_en",
+        "size(filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'es'))) AS s_es",
+        "size(filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de",
+        "size(filter(toks, x -> x IN ('le', 'un', 'et', 'est', 'les'))) AS s_fr")
+      .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
+        """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |     WHEN s_de >= s_fr THEN 'de'
+          |     ELSE 'fr' END AS pred_lang""".stripMargin)
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the 3 smallest shingle hashes (k-min
+    * sketch — winnowing-style stable fingerprint). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .groupBy("doc_id")
+      .agg(md5(concat_ws("", slice(array_sort(collect_list(md5(col("s")))), 1, 3)))
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Corpus profile per (lang, source). */
+  def langProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  // ------------------------------------------------------------- contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "neardup_pairs" -> neardupPairs,
+    "dedup_minhash" -> dedupMinhash,
+    "simhash_sig" -> simhashSig,
+    "ann_topk" -> annTopK,
+    "embed_stats" -> embedStats,
+    "text_stats" -> textStats,
+    "langid_markers" -> langidMarkers,
+    "doc_fingerprint" -> docFingerprint,
+    "lang_profile" -> langProfile)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | md5(lower(trim(text))) AS text_hash
+        |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "neardup_pairs" ->
+      s"""WITH $shinglesSql,
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
+        |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $shinglesSql,
+        | mh AS (SELECT doc_id, seed, min(md5(seed || '|' || s)) AS mh
+        |   FROM sh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT c.da, c.db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
+        |FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        | JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7
+        |ORDER BY c.da, c.db""".stripMargin,
+    "simhash_sig" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+        | bits AS (SELECT doc_id, b,
+        |   sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS vs
+        |   FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        | sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   round(list_dot_product(q.v, c.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+        |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, rnk, c_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "embed_stats" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        | round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |   / len(string_split(text, ' ')), 6) AS avg_tok_len,
+        | round(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to')))::DOUBLE
+        |   / len(string_split(text, ' ')), 6) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "langid_markers" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sc AS (SELECT doc_id,
+        |   len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+        |   len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'es'))) AS s_es,
+        |   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+        |   len(list_filter(toks, x -> x IN ('le', 'un', 'et', 'est', 'les'))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $shinglesSql,
+        | hs AS (SELECT doc_id, md5(s) AS h FROM sh)
+        |SELECT doc_id,
+        | md5(array_to_string(list_sort(list(h))[1:3], '')) AS fingerprint
+        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lang_profile" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+}

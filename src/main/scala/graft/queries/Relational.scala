@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * them, aggregations are partial (map-side combine) by construction, and
   * window functions partition on high-cardinality keys (user_id), never a
   * single global partition — except `ntile_bins`, kept for oracle parity
-  * with an approxQuantile-based scale path in ml.Binning.
+  * (its scale path is approxQuantile → Bucketizer; see the binning
+  * operators in the feature-generation package).
   */
 object Relational extends QueryPack {
 
@@ -42,7 +43,9 @@ object Relational extends QueryPack {
       .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
         col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      // o_date as a STRING 'yyyy-MM-dd' on both sides: date values render
+      // differently across Spark/DuckDB/pandas and would fail the hash.
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select("l_orderkey", "revenue", "o_date")
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -55,7 +58,9 @@ object Relational extends QueryPack {
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir)),
+      // customer is fact-scale (grows with SF) — no broadcast hint; let the
+      // 64MB autoBroadcastJoinThreshold / AQE decide per actual size.
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -121,8 +126,8 @@ object Relational extends QueryPack {
       .orderBy("event_id")
   }
 
-  /** Gap-based sessionization (batch form; streaming twin lives in
-    * graft.streaming). Partitioned by user — no global sort. */
+  /** Gap-based sessionization (batch form). Partitioned by user — no
+    * global sort. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 12L * 3600 * 1000000 // 12h
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -138,8 +143,9 @@ object Relational extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
-  /** ntile equi-depth buckets — oracle-parity variant of equiarea binning;
-    * the scale path (approxQuantile → Bucketizer) is ml.Binning. */
+  /** ntile equi-depth buckets — oracle-parity variant of equiarea binning.
+    * Global-sort window: fine at verify scale, NOT the 100 TB path — that is
+    * approxQuantile → Bucketizer (feature-generation binning). */
   def ntileBins(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, dir)
@@ -175,12 +181,12 @@ object Relational extends QueryPack {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | CAST(o_orderdate AS DATE) AS o_date
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         | AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
-        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -208,17 +214,20 @@ object Relational extends QueryPack {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    // Windows ORDER BY the micros-truncated timestamp (CAST ns→TIMESTAMP)
+    // so DuckDB uses the exact sort key Spark sees after nanos truncation.
     "window_dwell" ->
-      """SELECT event_id, user_id,
-        | epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
-        |   - epoch_us(CAST(ts AS TIMESTAMP)) AS dwell_us
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT event_id, user_id,
+        | epoch_us(lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id))
+        |   - epoch_us(tsu) AS dwell_us
+        |FROM e ORDER BY event_id""".stripMargin,
     "sessionize" ->
-      """WITH t AS (SELECT event_id, user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      """WITH t AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
         |  FROM events),
         | m AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_s FROM t),
-        | x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
+        | x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
         |SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event
         |FROM x GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "ntile_bins" ->

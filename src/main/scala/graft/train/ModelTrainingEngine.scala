@@ -1,0 +1,90 @@
+package graft.train
+
+import graft.config.{TrainingConf, TuningConf}
+import org.apache.spark.ml.classification.{ClassificationModel, LinearSVCModel, MultilayerPerceptronClassifier}
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, StringIndexerModel}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.{Estimator, Pipeline, PipelineModel, PipelineStage, Transformer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Assembles and fits the model chain
+  * (ref: core/modeltraining/ModelTrainingEngine.scala:126-276):
+  * StringIndexer(response → label, handleInvalid=skip; `alphabetAsc` order
+  * for multi-intent) → estimator (optionally CV/HyperBand-wrapped) →
+  * optional PlattScalar → optional TopKIntents → IndexToString for
+  * multi-intent.
+  */
+object ModelTrainingEngine {
+
+  final case class FittedChain(
+      indexer: StringIndexerModel,
+      stages: Seq[Transformer],
+      labels: Array[String]) {
+    def transform(df: DataFrame): DataFrame =
+      stages.foldLeft(indexer.transform(df))((d, t) => t.transform(d))
+  }
+
+  /** Resolve MLP layer sizes from the data: [numFeatures, hidden..., numClasses]
+    * (ref: ModelTrainingUtils.scala:32-48 — probes one vectorized row and the
+    * distinct response count). */
+  def mlpLayers(df: DataFrame, featuresCol: String, labelCol: String,
+                hidden: Seq[Int]): Array[Int] = {
+    val nFeatures = df.select(featuresCol).head().getAs[Vector](0).size
+    val nClasses =
+      df.select(max(col(labelCol).cast("double"))).head().getDouble(0).toInt + 1
+    (nFeatures +: hidden :+ nClasses).toArray
+  }
+
+  def fit(train: DataFrame, conf: TrainingConf, tuning: TuningConf,
+          responseCol: String, featuresCol: String = "features"): FittedChain = {
+    val orderType =
+      if (conf.buildType == "binary") "frequencyDesc" else "alphabetAsc"
+    val indexer = new StringIndexer()
+      .setInputCol(responseCol).setOutputCol("label")
+      .setHandleInvalid("skip").setStringOrderType(orderType)
+      .fit(train)
+    val labels = indexer.labelsArray.head
+    val indexed = indexer.transform(train).cache()
+
+    val baseEst: Estimator[_] = ModelFactory.build(conf) match {
+      case mlp: MultilayerPerceptronClassifier =>
+        val hidden = conf.params.get("hiddenLayer").map(h => Seq(h.toInt)).getOrElse(Seq(10))
+        mlp.setLayers(mlpLayers(
+          indexed.withColumn("features", col(featuresCol)), "features", "label", hidden))
+      case e => e
+    }
+    baseEst.set(baseEst.getParam("labelCol"), "label")
+    baseEst.set(baseEst.getParam("featuresCol"), featuresCol)
+
+    val tuned: Transformer = tuning.method match {
+      case "none" =>
+        baseEst.fit(indexed).asInstanceOf[Transformer]
+      case "cv" =>
+        CrossValidatorCustom.fit(indexed, baseEst, ModelFactory.grid(baseEst, tuning),
+          tuning, conf.buildType)
+      case "hyperband" =>
+        HyperBand.fit(indexed, baseEst, tuning, conf.seed)
+      case other => throw new IllegalArgumentException(s"unknown tuning method '$other'")
+    }
+
+    val stages = Seq.newBuilder[Transformer]
+    stages += tuned
+
+    if (conf.plattScaling) {
+      val scored = tuned.transform(indexed)
+      stages += new PlattScalar()
+        .setLabelCol("label")
+        .setIsMultiIntent(conf.buildType != "binary")
+        .fit(scored)
+    }
+    if (conf.topK > 0)
+      stages += new TopKIntents().setLabels(labels).setK(conf.topK)
+    if (conf.buildType != "binary")
+      stages += new IndexToString().setInputCol("prediction")
+        .setOutputCol("predictedResponse").setLabels(labels)
+
+    indexed.unpersist()
+    FittedChain(indexer, stages.result(), labels)
+  }
+}

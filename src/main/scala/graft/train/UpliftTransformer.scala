@@ -1,0 +1,86 @@
+package graft.train
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.classification.ClassificationModel
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.StructType
+
+/** Uplift scoring: score every row twice with the treatment feature (the
+  * LAST slot of the feature vector, by the VectorizationEngine contract)
+  * forced to 0 and then 1; uplift Δ = p₁ − p₀ is packed as probability
+  * [1−Δ, Δ] with a logit rawPrediction
+  * (ref: org/apache/spark/ml/classification/UpliftTransformer.scala:74-157;
+  * slot-rewrite UDFs at 96-107 — here vector_to_array / transform /
+  * array_to_vector builtins).
+  *
+  * Optionally calibrates each pass through a fitted [[PlattScalarModel]]
+  * (the reference does this for SVM base models).
+  */
+class UpliftTransformer(override val uid: String) extends Transformer {
+  def this() = this(Identifiable.randomUID("uplift"))
+
+  final val featuresCol = new Param[String](this, "featuresCol", "feature vector column")
+  setDefault(featuresCol -> "features")
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+
+  private var baseModel: ClassificationModel[Vector, _] = _
+  private var platt: Option[PlattScalarModel] = None
+  def setBaseModel(m: ClassificationModel[Vector, _]): this.type = { baseModel = m; this }
+  def setPlattModel(m: PlattScalarModel): this.type = { platt = Some(m); this }
+
+  /** p(positive) for one forced treatment value, as a Column pipeline. */
+  private def scoreWith(df: DataFrame, forced: Double, outCol: String): DataFrame = {
+    val arr = vector_to_array(col($(featuresCol)))
+    val n = size(arr)
+    val rewritten = array_to_vector(
+      F.transform(arr, (x, i) => when(i === n - 1, lit(forced)).otherwise(x)))
+    val in = df.withColumn("__uplift_feat", rewritten)
+    val m = baseModel.copy(ParamMap.empty).asInstanceOf[ClassificationModel[Vector, _]]
+    m.set(m.getParam("featuresCol"), "__uplift_feat")
+    m.set(m.getParam("rawPredictionCol"), "__uplift_raw")
+    m.set(m.getParam("predictionCol"), "__uplift_pred")
+    m.params.find(_.name == "probabilityCol")
+      .foreach(p => m.set(p.asInstanceOf[Param[String]], "__uplift_prob"))
+    val scored = m.transform(in)
+    val withProb = platt match {
+      case Some(pl) =>
+        val plc = pl.copy(ParamMap.empty)
+        plc.set(plc.rawPredictionCol, "__uplift_raw")
+        plc.transform(scored.drop("__uplift_prob"))
+          .withColumnRenamed("probability", "__uplift_prob")
+      case None => scored
+    }
+    withProb
+      .withColumn(outCol, element_at(vector_to_array(col("__uplift_prob")), 2))
+      .drop("__uplift_feat", "__uplift_raw", "__uplift_pred", "__uplift_prob")
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val p0 = scoreWith(dataset.toDF(), 0.0, "__p0")
+    val p1 = scoreWith(p0, 1.0, "__p1")
+    val renamed = Seq("probability", "prediction", "rawPrediction")
+      .foldLeft(p1)((df, c) =>
+        if (df.columns.contains(c)) df.withColumnRenamed(c, s"model${c.capitalize}") else df)
+    val delta = col("__p1") - col("__p0")
+    renamed
+      .withColumn("probability", array_to_vector(array(lit(1.0) - delta, delta)))
+      .withColumn("rawPrediction",
+        array_to_vector(array(
+          -F.log(lit(1.0) / delta - 1.0), F.log(lit(1.0) / delta - 1.0))))
+      .drop("__p0", "__p1")
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("probability", org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+  override def copy(extra: ParamMap): Transformer = {
+    val t = new UpliftTransformer(uid)
+    t.baseModel = baseModel; t.platt = platt
+    copyValues(t, extra)
+  }
+}
