@@ -21,8 +21,12 @@ object ModelTrainingEngine {
       indexer: StringIndexerModel,
       stages: Seq[Transformer],
       labels: Array[String]) {
-    def transform(df: DataFrame): DataFrame =
-      stages.foldLeft(indexer.transform(df))((d, t) => t.transform(d))
+    def transform(df: DataFrame): DataFrame = {
+      val in =
+        if (df.columns.contains(indexer.getOutputCol)) df.drop(indexer.getOutputCol)
+        else df
+      stages.foldLeft(indexer.transform(in))((d, t) => t.transform(d))
+    }
   }
 
   /** Resolve MLP layer sizes from the data: [numFeatures, hidden..., numClasses]
@@ -40,12 +44,15 @@ object ModelTrainingEngine {
           responseCol: String, featuresCol: String = "features"): FittedChain = {
     val orderType =
       if (conf.buildType == "binary") "frequencyDesc" else "alphabetAsc"
+    val cleaned =
+      if (train.columns.contains("label") && responseCol != "label") train.drop("label")
+      else train
     val indexer = new StringIndexer()
       .setInputCol(responseCol).setOutputCol("label")
       .setHandleInvalid("skip").setStringOrderType(orderType)
-      .fit(train)
+      .fit(cleaned)
     val labels = indexer.labelsArray.head
-    val indexed = indexer.transform(train).cache()
+    val indexed = indexer.transform(cleaned).cache()
 
     val baseEst: Estimator[_] = ModelFactory.build(conf) match {
       case mlp: MultilayerPerceptronClassifier =>

@@ -62,17 +62,27 @@ class UpliftTransformer(override val uid: String) extends Transformer {
   }
 
   override def transform(dataset: Dataset[_]): DataFrame = {
-    val p0 = scoreWith(dataset.toDF(), 0.0, "__p0")
-    val p1 = scoreWith(p0, 1.0, "__p1")
+    // base-model pass on the untouched features; its outputs become the
+    // model* columns (ref: UpliftTransformer.scala:143-150 renames)
+    val base = baseModel.copy(ParamMap.empty).asInstanceOf[ClassificationModel[Vector, _]]
+    base.set(base.getParam("featuresCol"), $(featuresCol))
+    val scoredBase = base.transform(dataset.toDF())
     val renamed = Seq("probability", "prediction", "rawPrediction")
-      .foldLeft(p1)((df, c) =>
+      .foldLeft(scoredBase)((df, c) =>
         if (df.columns.contains(c)) df.withColumnRenamed(c, s"model${c.capitalize}") else df)
+    val p0 = scoreWith(renamed, 0.0, "__p0")
+    val p1 = scoreWith(p0, 1.0, "__p1")
     val delta = col("__p1") - col("__p0")
-    renamed
+    // SQL log(x≤0) is NULL; mirror scala.math.log double semantics (NaN /
+    // ±Inf) so the packed vector never sees a null
+    val ratio = F.try_divide(lit(1.0), delta) - 1.0 // null at Δ=0 (ANSI-safe)
+    val logit = when(ratio > 0.0, F.log(ratio))
+      .when(ratio === 0.0, lit(Double.NegativeInfinity))
+      .when(ratio.isNull, lit(Double.PositiveInfinity)) // Δ=0 ⇒ 1/Δ−1 → +∞
+      .otherwise(lit(Double.NaN))
+    p1
       .withColumn("probability", array_to_vector(array(lit(1.0) - delta, delta)))
-      .withColumn("rawPrediction",
-        array_to_vector(array(
-          -F.log(lit(1.0) / delta - 1.0), F.log(lit(1.0) / delta - 1.0))))
+      .withColumn("rawPrediction", array_to_vector(array(-logit, logit)))
       .drop("__p0", "__p1")
   }
 

@@ -1,0 +1,89 @@
+package graft.config
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class ConfigSpec extends AnyFlatSpec with Matchers {
+
+  behavior of "GraftConf JSON parsing"
+
+  it should "parse a full config with defaults for missing sections" in {
+    val c = GraftConf.fromJson(
+      """{"data": {"source": "parquet:///tmp/x.parquet"},
+        | "columns": {"response": "y", "text": ["t"]},
+        | "training": {"algorithm": "svm", "plattScaling": true}}""".stripMargin)
+    c.data.source shouldBe "parquet:///tmp/x.parquet"
+    c.columns.response shouldBe "y"
+    c.training.algorithm shouldBe "svm"
+    c.training.plattScaling shouldBe true
+    c.sampling.samplingType shouldBe "random"
+    c.sampling.seed shouldBe 20L
+    c.vectorization.method shouldBe "tfidf"
+  }
+
+  behavior of "ConfigValidator"
+
+  private val base = GraftConf(
+    data = DataConf(source = "parquet:///tmp/x.parquet"),
+    columns = ColumnsConf(response = "y", text = Seq("t"), numerical = Seq("n")))
+
+  it should "accept a valid config" in {
+    ConfigValidator.validate(base) shouldBe empty
+  }
+
+  it should "reject unknown source formats, ops, algorithms and modes" in {
+    val bad = base.copy(
+      data = base.data.copy(source = "ftp://x"),
+      preprocessing = Seq(PreprocessStep(op = "nope", inputColumn = "t")),
+      training = TrainingConf(algorithm = "xgboost"),
+      vectorization = VectorizationConf(method = "bm25"))
+    val sections = ConfigValidator.validate(bad).map(_.section)
+    sections should contain allOf ("data", "preprocessing", "training", "vectorization")
+  }
+
+  it should "reject splits that do not sum to 100" in {
+    val bad = base.copy(sampling = SamplingConf(split = Seq(70, 20)))
+    ConfigValidator.validate(bad).map(_.section) should contain("sampling")
+  }
+
+  it should "require conditions for conditional sampling" in {
+    val bad = base.copy(sampling = SamplingConf(samplingType = "conditional"))
+    ConfigValidator.validate(bad).map(_.section) should contain("sampling")
+  }
+
+  it should "track chained preprocessing outputs incl. implicit names" in {
+    val ok = base.copy(preprocessing = Seq(
+      PreprocessStep(op = "case_normalization", inputColumn = "t"),         // → t_c0
+      PreprocessStep(op = "stemming", inputColumn = "t_c0"),                // → t_c0_c1
+      PreprocessStep(op = "tokenizer", inputColumn = "t_c0_c1",
+        outputColumn = Some("toks"))))
+    ConfigValidator.validate(ok) shouldBe empty
+    val bad = base.copy(preprocessing = Seq(
+      PreprocessStep(op = "stemming", inputColumn = "unknown_col")))
+    ConfigValidator.validate(bad) should not be empty
+  }
+
+  it should "enforce op-specific requirements" in {
+    val bad = base.copy(preprocessing = Seq(
+      PreprocessStep(op = "nullcheck", inputColumn = "t"),                 // missing value
+      PreprocessStep(op = "regex_replacement", inputColumn = "t"),         // missing pairs
+      PreprocessStep(op = "lemma", inputColumn = "t")))                    // missing dict
+    ConfigValidator.validate(bad).size should be >= 3
+  }
+
+  it should "guard skip-gram window and binning config" in {
+    val bad = base.copy(featureGeneration = FeatureGenConf(
+      skipGramWindow = 2,
+      binning = Seq(
+        BinningConf("n", "equidistant", buckets = 1),
+        BinningConf("missing", "intervals", intervals = Seq(1.0)))))
+    val errs = ConfigValidator.validate(bad)
+    errs.count(_.section == "featureGeneration") should be >= 4
+  }
+
+  it should "reject platt scaling on non-svm and topK on binary" in {
+    val bad = base.copy(training =
+      TrainingConf(algorithm = "logistic_regression", plattScaling = true, topK = 3))
+    ConfigValidator.validate(bad).count(_.section == "training") shouldBe 2
+  }
+}
