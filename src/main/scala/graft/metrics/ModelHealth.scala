@@ -1,0 +1,87 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Population / variable stability drift metrics
+  * (ref: core/metrics/ModelHealthMetricsEvaluator.scala:43-210).
+  *
+  * SI formula per bucket/value: (p − q)·ln(p/q)·100 with p = base share,
+  * q = current share; buckets joined INNER (only cells present on both
+  * sides contribute — reference semantics).
+  *
+  * Scale design: shares come from one hash aggregate per side plus a
+  * broadcast of the single-row totals — no windows, no collect; the join is
+  * on the bucket id (k rows). The reference buckets the base with
+  * QuantileDiscretizer; here both an equidistant path (deterministic,
+  * oracle-able) and a quantile path (approxQuantile — reference parity) are
+  * provided.
+  */
+object ModelHealth {
+
+  private def shares(df: DataFrame, bucket: org.apache.spark.sql.Column,
+                     out: String): DataFrame = {
+    val counts = df.select(bucket.as("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), (col("n") / col("total")).as(out))
+  }
+
+  private def si = (col("p") - col("q")) * log(col("p") / col("q")) * 100.0
+
+  /** PSI with k equidistant buckets from the BASE min/max (bucket 0 and k−1
+    * absorb the tails). Returns one row per bucket: (bucket, p, q, si). */
+  def psiEquidistant(base: DataFrame, current: DataFrame, column: String,
+                     k: Int): DataFrame = {
+    val stats = base.agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+    def bucketed(df: DataFrame, out: String): DataFrame = {
+      val withStats = df.crossJoin(broadcast(stats))
+      val width = (col("mx") - col("mn")) / k
+      val b = least(greatest(floor((col(column) - col("mn")) / width), lit(0)), lit(k - 1))
+      shares(withStats, b.cast("long"), out)
+    }
+    bucketed(base, "p").join(bucketed(current, "q"), Seq("bucket"))
+      .select(col("bucket"), col("p"), col("q"), si.as("si"))
+  }
+
+  /** PSI with k quantile buckets of the base (reference parity path:
+    * QuantileDiscretizer ≈ approxQuantile splits). */
+  def psiQuantile(base: DataFrame, current: DataFrame, column: String,
+                  k: Int, relativeError: Double = 1e-4): DataFrame = {
+    val probes = (1 until k).map(_.toDouble / k).toArray
+    val splits = base.stat.approxQuantile(column, probes, relativeError)
+    def b(df: DataFrame, out: String) = {
+      val c = col(column)
+      val expr = splits.zipWithIndex.foldLeft(lit(splits.length).cast("long")) {
+        case (acc, (s, i)) => when(c <= s, i.toLong).otherwise(acc)
+      }
+      shares(df, expr, out)
+    }
+    b(base, "p").join(b(current, "q"), Seq("bucket"))
+      .select(col("bucket"), col("p"), col("q"), si.as("si"))
+  }
+
+  /** Total PSI as a single-row DataFrame. */
+  def psiTotal(bucketDf: DataFrame): DataFrame = bucketDf.agg(sum("si").as("psi"))
+
+  /** VSI for one categorical variable: SI summed over values present on
+    * both sides → single row (variable, vsi). */
+  def vsi(base: DataFrame, current: DataFrame, column: String): DataFrame =
+    shares(base, col(column), "p").join(shares(current, col(column), "q"), Seq("bucket"))
+      .agg(sum(si).as("vsi"))
+      .select(lit(column).as("variable"), col("vsi"))
+
+  /** VSI across many variables — one row each. */
+  def vsiAll(base: DataFrame, current: DataFrame, columns: Seq[String]): DataFrame =
+    columns.map(vsi(base, current, _)).reduce(_ unionAll _)
+
+  /** Values present in base but missing in current, and vice versa
+    * (ref: ModelHealthMetricsEvaluator.scala:190-210 set-difference audit). */
+  def valueDrift(base: DataFrame, current: DataFrame, column: String): DataFrame = {
+    val b = base.select(col(column).as("value")).distinct()
+    val c = current.select(col(column).as("value")).distinct()
+    b.except(c).select(col("value"), lit("missing_in_current").as("status"))
+      .unionAll(c.except(b).select(col("value"), lit("new_in_current").as("status")))
+  }
+}

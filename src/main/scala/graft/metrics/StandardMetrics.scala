@@ -1,0 +1,107 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard classification metrics as pure DataFrame aggregations
+  * (ref: core/metrics/StandardMetricsEvaluator.scala:66-309, which uses
+  * mllib's RDD-based BinaryClassificationMetrics / MulticlassMetrics).
+  *
+  * Re-expressed Spark-first: every metric is a declarative plan over hash
+  * aggregates — partial aggregation, codegen, no RDD round-trips, no
+  * `.collect()`. Rank statistics (AUROC, F-measure-by-threshold) first
+  * group by the SCORE VALUE, so the only ordered window runs over distinct
+  * scores — cardinality ≪ rows (bounded by rounding, e.g. probabilities
+  * have ≤ ~1e7 distinct doubles in practice; bucket scores first if not) —
+  * never over the full fact table.
+  */
+object StandardMetrics {
+
+  /** Confusion matrix: one row per (label, prediction) pair. */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol), col(predCol)).agg(count(lit(1)).as("n"))
+
+  /** Per-label precision/recall/F1 + support (one row per actual label).
+    * Predicted-only classes contribute to false positives via the predicted
+    * totals but don't get their own row — matching MulticlassMetrics. */
+  def perLabel(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cnt = confusion(df, labelCol, predCol).cache()
+    val actual = cnt.groupBy(col(labelCol).as("class")).agg(sum("n").as("support"))
+    val predicted = cnt.groupBy(col(predCol).as("class")).agg(sum("n").as("predTotal"))
+    val tp = cnt.filter(col(labelCol) === col(predCol))
+      .select(col(labelCol).as("class"), col("n").as("tp"))
+    val joined = actual
+      .join(tp, Seq("class"), "left")
+      .join(predicted, Seq("class"), "left")
+      .na.fill(0L, Seq("tp", "predTotal"))
+    val p = col("tp") / col("predTotal")
+    val r = col("tp") / col("support")
+    joined.select(
+      col("class"), col("support"), col("tp"), col("predTotal"),
+      coalesce(when(col("predTotal") > 0, p), lit(0.0)).as("precision"),
+      (col("tp") / col("support")).as("recall"),
+      coalesce(when(col("tp") > 0, lit(2.0) * p * r / (p + r)), lit(0.0)).as("f1"))
+  }
+
+  /** Single-row summary: accuracy + support-weighted precision/recall/F1. */
+  def weightedSummary(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val pl = perLabel(df, labelCol, predCol)
+    pl.agg(
+      (sum("tp") / sum("support")).as("accuracy"),
+      (sum(col("precision") * col("support")) / sum("support")).as("weightedPrecision"),
+      (sum(col("recall") * col("support")) / sum("support")).as("weightedRecall"),
+      (sum(col("f1") * col("support")) / sum("support")).as("weightedF1"))
+  }
+
+  /** Per-distinct-score counts with positives — shared base for the rank
+    * statistics. `scoreCol` ascending. */
+  private def byScore(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("c"), sum(col(labelCol).cast("double")).as("pos"))
+
+  /** AUROC via the rank-sum (Mann-Whitney U) identity with average ranks
+    * for ties: AUROC = (Σ ranks₊ − n₊(n₊+1)/2) / (n₊ n₋). Exact — identical
+    * to the trapezoidal ROC integral mllib computes. One shuffle (groupBy
+    * score) + one ordered window over DISTINCT scores only. */
+  def auroc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val g = byScore(df, labelCol, scoreCol)
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("avgrank",
+      sum("c").over(w) - col("c") + (col("c") + 1) / 2.0)
+    ranked.agg(
+      sum(col("pos") * col("avgrank")).as("sr"),
+      sum("pos").as("np"), sum("c").as("n"))
+      .select(((col("sr") - col("np") * (col("np") + 1) / 2.0) /
+        (col("np") * (col("n") - col("np")))).as("auroc"))
+  }
+
+  /** Precision / recall / F_β at every distinct score threshold (predict
+    * positive when score ≥ t). Ref: fMeasureByThreshold with β=2 feeding the
+    * best-threshold search (WebCustomMetricsEvaluator.scala:38-65). */
+  def fMeasureByThreshold(df: DataFrame, labelCol: String, scoreCol: String,
+                          beta: Double): DataFrame = {
+    val g = byScore(df, labelCol, scoreCol)
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b2 = beta * beta
+    val totals = g.agg(sum("pos").as("npos"))
+    g.withColumn("tp", sum("pos").over(wDesc))
+      .withColumn("cnt", sum("c").over(wDesc))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("s").as("thresh"),
+        (col("tp") / col("cnt")).as("precision"),
+        (col("tp") / col("npos")).as("recall"))
+      .withColumn("fbeta",
+        when(col("precision") + col("recall") > 0,
+          (lit(1 + b2) * col("precision") * col("recall")) /
+            (lit(b2) * col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
+  /** The best-F_β threshold row (deterministic tie-break on the threshold). */
+  def bestThreshold(df: DataFrame, labelCol: String, scoreCol: String,
+                    beta: Double): DataFrame =
+    fMeasureByThreshold(df, labelCol, scoreCol, beta)
+      .orderBy(desc("fbeta"), asc("thresh")).limit(1)
+}
