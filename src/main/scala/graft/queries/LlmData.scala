@@ -76,29 +76,40 @@ object LlmData extends QueryPack {
 
   /** MinHash signatures (12 hashes = min-md5 over salted shingles), banded
     * 4×3 LSH: candidate pairs meet in a band-signature bucket (shuffle on
-    * the band hash — never all-pairs), then exact-Jaccard verified ≥ 0.7. */
+    * the band hash — never all-pairs), then exact-Jaccard verified ≥ 0.7.
+    *
+    * Plan shape (matters at scale): the 12 min-hashes are 12 `min` columns
+    * of ONE hash aggregate over the shingle stream — no 12× row explode, no
+    * (doc, seed) shuffle; band signatures are row-local concat+md5 of those
+    * columns; and the exact-Jaccard verify first semi-joins the shingle
+    * stream down to candidate docs, so the quadratic inverted-index join
+    * runs over candidates only, never the full corpus. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val seeds = 0 until 12
     val sh = shingles(s, dir).cache()
-    // (doc_id, seed) -> min md5(seed|shingle)
-    val mh = sh
-      .selectExpr("doc_id", "explode(sequence(0, 11)) AS seed", "s")
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed"), lit("|"), col("s")))).as("mh"))
-    // band signature: md5 of seed:mh triplets, ordered by seed
-    val bands = mh
-      .withColumn("band", col("seed") % 4)
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|",
-        array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => concat(x("seed"), lit(":"), x("mh"))), "|"))).as("sig"))
+    // one aggregation: doc_id -> 12 min-hash columns
+    val mh = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit(seeds.head), lit("|"), col("s")))).as(s"mh${seeds.head}"),
+      seeds.tail.map(k =>
+        min(md5(concat(lit(k), lit("|"), col("s")))).as(s"mh$k")): _*)
+    // band b gets seeds {b, b+4, b+8}; signature string matches the oracle's
+    // string_agg(seed||':'||mh, '|' ORDER BY seed)
+    def sig(b: Int) = md5(concat_ws("|",
+      seeds.filter(_ % 4 == b).map(k => concat(lit(s"$k:"), col(s"mh$k"))): _*))
+    val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"), sig(b).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("db")), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    // verify candidates with exact jaccard
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .cache() // used twice: candidate-doc broadcast + final verify join
+    // verify ONLY candidate docs with exact jaccard
+    val candDocs = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shC.select(col("doc_id").as("da"), col("s"))
+      .join(shC.select(col("doc_id").as("db"), col("s")), "s")
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("ni"))
     cand
