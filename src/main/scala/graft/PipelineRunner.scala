@@ -1,0 +1,154 @@
+package graft
+
+import graft.config._
+import graft.features.VectorizationEngine
+import graft.io.{Savepoints, SourceReader}
+import graft.metrics.StandardMetrics
+import graft.sampling.TrainTestSampler
+import graft.text.PreprocessingEngine
+import graft.train.ModelTrainingEngine
+import graft.train.ModelTrainingEngine.FittedChain
+import org.apache.spark.internal.Logging
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pipeline orchestrator — the engine's `PipelineSteps.run()`
+  * (ref: core/PipelineSteps.scala:35-296): config snapshot → validation →
+  * read (+SQL views, filter, derived columns) → train/test sampling → page
+  * split → per-page preprocessing/feature-gen/vectorization pipeline →
+  * model chain fit → scoring (+post-predict filter) → metrics → savepoints.
+  *
+  * Scale behavior carried over from the reference, Spark-first:
+  *  - column pruning BEFORE every cache/savepoint (Catalyst cannot prune
+  *    through a cache barrier — PipelineSteps.scala:163-177);
+  *  - savepoints are parquet per (step, page, dataset) so any step can
+  *    restart as its own job;
+  *  - per-page models are independent → pages parallelize trivially on a
+  *    cluster (driver-side loop, executor-side fits);
+  *  - caching: the vectorized train set is persisted for the (possibly
+  *    iterative) fit, unpersisted right after (PipelineSteps.scala:138-158).
+  */
+object PipelineRunner extends Logging {
+
+  final case class PageResult(
+      page: Int,
+      prep: PipelineModel,
+      chain: FittedChain,
+      scored: Map[String, DataFrame])
+
+  final case class RunResult(
+      metrics: Map[String, Double],
+      pages: Seq[PageResult],
+      savepoints: Savepoints) {
+    /** Page-level union per dataset (ref: MetricsEvaluator.scala:49-72). */
+    def scoredUnion(dataset: String): DataFrame =
+      pages.flatMap(_.scored.get(dataset)).reduce(_ unionByName _)
+  }
+
+  private val datasetNames = Seq("train", "test", "validate")
+
+  def run(spark: SparkSession, conf: GraftConf,
+          savepointing: Boolean = false): RunResult = {
+    val sp = new Savepoints(conf.project)
+    ConfigValidator.validateOrThrow(conf)
+    if (savepointing) sp.saveConfigSnapshot(conf.toString)
+
+    // 1. read: source → SQL view chain → filter → derived columns
+    val input = SourceReader.read(spark, conf.data, conf.columns)
+    if (savepointing) sp.save(input, "input", 0, "all")
+
+    // 2. sampling
+    val splits = TrainTestSampler.sample(
+      input, conf.sampling, conf.columns.response, conf.columns.primaryKey)
+    val named = splits.zip(datasetNames).map(_.swap)
+
+    // 3. page split — page k model trains on `page == k` rows, the last
+    // page accumulates `>=` (ref: PipelineSteps.scala:298-327)
+    val numPages = conf.numPages.max(1)
+    val perPage: Seq[(Int, Seq[(String, DataFrame)])] =
+      (1 to numPages).map { k =>
+        k -> named.map { case (name, df) =>
+          name -> (conf.columns.page match {
+            case Some(pg) if numPages > 1 =>
+              if (k == numPages) df.filter(col(pg) >= k) else df.filter(col(pg) === k)
+            case _ => df
+          })
+        }
+      }
+
+    // columns the scored output keeps (prune before cache/savepoint)
+    val keepCols = (conf.columns.primaryKey ++ conf.columns.page.toSeq :+
+      conf.columns.response).distinct
+
+    val pageResults = perPage.map { case (k, datasets) =>
+      val train = datasets.head._2
+      // 4. preprocessing + feature gen + vectorization, fit on train
+      val tokenCol = conf.preprocessing.reverse.collectFirst {
+        case p if p.op == "tokenizer" =>
+          p.outputColumn.getOrElse(s"${p.inputColumn}_c${conf.preprocessing.indexOf(p)}")
+      }
+      val preStages = PreprocessingEngine.buildStages(conf.preprocessing)
+      val vecStages = VectorizationEngine.buildStages(
+        train, conf.columns, conf.featureGeneration, conf.vectorization,
+        tokenCol, conf.training.uplift)
+      val prep = new Pipeline().setStages((preStages ++ vecStages).toArray).fit(train)
+
+      val vectorized = datasets.map { case (name, df) =>
+        name -> prep.transform(df)
+          .select((keepCols :+ "features").distinct.map(col): _*)
+      }
+      val trainVec = vectorized.head._2.persist()
+
+      // 5. model chain
+      val chain = ModelTrainingEngine.fit(
+        trainVec, conf.training, conf.tuning, conf.columns.response)
+
+      // 6. scoring + post-predict filter (ref: core/Predict.scala:43-107)
+      val scored = vectorized.map { case (name, df) =>
+        val out = chain.transform(df)
+        val filtered = conf.postPredictFilter.map(out.filter).getOrElse(out)
+        if (savepointing) sp.save(filtered.drop("features"), "scored", k, name)
+        name -> filtered
+      }.toMap
+      trainVec.unpersist()
+      logInfo(s"page $k: trained ${conf.training.algorithm} " +
+        s"(${conf.training.buildType}), scored ${scored.keys.mkString(",")}")
+      PageResult(k, prep, chain, scored)
+    }
+
+    // 7. metrics (ref: PipelineSteps.scala:247-272)
+    val metrics = evaluate(conf, pageResults)
+    if (savepointing) sp.saveMetrics(metrics)
+    RunResult(metrics, pageResults, sp)
+  }
+
+  /** Positive-class score column: calibrated probability when present,
+    * raw margin otherwise (rank metrics are invariant to the sigmoid). */
+  private def scoreCol(df: DataFrame) =
+    element_at(vector_to_array(
+      col(if (df.columns.contains("probability")) "probability" else "rawPrediction")), 2)
+
+  private def evaluate(conf: GraftConf, pages: Seq[PageResult]): Map[String, Double] = {
+    val m = Map.newBuilder[String, Double]
+    pages.foreach { pr =>
+      pr.scored.foreach { case (name, df) =>
+        val suffix = if (pages.length > 1) s"_page${pr.page}" else ""
+        if (conf.training.buildType == "binary") {
+          val scored = df.select(col("label").cast("int").as("y"),
+            scoreCol(df).as("score"))
+          val a = StandardMetrics.auroc(scored, "y", "score").head().getDouble(0)
+          m += s"auroc_$name$suffix" -> a
+        } else {
+          val row = StandardMetrics.weightedSummary(df, "label", "prediction").head()
+          m += s"accuracy_$name$suffix" -> row.getDouble(0)
+          m += s"weightedPrecision_$name$suffix" -> row.getDouble(1)
+          m += s"weightedRecall_$name$suffix" -> row.getDouble(2)
+          m += s"weightedF1_$name$suffix" -> row.getDouble(3)
+        }
+      }
+    }
+    m.result()
+  }
+}

@@ -113,7 +113,10 @@ final case class GraftConf(
     vectorization: VectorizationConf = VectorizationConf(),
     training: TrainingConf = TrainingConf(),
     tuning: TuningConf = TuningConf(),
-    postPredictFilter: Option[String] = None)
+    postPredictFilter: Option[String] = None,
+    /** Page-level modelling: one model per page 1..numPages; the last page
+      * accumulates `page >= numPages` (ref: PipelineSteps.scala:298-327). */
+    numPages: Int = 1)
 
 object GraftConf {
   private implicit val formats: Formats = DefaultFormats

@@ -1,20 +1,14 @@
 package graft.examples
 
-import graft.GraftSession
+import graft.{GraftSession, PipelineRunner}
 import graft.config._
-import graft.io.SourceReader
-import graft.sampling.TrainTestSampler
-import graft.text.PreprocessingEngine
-import graft.features.VectorizationEngine
-import graft.train.ModelTrainingEngine
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-import org.apache.spark.sql.functions._
+import graft.publish.{HotleadTransformer, Publish}
 
-/** End-to-end smoke drive of the config-driven ML pipeline over the
-  * testdata `documents` table: config parse + validate → source read with a
-  * SQL view chain → random split → text preprocessing chain → feature
-  * generation + vectorization → logistic regression → AUROC.
+/** End-to-end drive of the config-driven pipeline over the testdata
+  * `documents` table, through the [[PipelineRunner]] orchestrator: config
+  * parse + validate → source read with a SQL view chain → random split →
+  * text preprocessing chain → feature generation + vectorization → logistic
+  * regression → scoring → AUROC metrics → combined-pipeline publish.
   *
   * Run: sbt "runMain graft.examples.QuickStart /root/testdata/sf0.01"
   */
@@ -30,7 +24,8 @@ object QuickStart {
         |    "source": "parquet://$dir/documents.parquet",
         |    "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y FROM graftView0"]
         |  },
-        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"]},
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
         |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
         |  "preprocessing": [
         |    {"op": "case_normalization", "inputColumn": "text", "outputColumn": "t_lower"},
@@ -44,33 +39,24 @@ object QuickStart {
         |}""".stripMargin
 
     val conf = GraftConf.fromJson(confJson)
-    ConfigValidator.validateOrThrow(conf)
     println(s"[quickstart] config OK: ${conf.project.name}")
 
-    val df = SourceReader.read(spark, conf.data, conf.columns)
-    println(s"[quickstart] read ${df.count()} rows, cols=${df.columns.length}")
-
-    val Seq(train, test) =
-      TrainTestSampler.sample(df, conf.sampling, conf.columns.response)
-    println(s"[quickstart] split train=${train.count()} test=${test.count()}")
-
-    val preStages = PreprocessingEngine.buildStages(conf.preprocessing)
-    val vecStages = VectorizationEngine.buildStages(
-      train, conf.columns, conf.featureGeneration, conf.vectorization, Some("tokens"))
-    val prep = new Pipeline().setStages((preStages ++ vecStages).toArray).fit(train)
-    val trainVec = prep.transform(train)
-    val testVec = prep.transform(test)
+    val result = PipelineRunner.run(spark, conf, savepointing = true)
+    val raw = graft.io.SourceReader.read(spark, conf.data, conf.columns)
+    println(s"[quickstart] read ${raw.count()} rows, cols=${raw.columns.length}")
     println(s"[quickstart] vectorized; features col ready")
+    println(f"[quickstart] AUROC train=${result.metrics("auroc_train")}%.4f " +
+      f"test=${result.metrics("auroc_test")}%.4f")
 
-    val chain = ModelTrainingEngine.fit(trainVec, conf.training, conf.tuning,
-      conf.columns.response)
-    val scoredTrain = chain.transform(trainVec)
-    val scoredTest = chain.transform(testVec)
-    val auroc = new BinaryClassificationEvaluator().setLabelCol("label")
-    println(f"[quickstart] AUROC train=${auroc.evaluate(scoredTrain)}%.4f " +
-      f"test=${auroc.evaluate(scoredTest)}%.4f")
+    // publish: one PipelineModel from raw input to hotlead decision
+    val page = result.pages.head
+    val serving = Publish.combined(page.prep, page.chain, raw,
+      Some(new HotleadTransformer().setDefaultThreshold(0.5)))
+    val served = serving.transform(raw)
+    println(s"[quickstart] published pipeline scored ${served.count()} raw rows; " +
+      s"hotleads=${served.filter(org.apache.spark.sql.functions.col("isHotLead") === 1).count()}")
     println("[quickstart] sample predictions:")
-    scoredTest.select("doc_id", "y", "label", "prediction").show(5, truncate = false)
+    served.select("doc_id", "y", "prediction", "isHotLead").show(5, truncate = false)
     spark.stop()
   }
 }

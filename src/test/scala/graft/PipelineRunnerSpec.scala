@@ -1,0 +1,92 @@
+package graft
+
+import graft.config._
+import graft.publish.{HotleadTransformer, Publish}
+import org.apache.spark.sql.functions._
+
+/** System tests in the reference's style (systemTests/BinaryLogisticTest
+  * .scala:23-69): run the full config-driven pipeline, assert metric
+  * quality with tolerances (exact goldens don't survive engine versions —
+  * SURVEY §5). Data: deterministic synthetic fixture derived from the
+  * documents table at sf0.001. */
+class PipelineRunnerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def baseConf(extra: String = "") = GraftConf.fromJson(
+    s"""{
+      |  "project": {"name": "spec", "root": "/tmp/graft-spec"},
+      |  "data": {
+      |    "source": "parquet://$dir/documents.parquet",
+      |    "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, 1 + doc_id % 3 AS pg FROM graftView0"]
+      |  },
+      |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+      |              "primaryKey": ["doc_id"], "page": "pg"},
+      |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+      |  "preprocessing": [
+      |    {"op": "case_normalization", "inputColumn": "text", "outputColumn": "t_lower"},
+      |    {"op": "tokenizer", "inputColumn": "t_lower", "outputColumn": "tokens"}
+      |  ],
+      |  "featureGeneration": {"ngrams": [2]},
+      |  "vectorization": {"method": "tfidf", "slots": 4096}
+      |  $extra
+      |}""".stripMargin)
+
+  behavior of "PipelineRunner"
+
+  it should "run a binary flow end-to-end with separable-train AUROC" in {
+    val result = PipelineRunner.run(spark, baseConf())
+    result.pages should have size 1
+    // the label is word-salad noise — train AUROC measures that the chain
+    // can overfit 400 docs with a bigram tfidf space (plumbing, not model
+    // quality; mirrors the reference's separable-train golden pattern)
+    result.metrics("auroc_train") should be > 0.9
+    result.metrics.keySet should contain allOf ("auroc_train", "auroc_test")
+    val scored = result.scoredUnion("test")
+    scored.columns should contain allOf ("label", "prediction", "probability")
+  }
+
+  it should "train one model per page with last-page accumulation" in {
+    val conf = baseConf(""", "numPages": 3""")
+    val result = PipelineRunner.run(spark, conf)
+    result.pages should have size 3
+    result.metrics.keySet should contain allOf
+      ("auroc_train_page1", "auroc_train_page2", "auroc_train_page3")
+    // union of page-level test scores covers every test row exactly once
+    val input = io.SourceReader.read(spark, conf.data, conf.columns)
+    val Seq(_, test) = sampling.TrainTestSampler.sample(
+      input, conf.sampling, "y", Seq("doc_id"))
+    result.scoredUnion("test").count() shouldBe test.count()
+  }
+
+  it should "publish a combined pipeline that reproduces chain scores on raw input" in {
+    val conf = baseConf()
+    val result = PipelineRunner.run(spark, conf)
+    val raw = io.SourceReader.read(spark, conf.data, conf.columns)
+    val page = result.pages.head
+    val serving = Publish.combined(page.prep, page.chain, raw,
+      Some(new HotleadTransformer().setDefaultThreshold(0.5)))
+    val served = serving.transform(raw).select("doc_id", "prediction", "isHotLead")
+    val direct = page.chain.transform(page.prep.transform(raw))
+      .select(col("doc_id"), col("prediction").as("p2"))
+    val joined = served.join(direct, "doc_id")
+    joined.filter(col("prediction") =!= col("p2")).count() shouldBe 0
+    served.columns should contain("isHotLead")
+  }
+
+  it should "generate QA data keyed on the primary key" in {
+    val conf = baseConf()
+    val result = PipelineRunner.run(spark, conf)
+    val raw = io.SourceReader.read(spark, conf.data, conf.columns)
+    val qa = Publish.qaData(raw, result.pages.head.scored("test"),
+      Seq("doc_id"), Seq("prediction"), n = 10, seed = 20)
+    qa.count() shouldBe 10
+    qa.columns should contain allOf ("text", "prediction")
+  }
+
+  it should "apply the post-predict filter" in {
+    val conf = baseConf(""", "postPredictFilter": "prediction = 1.0"""")
+    val result = PipelineRunner.run(spark, conf)
+    result.pages.head.scored("test").filter(col("prediction") =!= 1.0).count() shouldBe 0
+  }
+}
