@@ -78,12 +78,24 @@ object ModelTrainingEngine {
     val stages = Seq.newBuilder[Transformer]
     stages += tuned
 
-    if (conf.plattScaling) {
-      val scored = tuned.transform(indexed)
-      stages += new PlattScalar()
-        .setLabelCol("label")
-        .setIsMultiIntent(conf.buildType != "binary")
-        .fit(scored)
+    val plattModel =
+      if (conf.plattScaling) {
+        val scored = tuned.transform(indexed)
+        val m = new PlattScalar()
+          .setLabelCol("label")
+          .setIsMultiIntent(conf.buildType != "binary")
+          .fit(scored)
+        stages += m
+        Some(m)
+      } else None
+    // uplift scoring replaces the probability with p(treated) − p(control)
+    // (ref: ModelTrainingEngine.scala:186-208 — SVM flows calibrate each
+    // pass through the fitted PlattScalar)
+    conf.uplift.foreach { _ =>
+      val u = new UpliftTransformer().setFeaturesCol(featuresCol)
+        .setBaseModel(tuned.asInstanceOf[ClassificationModel[Vector, _]])
+      plattModel.foreach(u.setPlattModel)
+      stages += u
     }
     if (conf.topK > 0)
       stages += new TopKIntents().setLabels(labels).setK(conf.topK)

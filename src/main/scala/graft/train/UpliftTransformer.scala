@@ -62,11 +62,18 @@ class UpliftTransformer(override val uid: String) extends Transformer {
   }
 
   override def transform(dataset: Dataset[_]): DataFrame = {
-    // base-model pass on the untouched features; its outputs become the
-    // model* columns (ref: UpliftTransformer.scala:143-150 renames)
-    val base = baseModel.copy(ParamMap.empty).asInstanceOf[ClassificationModel[Vector, _]]
-    base.set(base.getParam("featuresCol"), $(featuresCol))
-    val scoredBase = base.transform(dataset.toDF())
+    // the base model's outputs become the model* columns (ref:
+    // UpliftTransformer.scala:143-150 renames). As a pipeline stage the
+    // incoming frame is already scored by the base model — rename in place;
+    // standalone use scores one base pass first.
+    val df0 = dataset.toDF()
+    val scoredBase =
+      if (df0.columns.contains("rawPrediction")) df0
+      else {
+        val base = baseModel.copy(ParamMap.empty).asInstanceOf[ClassificationModel[Vector, _]]
+        base.set(base.getParam("featuresCol"), $(featuresCol))
+        base.transform(df0)
+      }
     val renamed = Seq("probability", "prediction", "rawPrediction")
       .foldLeft(scoredBase)((df, c) =>
         if (df.columns.contains(c)) df.withColumnRenamed(c, s"model${c.capitalize}") else df)

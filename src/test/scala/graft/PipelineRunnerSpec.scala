@@ -84,6 +84,89 @@ class PipelineRunnerSpec extends SparkSpec {
     qa.columns should contain allOf ("text", "prediction")
   }
 
+  it should "run a multi-intent OVR SVM flow with Platt scaling and top-k" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "spec-mi", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet://$dir/documents.parquet"},
+        |  "columns": {"response": "lang", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "tokens"}
+        |  ],
+        |  "featureGeneration": {"ngrams": [2]},
+        |  "vectorization": {"method": "tfidf", "slots": 4096},
+        |  "training": {"algorithm": "svm", "buildType": "ovr",
+        |               "plattScaling": true, "topK": 3}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val scored = result.pages.head.scored("test")
+    scored.columns should contain allOf
+      ("svm_prediction", "topIntents", "predictedResponse", "probability")
+    // alphabetAsc label order (ref: ModelTrainingEngine.scala:133-149)
+    result.pages.head.chain.labels.toSeq shouldBe
+      result.pages.head.chain.labels.toSeq.sorted
+    result.metrics("accuracy_train") should be > 0.9 // overfit = plumbing OK
+    // top-k struct ranks labels by calibrated probability
+    val top = scored.select("topIntents").head().getSeq[org.apache.spark.sql.Row](0)
+    top should have size 3
+    top.head.getDouble(1) should be >= top(1).getDouble(1)
+  }
+
+  it should "run a binary uplift flow with the treatment slot forced" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "spec-uplift", "root": "/tmp/graft-spec"},
+        |  "data": {
+        |    "source": "parquet://$dir/documents.parquet",
+        |    "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, CAST(doc_id % 2 AS DOUBLE) AS treat FROM graftView0"]
+        |  },
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "tokens"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 1024},
+        |  "training": {"algorithm": "logistic_regression", "uplift": "treat"}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val scored = result.pages.head.scored("test")
+    scored.columns should contain allOf ("probability", "modelProbability")
+    import org.apache.spark.ml.functions.vector_to_array
+    val deltas = scored
+      .select(element_at(vector_to_array(col("probability")), 2)).collect().map(_.getDouble(0))
+    all(deltas) should (be >= -1.0 and be <= 1.0)
+  }
+
+  it should "run a cross-validated flow selecting from the grid" in {
+    // label derived from n_chars, which is IN the feature vector — the
+    // L1-0.01 grid point cross-validates ≈1.0, L1-10 flatlines at 0.5, so
+    // selection is meaningful (noise labels would tie both at 0.5)
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "spec-cv", "root": "/tmp/graft-spec"},
+        |  "data": {
+        |    "source": "parquet://$dir/documents.parquet",
+        |    "queries": ["SELECT *, CASE WHEN n_chars > 300 THEN 'pos' ELSE 'neg' END AS y FROM graftView0"]
+        |  },
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "tokens"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 256},
+        |  "training": {"algorithm": "logistic_regression",
+        |               "params": {"elasticNetParam": 1.0}},
+        |  "tuning": {"method": "cv", "folds": 3, "evalMetric": "areaUnderROC",
+        |             "grid": {"regParam": [10.0, 0.01]}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    result.metrics("auroc_test") should be > 0.9 // flatlined model would be 0.5
+  }
+
   it should "apply the post-predict filter" in {
     val conf = baseConf(""", "postPredictFilter": "prediction = 1.0"""")
     val result = PipelineRunner.run(spark, conf)
