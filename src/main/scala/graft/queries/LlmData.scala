@@ -162,6 +162,44 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** LSH-bucketed ANN — the SCALE path for similarity search: 4 deterministic
+    * sign-projection hyperplanes (weights ±1 from md5 hex-digit parity of the
+    * dimension index — reproducible in any engine) hash every vector into one
+    * of 16 buckets; candidates meet only within their bucket (equi-join on
+    * the signature — never all-pairs), then exact cosine ranks top-3.
+    * At 100 TB: the signature is one row-local expression, the join shuffles
+    * on the 16-way signature key, and more planes/bands trade recall for
+    * bucket size without changing the plan shape. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val planes = 4
+    def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // weight(j)(i) = +1 when hex digit j of md5(i) is even, else -1
+    val w = Array.tabulate(planes, dims)((j, i) =>
+      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+    val sigExpr = (0 until planes).map { j =>
+      val arr = w(j).mkString("array(", "D,", "D)")
+      s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigs = e.selectExpr("vec_id", "v", s"CAST($sigExpr AS BIGINT) AS sig")
+    val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "v AS qv", "sig")
+    val c = sigs.selectExpr("vec_id AS c_id", "v AS cv", "sig")
+    q.join(c, "sig").filter(col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id",
+        """round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)
+          |  / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
+          |     * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label embedding profile: count + mean L2 norm. */
   def embedStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -233,6 +271,7 @@ object LlmData extends QueryPack {
     "dedup_minhash" -> dedupMinhash,
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
+    "ann_lsh" -> annLsh,
     "embed_stats" -> embedStats,
     "text_stats" -> textStats,
     "langid_markers" -> langidMarkers,
@@ -291,6 +330,25 @@ object LlmData extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
         |  FROM sc)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
+        |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END) AS wv
+        |   FROM generate_series(0, 3) AS t(j)),
+        | sigv AS (SELECT vec_id,
+        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
+        |   FROM e, w GROUP BY vec_id),
+        | sigs AS (SELECT e.vec_id, e.v, sigv.sig FROM e JOIN sigv USING (vec_id)),
+        | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |     round(list_dot_product(q.v, c.v)
+        |       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+        |   FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+        |   WHERE q.vec_id < 8)
+        |SELECT q_id, rnk, c_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "embed_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm

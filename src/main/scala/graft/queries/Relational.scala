@@ -158,7 +158,21 @@ object Relational extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** Random-variable derivation through the real reader code
+    * (io.SourceReader.deriveColumns — ref: dal/DataReader.scala:34-78):
+    * md5 of the primary key → first 8 hex chars → uniform double [0,100).
+    * Row-local, codegen'd — the deterministic basis for conditional splits
+    * at any scale. */
+  def rvDerivation(s: SparkSession, dir: String): DataFrame = {
+    val cols = graft.config.ColumnsConf(
+      primaryKey = Seq("c_custkey"), randomVariable = Some("rv"))
+    graft.io.SourceReader.deriveColumns(Tables.customer(s, dir), cols)
+      .select(col("c_custkey"), round(col("rv"), 6).as("rv"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rv_derivation" -> rvDerivation,
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue" -> topRevenueOrders,
     "q5_region_revenue" -> regionRevenue,
@@ -172,6 +186,11 @@ object Relational extends QueryPack {
     "ntile_bins" -> ntileBins)
 
   val oracle: Map[String, String] = Map(
+    "rv_derivation" ->
+      """SELECT c_custkey,
+        | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |   * 100.0 / 4294967296.0, 6) AS rv
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
