@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A typed event row — mirrors the `events` table schema (TESTDATA.md). */
+final case class Event(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+final case class SessionState(
+    sessionSeq: Long, lastUs: Long, nEvents: Long, firstEvent: Long)
+
+final case class SessionUpdate(
+    user_id: Long, session_seq: Long, n_events: Long, first_event: Long)
+
+/** Structured-Streaming twins of the batch operators: the same logical
+  * semantics expressed over an unbounded source (`readStream` → transform →
+  * `writeStream`), with state bounded by watermarks where the operator
+  * allows it.
+  *
+  * The reference is batch-only (SURVEY §1 "No streams"); these exist
+  * because a 100 TB training-data pipeline ingests continuously — the same
+  * dedup/session/count operators must run on the live stream and the
+  * backfill batch with one semantics. Each op here is paired with its batch
+  * twin (Relational.sessionize, LlmData.dedupExact, groupBy aggs).
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts with a watermark. State is bounded: late
+    * rows beyond `watermark` are dropped, closed windows are evicted.
+    * Batch twin: `events.groupBy(window(ts), event_type).count`. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "1 hour",
+                          windowLen: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Gap-based sessionization over a keyed stream via
+    * `flatMapGroupsWithState` — the streaming twin of
+    * `Relational.sessionize` (12h gap ⇒ same session ids on the same data).
+    * Emits the running totals of every session touched in the batch;
+    * per-user state is one small struct (seq, last-seen, counters). */
+  def sessionize(events: Dataset[Event],
+                 gapUs: Long = 12L * 3600 * 1000000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val touched = Seq.newBuilder[SessionUpdate]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            st =
+              if (st.lastUs == Long.MinValue || us - st.lastUs > gapUs) {
+                if (st.nEvents > 0)
+                  touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+                SessionState(st.sessionSeq + 1, us, 1L, e.event_id)
+              } else st.copy(lastUs = us, nEvents = st.nEvents + 1)
+          }
+          if (st.nEvents > 0)
+            touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+          state.update(st)
+          touched.result().iterator
+      }
+  }
+
+  /** Streaming exact dedup: first occurrence per content hash wins.
+    * With `eventTimeCol` set the state is watermark-bounded (dedup within
+    * the lateness horizon — the standard unbounded-stream tradeoff);
+    * without it Spark keeps all hashes (exact global dedup, batch parity
+    * with `LlmData.dedupExact`). */
+  def dedupByContent(docs: DataFrame, textCol: String,
+                     eventTimeCol: Option[String] = None,
+                     watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("text_hash", md5(lower(trim(col(textCol)))))
+    eventTimeCol match {
+      case Some(tc) => hashed.withWatermark(tc, watermark)
+        .dropDuplicates("text_hash", tc)
+      case None => hashed.dropDuplicates("text_hash")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minutes: Long) = new Timestamp(minutes * 60 * 1000)
+
+  behavior of "StreamOps"
+
+  it should "count events per tumbling window across micro-batches" in {
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedEventCounts(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 1.0),
+        Event(3, ts(12), 11, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(3), 12, "click", 1.0)) // same window as 1,2
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .groupBy("window_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      out should contain ((ts(0), "click", 3L))
+      out should contain ((ts(10), "view", 1L))
+    } finally q.stop()
+  }
+
+  it should "sessionize a keyed stream with gap semantics matching the batch twin" in {
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapUs)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(2, ts(5), 7, "click", 1.0)) // same session
+      q.processAllAvailable()
+      in.addData(
+        Event(3, ts(8), 7, "click", 1.0),  // still session 1 (3 min gap)
+        Event(4, ts(30), 7, "view", 1.0))  // 22 min gap → session 2
+      q.processAllAvailable()
+      val latest = spark.table("sessions")
+        .groupBy("user_id", "session_seq")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.min("first_event").as("fe"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      latest should contain ((7L, 1L, 3L, 1L)) // events 1,2,3
+      latest should contain ((7L, 2L, 1L, 4L)) // event 4
+    } finally q.stop()
+  }
+
+  it should "dedup a stream by content hash keeping the first occurrence" in {
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupByContent(
+        in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
+      q.processAllAvailable()
+      in.addData((4L, "HELLO WORLD"), (5L, "fresh"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 3L, 5L) // 2, 4 are dups of 1 after normalization
+    } finally q.stop()
+  }
+}
