@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Kryo for the RDD paths (stratified sampling, typed dataset spills);
+      // reference parity: FlashML.scala:62-66 (kryo + 256m buffer max)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
+      .config("spark.kryoserializer.buffer.max", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -171,8 +171,41 @@ object Relational extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  /** Conditional train/test split through the real sampler
+    * (sampling.TrainTestSampler, ref: TrainTestSampler.scala:154-159): each
+    * condition over the derived random variable is one pushdown-friendly
+    * filter — the deterministic-at-scale split (no RNG state). Emits split
+    * sizes, exactly reproducible from the md5 derivation. */
+  def conditionalSplit(s: SparkSession, dir: String): DataFrame = {
+    val cols = graft.config.ColumnsConf(
+      primaryKey = Seq("c_custkey"), randomVariable = Some("rv"),
+      response = "c_mktsegment")
+    val df = graft.io.SourceReader.deriveColumns(Tables.customer(s, dir), cols)
+    val conf = graft.config.SamplingConf(
+      samplingType = "conditional", conditions = Seq("rv <= 80", "rv > 80"))
+    val splits = graft.sampling.TrainTestSampler.sample(df, conf, "c_mktsegment")
+    splits.zipWithIndex.map { case (d, i) =>
+      d.agg(count(lit(1)).as("n")).select(lit(i.toLong).as("split"), col("n"))
+    }.reduce(_ unionAll _).orderBy("split")
+  }
+
+  /** Exact stratified split invariants (seeded sampleByKeyExact — engine
+    * RNG, so no cross-engine oracle; the driver's rows-only check + the
+    * TrainTestSamplerSpec exactness asserts cover it). */
+  def stratifiedCounts(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.customer(s, dir)
+    val conf = graft.config.SamplingConf(samplingType = "stratified",
+      split = Seq(80, 20), seed = 20)
+    val Seq(train, _) = graft.sampling.TrainTestSampler.sample(
+      df, conf, "c_mktsegment", Seq("c_custkey"))
+    train.groupBy("c_mktsegment").agg(count(lit(1)).as("n_train"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rv_derivation" -> rvDerivation,
+    "conditional_split" -> conditionalSplit,
+    "stratified_counts" -> stratifiedCounts,
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue" -> topRevenueOrders,
     "q5_region_revenue" -> regionRevenue,
@@ -191,6 +224,14 @@ object Relational extends QueryPack {
         | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
         |   * 100.0 / 4294967296.0, 6) AS rv
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "conditional_split" ->
+      """WITH rv AS (SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |   * 100.0 / 4294967296.0 AS rv FROM customer)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS split, count(*) AS n FROM rv WHERE rv <= 80
+        |  UNION ALL
+        |  SELECT 1::BIGINT, count(*) FROM rv WHERE rv > 80)
+        |ORDER BY split""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,

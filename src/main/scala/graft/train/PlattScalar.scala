@@ -3,8 +3,8 @@ package graft.train
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.ml.param.{BooleanParam, Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.param.{BooleanParam, DoubleArrayParam, Param, ParamMap}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -77,7 +77,7 @@ class PlattScalar(override val uid: String) extends Estimator[PlattScalarModel] 
           fitSigmoid(df)
         }.toArray
       }
-    val m = new PlattScalarModel(uid, coefs.map(_._1), coefs.map(_._2))
+    val m = new PlattScalarModel(uid).setCoefficients(coefs.map(_._1), coefs.map(_._2))
     copyValues(m).setParent(this)
   }
 
@@ -86,17 +86,25 @@ class PlattScalar(override val uid: String) extends Estimator[PlattScalarModel] 
   override def copy(extra: ParamMap): PlattScalar = defaultCopy(extra)
 }
 
-class PlattScalarModel(
-    override val uid: String,
-    val a: Array[Double],
-    val b: Array[Double]) extends Model[PlattScalarModel] {
+/** The fitted sigmoids are (a, b) double arrays carried as Params, so the
+  * model persists through DefaultParamsWritable like any built-in stage. */
+class PlattScalarModel(override val uid: String)
+    extends Model[PlattScalarModel] with DefaultParamsWritable {
+  def this() = this(Identifiable.randomUID("plattModel"))
 
   final val labelCol = new Param[String](this, "labelCol", "indexed label column")
   final val rawPredictionCol =
     new Param[String](this, "rawPredictionCol", "margin vector column")
   final val isMultiIntent = new BooleanParam(this, "isMultiIntent", "per-class sigmoids")
+  final val aCoef = new DoubleArrayParam(this, "aCoef", "sigmoid slope per class")
+  final val bCoef = new DoubleArrayParam(this, "bCoef", "sigmoid intercept per class")
   setDefault(labelCol -> "label", rawPredictionCol -> "rawPrediction",
     isMultiIntent -> false)
+  def setCoefficients(a: Array[Double], b: Array[Double]): this.type = {
+    set(aCoef, a); set(bCoef, b)
+  }
+  def a: Array[Double] = $(aCoef)
+  def b: Array[Double] = $(bCoef)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val raw = vector_to_array(col($(rawPredictionCol)))
@@ -122,5 +130,6 @@ class PlattScalarModel(
   override def transformSchema(schema: StructType): StructType =
     schema.add("probability", org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
   override def copy(extra: ParamMap): PlattScalarModel =
-    copyValues(new PlattScalarModel(uid, a, b), extra)
+    copyValues(new PlattScalarModel(uid), extra)
 }
+object PlattScalarModel extends DefaultParamsReadable[PlattScalarModel]
