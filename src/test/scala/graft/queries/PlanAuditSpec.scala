@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the properties that make these plans survive a
+  * 100× scale-up are asserted, not assumed — filter/column pushdown to the
+  * parquet scan, broadcast joins on dim sides, map-side partial
+  * aggregation, keyed (never global) windows, whole-stage codegen.
+  * A regression that silently turns one of these into a scan-everything /
+  * shuffle-everything plan fails here long before a benchmark notices. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  behavior of "query plans"
+
+  it should "push filters and prune columns at the scan (filter_project)" in {
+    val p = plan(Relational.filterProject(spark, dir))
+    p should include ("PushedFilters")
+    p should include ("o_orderstatus")
+    // pruned read schema: only the 3 needed columns reach the scan
+    p.linesIterator.filter(_.contains("ReadSchema")).mkString should
+      (include ("o_orderkey") and include ("o_totalprice") and
+        not include "o_orderdate")
+  }
+
+  it should "broadcast the dim side of the q3 join" in {
+    val p = plan(Relational.topRevenueOrders(spark, dir))
+    p should include ("BroadcastHashJoin")
+  }
+
+  it should "aggregate partially (map-side combine) in q1" in {
+    val p = plan(Relational.pricingSummary(spark, dir))
+    // two HashAggregates around the shuffle = map-side partial + final merge
+    // (codegen ids only appear after AQE finalizes the plan at execution,
+    // so whole-stage codegen isn't assertable from the static explain)
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  it should "partition every window on a key in dwell/sessionize" in {
+    plan(Relational.windowDwell(spark, dir)) should not include "SinglePartition"
+    plan(Relational.sessionize(spark, dir)) should not include "SinglePartition"
+  }
+
+  it should "keep the LSH ANN join keyed on the signature, never a cross join" in {
+    val p = plan(LlmData.annLsh(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "semi-join the candidate docs in minhash verify" in {
+    val p = plan(LlmData.dedupMinhash(spark, dir))
+    p should include ("LeftSemi")
+  }
+}
