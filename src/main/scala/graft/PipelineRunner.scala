@@ -49,15 +49,28 @@ object PipelineRunner extends Logging {
 
   private val datasetNames = Seq("train", "test", "validate")
 
+  /** @param savepointing write parquet savepoints per step
+    * @param resume       load the input step from its savepoint when
+    *                     present instead of re-reading the source — the
+    *                     reference's compute-or-load-per-step contract
+    *                     (ref: PipelineSteps.scala:56-78) */
   def run(spark: SparkSession, conf: GraftConf,
-          savepointing: Boolean = false): RunResult = {
+          savepointing: Boolean = false, resume: Boolean = false): RunResult = {
     val sp = new Savepoints(conf.project)
     ConfigValidator.validateOrThrow(conf)
     if (savepointing) sp.saveConfigSnapshot(conf.toString)
 
-    // 1. read: source → SQL view chain → filter → derived columns
-    val input = SourceReader.read(spark, conf.data, conf.columns)
-    if (savepointing) sp.save(input, "input", 0, "all")
+    // 1. read: source → SQL view chain → filter → derived columns —
+    // or load the savepointed result of a previous run
+    val input =
+      if (resume && sp.exists("input", 0, "all")) {
+        logInfo("resuming: input loaded from savepoint")
+        sp.load(spark, "input", 0, "all")
+      } else {
+        val df = SourceReader.read(spark, conf.data, conf.columns)
+        if (savepointing) sp.save(df, "input", 0, "all")
+        df
+      }
 
     // 2. sampling
     val splits = TrainTestSampler.sample(

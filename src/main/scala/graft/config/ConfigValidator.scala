@@ -65,12 +65,14 @@ object ConfigValidator {
       // implicit `<input>_c<i>` (PreprocessingEngine.buildStages)
       declared += p.outputColumn.getOrElse(s"${p.inputColumn}_c$i")
       p.op match {
-        case "contractions_replacement" | "lemma" if p.replacements.isEmpty =>
-          err("preprocessing", s"step $i: '${p.op}' requires replacements{}")
-        case "word_classes_replacement" | "regex_replacement" if p.pairs.isEmpty =>
-          err("preprocessing", s"step $i: '${p.op}' requires pairs[]")
-        case "regex_removal" if p.pairs.isEmpty && p.pattern.isEmpty =>
-          err("preprocessing", s"step $i: 'regex_removal' requires pairs[] or pattern")
+        case "contractions_replacement" | "lemma"
+            if p.replacements.isEmpty && p.file.isEmpty =>
+          err("preprocessing", s"step $i: '${p.op}' requires replacements{} or file")
+        case "word_classes_replacement" | "regex_replacement"
+            if p.pairs.isEmpty && p.file.isEmpty =>
+          err("preprocessing", s"step $i: '${p.op}' requires pairs[] or file")
+        case "regex_removal" if p.pairs.isEmpty && p.pattern.isEmpty && p.file.isEmpty =>
+          err("preprocessing", s"step $i: 'regex_removal' requires pairs[], pattern or file")
         case "nullcheck" if p.value.isEmpty =>
           err("preprocessing", s"step $i: 'nullcheck' requires value")
         case _ => ()
@@ -118,6 +120,12 @@ object ConfigValidator {
       err("tuning", s"cv folds must be >= 2, got ${c.tuning.folds}")
     if (c.tuning.method == "hyperband" && c.tuning.eta < 2)
       err("tuning", s"hyperband eta must be >= 2, got ${c.tuning.eta}")
+
+    // pages
+    if (c.numPages < 1)
+      err("numPages", s"numPages must be >= 1, got ${c.numPages}")
+    if (c.numPages > 1 && c.columns.page.isEmpty)
+      err("numPages", "numPages > 1 requires columns.page")
 
     v.result()
   }

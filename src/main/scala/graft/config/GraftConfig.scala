@@ -64,7 +64,12 @@ final case class PreprocessStep(
     pairs: Seq[Seq[String]] = Nil,         // ordered (regex, replacement)
     stopwords: Seq[String] = Nil,
     exceptions: Seq[String] = Nil,         // stemming exception list
-    value: Option[String] = None)          // imputer fill value
+    value: Option[String] = None,          // imputer fill value
+    /** Support file (ref: PreprocessingStageLoader): one token per line for
+      * stopwords/exceptions; tab-separated `from<TAB>to` lines for
+      * substitutions and regex pairs (regex_removal: regex only). Merged
+      * AFTER the inline lists. */
+    file: Option[String] = None)
 
 final case class BinningConf(
     inputColumn: String,

@@ -19,6 +19,29 @@ object PreprocessingEngine {
       stage(p, out)
     }
 
+  /** Support-file loading (ref: core/preprocessing/PreprocessingStageLoader
+    * .scala): line-per-token lists and tab-separated pair files. Driver-side
+    * read — support files are small config artifacts, never data. */
+  private def fileLines(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def filePairs(path: String): Seq[Seq[String]] =
+    fileLines(path).map { l =>
+      l.split("\t", 2) match {
+        case Array(a, b) => Seq(a, b)
+        case Array(a) => Seq(a)
+      }
+    }
+
+  private def tokens(inline: Seq[String], file: Option[String]): Seq[String] =
+    inline ++ file.map(fileLines).getOrElse(Nil)
+
+  private def pairs(p: PreprocessStep): Seq[Seq[String]] =
+    p.pairs ++ p.file.map(filePairs).getOrElse(Nil)
+
   /** One config step → one Transformer (config name → class table,
     * SURVEY §2.4). */
   def stage(p: PreprocessStep, out: String): PipelineStage = p.op match {
@@ -29,15 +52,18 @@ object PreprocessingEngine {
       new CaseNormalizer().setInputCol(p.inputColumn).setOutputCol(out)
     case "stemming" =>
       new PorterStemming().setInputCol(p.inputColumn).setOutputCol(out)
-        .setExceptions(p.exceptions.toArray)
+        .setExceptions(tokens(p.exceptions, p.file).toArray)
     case "contractions_replacement" | "lemma" =>
+      val dict = p.replacements ++
+        p.file.map(filePairs(_).collect { case Seq(a, b) => a -> b }.toMap)
+          .getOrElse(Map.empty)
       new WordSubstitutor().setInputCol(p.inputColumn).setOutputCol(out)
-        .setDictionary(p.replacements)
+        .setDictionary(dict)
     case "sentence_marker" =>
       new SentenceMarker().setInputCol(p.inputColumn).setOutputCol(out)
     case "stopwords" =>
       new StopWordsFilter().setInputCol(p.inputColumn).setOutputCol(out)
-        .setStopwords(p.stopwords.toArray)
+        .setStopwords(tokens(p.stopwords, p.file).toArray)
     case "nullcheck" =>
       new NullImputer().setInputCol(p.inputColumn).setOutputCol(out)
         .setFillValue(p.value.getOrElse(""))
@@ -45,14 +71,15 @@ object PreprocessingEngine {
       // ordered longest-class-first like the reference
       // (PreprocessingEngine.scala:395-401); replacement is `_class_<name>`
       new RegexReplacer().setInputCol(p.inputColumn).setOutputCol(out)
-        .setPairs(p.pairs.sortBy(-_.head.length)
+        .setPairs(pairs(p).sortBy(-_.head.length)
           .map(pr => (pr(0), s"_class_${pr(1)}")))
     case "regex_replacement" =>
       new RegexReplacer().setInputCol(p.inputColumn).setOutputCol(out)
-        .setPairs(p.pairs.map(pr => (pr(0), pr(1))))
+        .setPairs(pairs(p).map(pr => (pr(0), pr(1))))
     case "regex_removal" =>
-      val ps = if (p.pairs.nonEmpty) p.pairs.map(pr => (pr.head, ""))
-               else Seq((p.pattern.get, ""))
+      val ps =
+        if (pairs(p).nonEmpty) pairs(p).map(pr => (pr.head, ""))
+        else Seq((p.pattern.get, ""))
       new RegexReplacer().setInputCol(p.inputColumn).setOutputCol(out).setPairs(ps)
     case other => throw new IllegalArgumentException(s"unknown preprocessing op '$other'")
   }

@@ -31,24 +31,38 @@ object CrossValidatorCustom extends Logging {
 
   def fit(df: DataFrame, est: Estimator[_], grid: Array[ParamMap],
           tuning: TuningConf, buildType: String, seed: Long = 20L): Transformer = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val k = tuning.folds
     val folded = df.withColumn("__fold", (rand(seed) * k).cast("int")).cache()
     val eval = evaluator(tuning.evalMetric)
     val grids = if (grid.isEmpty) Array(ParamMap.empty) else grid
 
-    val avg = grids.map { pm =>
-      val foldMetrics = (0 until k).map { f =>
-        val train = folded.filter(col("__fold") =!= f)
-        val valid = folded.filter(col("__fold") === f)
-        val model = est.copy(pm).fit(train).asInstanceOf[Transformer]
-        val m = eval.evaluate(model.transform(valid))
-        logInfo(s"cv fold=$f params=$pm metric=${tuning.evalMetric}=$m")
-        m
+    // (grid × fold) fits run concurrently on a bounded driver pool — each
+    // fit is itself a distributed job, so this pipelines cluster work
+    // (ref: CrossValidatorCustom parallelism, default 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, tuning.parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val futures = grids.map { pm =>
+      pm -> (0 until k).map { f =>
+        Future {
+          val train = folded.filter(col("__fold") =!= f)
+          val valid = folded.filter(col("__fold") === f)
+          val model = est.copy(pm).fit(train).asInstanceOf[Transformer]
+          val m = eval.evaluate(model.transform(valid))
+          logInfo(s"cv fold=$f params=$pm metric=${tuning.evalMetric}=$m")
+          m
+        }
       }
+    }
+    val avg = futures.map { case (pm, fs) =>
+      val foldMetrics = fs.map(Await.result(_, Duration.Inf))
       val mean = foldMetrics.sum / k
       logInfo(s"cv params=$pm mean=$mean folds=${foldMetrics.mkString(",")}")
       (pm, mean)
     }
+    pool.shutdown()
     val (bestParams, bestMetric) =
       avg.maxBy(x => if (eval.isLargerBetter) x._2 else -x._2)
     logInfo(s"cv best=$bestParams metric=$bestMetric — refitting on full data")

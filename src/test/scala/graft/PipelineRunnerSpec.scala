@@ -172,4 +172,16 @@ class PipelineRunnerSpec extends SparkSpec {
     val result = PipelineRunner.run(spark, conf)
     result.pages.head.scored("test").filter(col("prediction") =!= 1.0).count() shouldBe 0
   }
+
+  it should "resume the input step from its savepoint" in {
+    val root = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val conf = baseConf(extra = "").copy(
+      project = graft.config.ProjectConf(name = "resume", root = root))
+    PipelineRunner.run(spark, conf, savepointing = true)
+    // re-run pointing at a nonexistent source: only the savepoint can feed it
+    val broken = conf.copy(data = conf.data.copy(
+      source = "parquet:///nonexistent/nope.parquet", queries = Nil))
+    val resumed = PipelineRunner.run(spark, broken, savepointing = true, resume = true)
+    resumed.metrics.keySet should contain ("auroc_test")
+  }
 }

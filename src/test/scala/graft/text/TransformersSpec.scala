@@ -104,6 +104,26 @@ class TextTransformersSpec extends SparkSpec {
     out.select("o").as[Seq[String]].head() shouldBe Seq("a", "b", "c")
   }
 
+  it should "load stopwords and regex pairs from support files" in {
+    import graft.config.PreprocessStep
+    val dir = java.nio.file.Files.createTempDirectory("graft-support")
+    val stops = dir.resolve("stops.txt")
+    java.nio.file.Files.writeString(stops, "the\non\n")
+    val pairsF = dir.resolve("classes.txt")
+    java.nio.file.Files.writeString(pairsF, "[0-9]{3}-[0-9]{4}\tphone\n[0-9]+\tnumber\n")
+    val sw = PreprocessingEngine.stage(
+      PreprocessStep(op = "stopwords", inputColumn = "t",
+        stopwords = Seq("extra"), file = Some(stops.toString)), "o")
+      .asInstanceOf[StopWordsFilter]
+    val out = sw.transform(Seq("the cat extra on mat").toDF("t"))
+    out.select("o").as[String].head() shouldBe "cat~SP~mat"
+    val rr = PreprocessingEngine.stage(
+      PreprocessStep(op = "word_classes_replacement", inputColumn = "t",
+        file = Some(pairsF.toString)), "o").asInstanceOf[RegexReplacer]
+    rr.transform(Seq("call 555-1234 now").toDF("t"))
+      .select("o").as[String].head() shouldBe "call _class_phone now"
+  }
+
   it should "build a full chain from config and run as a Pipeline" in {
     import graft.config.PreprocessStep
     val steps = Seq(
