@@ -186,6 +186,7 @@ object LlmData extends QueryPack {
         s" THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     val sigs = e.selectExpr("vec_id", "v", s"CAST($sigExpr AS BIGINT) AS sig")
+      .cache() // both join sides read the signatures
     val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "v AS qv", "sig")
     val c = sigs.selectExpr("vec_id AS c_id", "v AS cv", "sig")
     q.join(c, "sig").filter(col("q_id") =!= col("c_id"))

@@ -202,9 +202,29 @@ object Relational extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** Equidistant binning through the REAL feature stage
+    * (features.Binning → Bucketizer; ref: FeatureGenerationEngine.scala:279-308):
+    * one min/max reduce builds the splits, the Bucketizer is a codegen'd
+    * row-local stage — the 100 TB binning path (vs the ntile oracle-parity
+    * variant). */
+  def binningEquidistant(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    val stage = graft.features.Binning.buildStage(df,
+      graft.config.BinningConf("o_totalprice", "equidistant", 8))
+      .asInstanceOf[org.apache.spark.ml.feature.Bucketizer]
+    stage.transform(df)
+      .groupBy(col(graft.features.Binning.outputName("o_totalprice"))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rv_derivation" -> rvDerivation,
     "conditional_split" -> conditionalSplit,
+    "binning_equidistant" -> binningEquidistant,
     "stratified_counts" -> stratifiedCounts,
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue" -> topRevenueOrders,
@@ -224,6 +244,11 @@ object Relational extends QueryPack {
         | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
         |   * 100.0 / 4294967296.0, 6) AS rv
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "binning_equidistant" ->
+      """WITH stats AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        |SELECT least(greatest(floor((o_totalprice - mn) / ((mx - mn) / 8)), 0), 7)::BIGINT AS bucket,
+        | count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders, stats GROUP BY 1 ORDER BY bucket""".stripMargin,
     "conditional_split" ->
       """WITH rv AS (SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
         |   * 100.0 / 4294967296.0 AS rv FROM customer)
