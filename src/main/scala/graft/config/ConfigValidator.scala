@@ -11,7 +11,7 @@ object ConfigValidator {
     override def toString = s"[$section] $message"
   }
 
-  private val sourceFormats = Set("parquet", "csv", "tsv", "json", "views")
+  private val sourceFormats = Set("parquet", "csv", "tsv", "json", "views", "jdbc")
   private val samplingTypes = Set("random", "conditional", "stratified")
   private val preprocessOps = Set("tokenizer", "case_normalization", "stemming",
     "contractions_replacement", "lemma", "sentence_marker", "stopwords",
@@ -33,6 +33,8 @@ object ConfigValidator {
       err("data", s"unknown source format '$scheme' (expected ${sourceFormats.mkString("|")})")
     if (scheme == "views" && c.data.queries.isEmpty)
       err("data", "source 'views://' requires at least one entry in data.queries")
+    if (scheme == "jdbc" && c.data.queries.isEmpty)
+      err("data", "source 'jdbc://' requires data.queries[0] as the database-side query")
 
     // sampling
     if (!samplingTypes(c.sampling.samplingType))

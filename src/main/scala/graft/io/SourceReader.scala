@@ -21,8 +21,12 @@ object SourceReader {
 
   /** Read `<format>://<path>` into a DataFrame. `views://` skips the load —
     * the SQL chain alone defines the input (caller must have registered the
-    * views, e.g. via Tables.registerAll). */
-  def readSource(spark: SparkSession, source: String): Option[DataFrame] = {
+    * views, e.g. via Tables.registerAll). `jdbc://<jdbc-url>` consumes
+    * `firstQuery` as a database-side subquery — `( q ) first_table` — so the
+    * source engine does the heavy lifting before rows reach Spark
+    * (ref: dal/VerticaReader.scala:35-60). */
+  def readSource(spark: SparkSession, source: String,
+                 firstQuery: Option[String] = None): Option[DataFrame] = {
     val (scheme, path) = source.span(_ != ':') match {
       case (s, rest) => (s, rest.stripPrefix("://"))
     }
@@ -34,6 +38,13 @@ object SourceReader {
         Some(spark.read.option("header", "true").option("inferSchema", "true")
           .option("sep", "\t").csv(path))
       case "json" => Some(spark.read.json(path))
+      case "jdbc" =>
+        val q = firstQuery.getOrElse(throw new IllegalArgumentException(
+          "jdbc:// source requires data.queries[0] as the database-side query"))
+        Some(spark.read.format("jdbc")
+          .option("url", path)
+          .option("dbtable", s"( $q ) first_table")
+          .load())
       case "views" => None
       case other => throw new IllegalArgumentException(s"unknown source format '$other'")
     }
@@ -57,11 +68,14 @@ object SourceReader {
   /** Full read: source → view chain → customFilter → derived columns.
     * The filter is applied before any derivation so it reaches the scan. */
   def read(spark: SparkSession, data: DataConf, cols: ColumnsConf): DataFrame = {
-    val base = readSource(spark, data.source)
+    val isJdbc = data.source.startsWith("jdbc")
+    val base = readSource(spark, data.source, data.queries.headOption.filter(_ => isJdbc))
+    // jdbc consumed queries[0] database-side; the rest run as Spark views
+    val chainQueries = if (isJdbc) data.queries.drop(1) else data.queries
     val afterViews =
-      if (data.queries.isEmpty)
+      if (chainQueries.isEmpty)
         base.getOrElse(throw new IllegalArgumentException("views:// source requires queries"))
-      else runViewChain(spark, data.queries, data.tempViewPrefix, base)
+      else runViewChain(spark, chainQueries, data.tempViewPrefix, base)
     val filtered = data.customFilter match {
       case Some(f) => afterViews.filter(f)
       case None =>

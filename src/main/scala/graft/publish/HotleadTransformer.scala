@@ -28,23 +28,42 @@ class HotleadTransformer(override val uid: String)
     new DoubleParam(this, "defaultThreshold", "threshold for unlisted pages")
   final val pageThresholds = new StringArrayParam(this, "pageThresholds",
     "interleaved page,threshold string pairs")
+  /** Second gate of the reference rule: time-on-page ≥ its own per-page
+    * threshold ('' = gate disabled). */
+  final val topCol = new Param[String](this, "topCol", "time-on-page column ('' = none)")
+  final val defaultTopThreshold =
+    new DoubleParam(this, "defaultTopThreshold", "TOP threshold for unlisted pages")
+  final val topThresholds = new StringArrayParam(this, "topThresholds",
+    "interleaved page,TOP-threshold string pairs")
   setDefault(probabilityCol -> "probability", pageCol -> "",
-    defaultThreshold -> 0.5, pageThresholds -> Array.empty[String])
+    defaultThreshold -> 0.5, pageThresholds -> Array.empty[String],
+    topCol -> "", defaultTopThreshold -> 0.0, topThresholds -> Array.empty[String])
   def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
   def setPageCol(v: String): this.type = set(pageCol, v)
   def setDefaultThreshold(v: Double): this.type = set(defaultThreshold, v)
   def setPageThresholds(m: Map[Int, Double]): this.type =
     set(pageThresholds, m.toSeq.sortBy(_._1)
       .flatMap { case (p, t) => Seq(p.toString, t.toString) }.toArray)
+  def setTopCol(v: String): this.type = set(topCol, v)
+  def setDefaultTopThreshold(v: Double): this.type = set(defaultTopThreshold, v)
+  def setTopThresholds(m: Map[Int, Double]): this.type =
+    set(topThresholds, m.toSeq.sortBy(_._1)
+      .flatMap { case (p, t) => Seq(p.toString, t.toString) }.toArray)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val p = element_at(vector_to_array(col($(probabilityCol))), 2)
-    val thr = $(pageThresholds).grouped(2).foldLeft(lit($(defaultThreshold))) {
+  private def perPage(pairs: Array[String], default: Double) =
+    pairs.grouped(2).foldLeft(lit(default)) {
       case (acc, Array(page, t)) if $(pageCol).nonEmpty =>
         when(col($(pageCol)) === page.toInt, t.toDouble).otherwise(acc)
       case (acc, _) => acc
     }
-    ds.withColumn("isHotLead", (p >= thr).cast("int"))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val p = element_at(vector_to_array(col($(probabilityCol))), 2)
+    val probGate = p >= perPage($(pageThresholds), $(defaultThreshold))
+    val gate =
+      if ($(topCol).isEmpty) probGate
+      else probGate && col($(topCol)) >= perPage($(topThresholds), $(defaultTopThreshold))
+    ds.withColumn("isHotLead", gate.cast("int"))
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -66,6 +66,22 @@ class SourceReaderSpec extends SparkSpec {
     rv should (be >= 0.0 and be < 100.0)
   }
 
+  it should "read jdbc sources with the first query pushed database-side" in {
+    // embedded Derby stands in for the reference's Vertica endpoint
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE people (id INT, name VARCHAR(20), score DOUBLE)")
+    st.execute("INSERT INTO people VALUES (1, 'alpha', 0.5), (2, 'beta', 1.5), (3, 'gamma', 2.5)")
+    st.close(); conn.close()
+    val df = SourceReader.read(spark,
+      DataConf("jdbc://jdbc:derby:memory:graftdb", queries = Seq(
+        "SELECT id, name FROM people WHERE score > 1.0",   // runs in the DB
+        "SELECT * FROM graftView0 WHERE id < 3")),          // runs in Spark
+      ColumnsConf(response = "NAME"))
+    df.select("ID").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+  }
+
   it should "split pages with last-page accumulation" in {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b"), (3, "c"), (5, "d")).toDF("page", "x")

@@ -107,4 +107,20 @@ class MetricsSpec extends SparkSpec {
     out(5L) shouldBe ((1L, 0L, 1.0 / 3, 0.0))     // visitor 2, page 7 → 5
     out.keySet shouldBe Set(2L, 5L)
   }
+
+  it should "gate hotleads on both probability and time-on-page thresholds" in {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq(
+      (Vectors.dense(0.2, 0.8), 1L, 50.0),  // prob ok, TOP ok
+      (Vectors.dense(0.2, 0.8), 1L, 5.0),   // prob ok, TOP too low
+      (Vectors.dense(0.9, 0.1), 1L, 50.0),  // prob too low
+      (Vectors.dense(0.2, 0.8), 2L, 5.0))   // page 2: no TOP threshold set
+    .toDF("probability", "pg", "top")
+    val out = new graft.publish.HotleadTransformer()
+      .setPageCol("pg").setDefaultThreshold(0.5)
+      .setTopCol("top").setTopThresholds(Map(1 -> 10.0))
+      .transform(df)
+      .select("isHotLead").as[Int].collect().toSeq
+    out shouldBe Seq(1, 0, 0, 1)
+  }
 }
