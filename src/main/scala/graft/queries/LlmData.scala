@@ -201,6 +201,46 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidates (same
+    * 16-bucket sign-projection scheme as [[annLsh]]), kept when cosine ≥
+    * 0.99 — the embedding-space twin of MinHash dedup. Never all-pairs. */
+  def neardupCosine(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val planes = 4
+    def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = Array.tabulate(planes, dims)((j, i) =>
+      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
+    val sigExpr = (0 until planes).map { j =>
+      val arr = w(j).mkString("array(", "D,", "D)")
+      s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigs = e.selectExpr("vec_id", "v", s"CAST($sigExpr AS BIGINT) AS sig").cache()
+    sigs.selectExpr("sig", "vec_id AS da", "v AS va")
+      .join(sigs.selectExpr("sig", "vec_id AS db", "v AS vb"), "sig")
+      .filter(col("da") < col("db"))
+      .selectExpr("da", "db",
+        """round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)
+          |  / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))
+          |     * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
+      .filter(col("cos_sim") >= 0.99)
+      .orderBy("da", "db")
+  }
+
+  /** Quality gate over documents through the real text.TextQuality
+    * operator: per-source pass/fail counts. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextQuality.score(Tables.documents(s, dir), "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_keep"),
+        round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+        round(avg("mean_tok_len"), 6).as("avg_tok_len"))
+      .orderBy("source")
+
   /** Per-label embedding profile: count + mean L2 norm. */
   def embedStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -273,6 +313,8 @@ object LlmData extends QueryPack {
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
+    "neardup_cosine" -> neardupCosine,
+    "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
     "text_stats" -> textStats,
     "langid_markers" -> langidMarkers,
@@ -350,6 +392,38 @@ object LlmData extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "neardup_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
+        |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END) AS wv
+        |   FROM generate_series(0, 3) AS t(j)),
+        | sigv AS (SELECT vec_id,
+        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
+        |   FROM e, w GROUP BY vec_id),
+        | sigs AS (SELECT e.vec_id, e.v, sigv.sig FROM e JOIN sigv USING (vec_id)),
+        | pairs AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |     round(list_dot_product(a.v, b.v)
+        |       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |   FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT da, db, cos_sim FROM pairs WHERE cos_sim >= 0.99 ORDER BY da, db""".stripMargin,
+    "quality_filter" ->
+      """WITH q AS (SELECT source,
+        |   len(string_split(text, ' ')) AS n_tokens,
+        |   list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |     / len(string_split(text, ' ')) AS mean_tok_len,
+        |   len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to')))::DOUBLE
+        |     / len(string_split(text, ' ')) AS stop_ratio,
+        |   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |     / length(text) AS symbol_ratio
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | sum(CASE WHEN n_tokens BETWEEN 5 AND 100000 AND mean_tok_len BETWEEN 2.0 AND 12.0
+        |     AND stop_ratio >= 0.01 AND symbol_ratio <= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        | round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        | round(avg(mean_tok_len), 6) AS avg_tok_len
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "embed_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm

@@ -173,6 +173,14 @@ class PipelineRunnerSpec extends SparkSpec {
     result.pages.head.scored("test").filter(col("prediction") =!= 1.0).count() shouldBe 0
   }
 
+  it should "run a hyperband-tuned flow" in {
+    val conf = baseConf(
+      """, "tuning": {"method": "hyperband", "evalMetric": "areaUnderROC",
+        |             "grid": {"regParam": [0.0, 1.0]}, "maxHyperbandIter": 9, "eta": 3}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    result.metrics.keySet should contain ("auroc_train")
+  }
+
   it should "resume the input step from its savepoint" in {
     val root = java.nio.file.Files.createTempDirectory("graft-resume").toString
     val conf = baseConf(extra = "").copy(
