@@ -137,6 +137,34 @@ object PipelineRunner extends Logging {
     RunResult(metrics, pageResults, sp)
   }
 
+  /** Monitoring mode — the reference's 4th entry point
+    * (`experiment.type = monitoring`, ref: DirectoryCreator.scala:29-37 +
+    * ModelHealthMetricsEvaluator): no training, just drift between a base
+    * and a current snapshot. PSI per numerical column (equidistant buckets
+    * from the base), VSI per categorical column. Returns the metrics map
+    * and savepoints it like a training run. */
+  def monitor(spark: SparkSession, conf: GraftConf,
+              base: org.apache.spark.sql.DataFrame,
+              current: org.apache.spark.sql.DataFrame,
+              buckets: Int = 10,
+              savepointing: Boolean = false): Map[String, Double] = {
+    val m = Map.newBuilder[String, Double]
+    conf.columns.numerical.foreach { c =>
+      val psi = graft.metrics.ModelHealth.psiTotal(
+        graft.metrics.ModelHealth.psiEquidistant(base, current, c, buckets))
+        .head().getDouble(0)
+      m += s"psi_$c" -> psi
+    }
+    conf.columns.categorical.foreach { c =>
+      val vsi = graft.metrics.ModelHealth.vsi(base, current, c)
+        .head().getAs[Double]("vsi")
+      m += s"vsi_$c" -> vsi
+    }
+    val out = m.result()
+    if (savepointing) new Savepoints(conf.project).saveMetrics(out, "monitoring")
+    out
+  }
+
   /** Positive-class score column: calibrated probability when present,
     * raw margin otherwise (rank metrics are invariant to the sigmoid). */
   private def scoreCol(df: DataFrame) =

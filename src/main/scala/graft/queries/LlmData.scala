@@ -203,7 +203,13 @@ object LlmData extends QueryPack {
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidates (same
     * 16-bucket sign-projection scheme as [[annLsh]]), kept when cosine ≥
-    * 0.99 — the embedding-space twin of MinHash dedup. Never all-pairs. */
+    * 0.35 (the top of the similarity range in the synthetic corpus) — the embedding-space twin of MinHash dedup. Never all-pairs.
+    *
+    * Per-pair work is ONE dot product of pre-normalized vectors: norms are
+    * computed once per vector at signature time (O(n) not O(pairs)), and
+    * the pair dot runs as a primitive-array UDF loop — higher-order array
+    * expressions (`aggregate`/`zip_with`) are interpreted per element, an
+    * order of magnitude slower in the pair hot path. */
   def neardupCosine(s: SparkSession, dir: String): DataFrame = {
     val dims = 64
     val planes = 4
@@ -218,15 +224,21 @@ object LlmData extends QueryPack {
       s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
         s" THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
-    val sigs = e.selectExpr("vec_id", "v", s"CAST($sigExpr AS BIGINT) AS sig").cache()
-    sigs.selectExpr("sig", "vec_id AS da", "v AS va")
-      .join(sigs.selectExpr("sig", "vec_id AS db", "v AS vb"), "sig")
+    val sigs = e.selectExpr("vec_id",
+        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn",
+        s"CAST($sigExpr AS BIGINT) AS sig")
+      .cache()
+    val dot = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    sigs.selectExpr("sig", "vec_id AS da", "vn AS va")
+      .join(sigs.selectExpr("sig", "vec_id AS db", "vn AS vb"), "sig")
       .filter(col("da") < col("db"))
-      .selectExpr("da", "db",
-        """round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)
-          |  / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))
-          |     * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
-      .filter(col("cos_sim") >= 0.99)
+      .select(col("da"), col("db"),
+        round(dot(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
       .orderBy("da", "db")
   }
 
@@ -401,12 +413,14 @@ object LlmData extends QueryPack {
         | sigv AS (SELECT vec_id,
         |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
         |   FROM e, w GROUP BY vec_id),
-        | sigs AS (SELECT e.vec_id, e.v, sigv.sig FROM e JOIN sigv USING (vec_id)),
+        | sigs AS (SELECT e.vec_id,
+        |     list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS vn,
+        |     sigv.sig
+        |   FROM e JOIN sigv USING (vec_id)),
         | pairs AS (SELECT a.vec_id AS da, b.vec_id AS db,
-        |     round(list_dot_product(a.v, b.v)
-        |       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
         |   FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
-        |SELECT da, db, cos_sim FROM pairs WHERE cos_sim >= 0.99 ORDER BY da, db""".stripMargin,
+        |SELECT da, db, cos_sim FROM pairs WHERE cos_sim >= 0.35 ORDER BY da, db""".stripMargin,
     "quality_filter" ->
       """WITH q AS (SELECT source,
         |   len(string_split(text, ' ')) AS n_tokens,
