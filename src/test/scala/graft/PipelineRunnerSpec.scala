@@ -173,6 +173,28 @@ class PipelineRunnerSpec extends SparkSpec {
     result.pages.head.scored("test").filter(col("prediction") =!= 1.0).count() shouldBe 0
   }
 
+  it should "run monitoring mode computing PSI/VSI drift per column" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "spec-mon", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet://$dir/orders.parquet"},
+        |  "columns": {"response": "o_orderstatus", "numerical": ["o_totalprice"],
+        |              "categorical": ["o_orderpriority"]}
+        |}""".stripMargin)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    val cur = orders.filter(col("o_orderkey") % 2 === 1)
+    val metrics = PipelineRunner.monitor(spark, conf, base, cur)
+    metrics.keySet shouldBe Set("psi_o_totalprice", "vsi_o_orderpriority")
+    // even/odd halves of the same table — negligible drift
+    metrics("psi_o_totalprice") should be < 5.0
+    metrics("vsi_o_orderpriority") should be < 5.0
+    // genuine drift is detected
+    val shifted = PipelineRunner.monitor(spark, conf, base,
+      cur.withColumn("o_totalprice", col("o_totalprice") * 3))
+    shifted("psi_o_totalprice") should be > 50.0
+  }
+
   it should "run a hyperband-tuned flow" in {
     val conf = baseConf(
       """, "tuning": {"method": "hyperband", "evalMetric": "areaUnderROC",
