@@ -74,24 +74,29 @@ object LlmData extends QueryPack {
       .orderBy("da", "db")
   }
 
-  /** MinHash signatures (12 hashes = min-md5 over salted shingles), banded
-    * 4×3 LSH: candidate pairs meet in a band-signature bucket (shuffle on
-    * the band hash — never all-pairs), then exact-Jaccard verified ≥ 0.7.
+  /** MinHash signatures (12 universal hashes over one md5 per shingle),
+    * banded 4×3 LSH: candidate pairs meet in a band-signature bucket
+    * (shuffle on the band hash — never all-pairs), then exact-Jaccard
+    * verified ≥ 0.7.
     *
-    * Plan shape (matters at scale): the 12 min-hashes are 12 `min` columns
-    * of ONE hash aggregate over the shingle stream — no 12× row explode, no
-    * (doc, seed) shuffle; band signatures are row-local concat+md5 of those
-    * columns; and the exact-Jaccard verify first semi-joins the shingle
-    * stream down to candidate docs, so the quadratic inverted-index join
-    * runs over candidates only, never the full corpus. */
+    * Plan shape (matters at scale): each shingle is md5'd ONCE; the 12
+    * hash family members are integer mixes (aₖ·h + bₖ) mod p — codegen'd
+    * arithmetic, not 12 digests — aggregated as 12 `min` columns of ONE
+    * hash aggregate (no 12× row explode, no (doc, seed) shuffle). Band
+    * signatures are row-local concat+md5 of those columns; the
+    * exact-Jaccard verify semi-joins the shingle stream down to candidate
+    * docs so the quadratic inverted-index join runs over candidates only. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val seeds = 0 until 12
+    val p = 2147483647L // 2^31 − 1
     val sh = shingles(s, dir).cache()
-    // one aggregation: doc_id -> 12 min-hash columns
-    val mh = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit(seeds.head), lit("|"), col("s")))).as(s"mh${seeds.head}"),
-      seeds.tail.map(k =>
-        min(md5(concat(lit(k), lit("|"), col("s")))).as(s"mh$k")): _*)
+    // one digest per shingle → 60-bit int → 12 universal-hash mins
+    val withH = sh.withColumn("h1",
+      expr("cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % p)
+    def mix(k: Int) = (lit(2L * k + 1) * col("h1") + lit((k * 2654435761L) % p)) % p
+    val mh = withH.groupBy("doc_id").agg(
+      min(mix(seeds.head)).as(s"mh${seeds.head}"),
+      seeds.tail.map(k => min(mix(k)).as(s"mh$k")): _*)
     // band b gets seeds {b, b+4, b+8}; signature string matches the oracle's
     // string_agg(seed||':'||mh, '|' ORDER BY seed)
     def sig(b: Int) = md5(concat_ws("|",
@@ -144,16 +149,24 @@ object LlmData extends QueryPack {
     * correctness baseline for ANN. The query side is tiny → broadcast
     * nested-loop; candidates stream partition-parallel. Scale path:
     * LSH-bucketed candidate generation (see AnnSpec). */
+  /** Primitive-array dot product for pre-normalized vectors — the pair hot
+    * path; interpreted `aggregate`/`zip_with` costs ~10× more per pair. */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
-    val q = e.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "v AS qv")
-    val c = e.selectExpr("vec_id AS c_id", "v AS cv")
+      .selectExpr("vec_id",
+        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn")
+    val q = e.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv")
+    val c = e.selectExpr("vec_id AS c_id", "vn AS cv")
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id",
-        """round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)
-          |  / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
-          |     * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
+      .select(col("q_id"), col("c_id"),
+        round(dotUdf(col("qv"), col("cv")), 4).as("cos_sim"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
@@ -185,15 +198,15 @@ object LlmData extends QueryPack {
       s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
         s" THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
-    val sigs = e.selectExpr("vec_id", "v", s"CAST($sigExpr AS BIGINT) AS sig")
+    val sigs = e.selectExpr("vec_id",
+        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn",
+        s"CAST($sigExpr AS BIGINT) AS sig")
       .cache() // both join sides read the signatures
-    val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "v AS qv", "sig")
-    val c = sigs.selectExpr("vec_id AS c_id", "v AS cv", "sig")
+    val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv", "sig")
+    val c = sigs.selectExpr("vec_id AS c_id", "vn AS cv", "sig")
     q.join(c, "sig").filter(col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id",
-        """round(aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)
-          |  / (sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))
-          |     * sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))), 4) AS cos_sim""".stripMargin)
+      .select(col("q_id"), col("c_id"),
+        round(dotUdf(col("qv"), col("cv")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
       .filter(col("rnk") <= 3)
@@ -228,16 +241,11 @@ object LlmData extends QueryPack {
         "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn",
         s"CAST($sigExpr AS BIGINT) AS sig")
       .cache()
-    val dot = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     sigs.selectExpr("sig", "vec_id AS da", "vn AS va")
       .join(sigs.selectExpr("sig", "vec_id AS db", "vn AS vb"), "sig")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(dot(col("va"), col("vb")), 4).as("cos_sim"))
+        round(dotUdf(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy("da", "db")
   }
@@ -349,8 +357,11 @@ object LlmData extends QueryPack {
         |ORDER BY da, db""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shinglesSql,
-        | mh AS (SELECT doc_id, seed, min(md5(seed || '|' || s)) AS mh
-        |   FROM sh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
         | bands AS (SELECT doc_id, seed % 4 AS band,
         |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
         |   FROM mh GROUP BY doc_id, seed % 4),
@@ -376,10 +387,12 @@ object LlmData extends QueryPack {
         | sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+        |  FROM embeddings),
         | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   round(list_dot_product(q.v, c.v)
-        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+        |   round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
         |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |SELECT q_id, rnk, c_id, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
@@ -394,10 +407,11 @@ object LlmData extends QueryPack {
         | sigv AS (SELECT vec_id,
         |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
         |   FROM e, w GROUP BY vec_id),
-        | sigs AS (SELECT e.vec_id, e.v, sigv.sig FROM e JOIN sigv USING (vec_id)),
+        | sigs AS (SELECT e.vec_id,
+        |     list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS vn,
+        |     sigv.sig FROM e JOIN sigv USING (vec_id)),
         | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |     round(list_dot_product(q.v, c.v)
-        |       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+        |     round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
         |   FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
         |   WHERE q.vec_id < 8)
         |SELECT q_id, rnk, c_id, cos_sim FROM (
