@@ -178,9 +178,15 @@ object PipelineRunner extends Logging {
         val suffix = if (pages.length > 1) s"_page${pr.page}" else ""
         if (conf.training.buildType == "binary") {
           val scored = df.select(col("label").cast("int").as("y"),
-            scoreCol(df).as("score"))
+            scoreCol(df).as("score")).cache()
           val a = StandardMetrics.auroc(scored, "y", "score").head().getDouble(0)
           m += s"auroc_$name$suffix" -> a
+          // best F2 threshold feeds the hotlead rule
+          // (ref: WebCustomMetricsEvaluator.scala:38-65)
+          val best = StandardMetrics.bestThreshold(scored, "y", "score", 2.0).head()
+          m += s"f2_$name$suffix" -> best.getAs[Double]("fbeta")
+          m += s"f2_threshold_$name$suffix" -> best.getAs[Double]("thresh")
+          scored.unpersist()
         } else {
           val row = StandardMetrics.weightedSummary(df, "label", "prediction").head()
           m += s"accuracy_$name$suffix" -> row.getDouble(0)
