@@ -86,6 +86,7 @@ final case class FeatureGenConf(
 final case class VectorizationConf(
     method: String = "tfidf",   // hashingtf | count_vectorizer | word2vec | tfidf
     slots: Int = 4096,
+    categoricalSlots: Option[Int] = None, // defaults to `slots`
     textColumn: Option[String] = None,
     assembleNumericals: Boolean = true)
 

@@ -88,7 +88,8 @@ object VectorizationEngine {
       stages ++= vectorizerStages(vec.method, vec.slots, finalTokens, "text_vec")
       assembled += "text_vec"
       catCol.foreach { cc =>
-        stages ++= vectorizerStages(vec.method, vec.slots, cc, "cat_vec")
+        stages ++= vectorizerStages(vec.method,
+          vec.categoricalSlots.getOrElse(vec.slots), cc, "cat_vec")
         assembled += "cat_vec"
       }
     }
@@ -96,7 +97,8 @@ object VectorizationEngine {
       val out = "categorical_tokens"
       stages += new CategoricalAssembler()
         .setInputCols(cols.categorical.toArray).setOutputCol(out)
-      stages ++= vectorizerStages(vec.method, vec.slots, out, "cat_vec")
+      stages ++= vectorizerStages(vec.method,
+        vec.categoricalSlots.getOrElse(vec.slots), out, "cat_vec")
       assembled += "cat_vec"
       fg.binning.foreach(b => stages += Binning.buildStage(df, b))
     }

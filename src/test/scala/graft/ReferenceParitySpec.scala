@@ -1,0 +1,60 @@
+package graft
+
+import graft.config.GraftConf
+
+/** Reference-golden parity: the reference's binary logistic test
+  * (systemTests/BinaryLogisticTest.scala:23-69 + binary_test_config.json)
+  * re-run through this engine on the SAME data
+  * (/root/reference/data/web_journey_data.tsv.gz, read-only), asserting the
+  * published golden AUROCs (BASELINE.md: train 0.800125 / test 0.796036)
+  * within a tolerance that absorbs known cross-version drift (Spark 3.0
+  * corrected HashingTF's murmur3 for strings, so feature positions differ
+  * from the reference's Spark 2.4 — the model is equivalent, not
+  * bit-identical).
+  *
+  * Approximation note: the contractions/word-class replacement stages are
+  * omitted — on "/"-tokenized URL text they are no-ops (the dictionaries
+  * target conversational English words bounded by \b, which do not occur
+  * as URL path segments in this corpus).
+  */
+class ReferenceParitySpec extends SparkSpec {
+
+  behavior of "reference binary logistic golden"
+
+  it should "reproduce the web-journey binary LR AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-binary", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "logistic_regression", "buildType": "binary",
+        |               "params": {"regParam": 0.01, "elasticNetParam": 1.0,
+        |                          "maxIter": 100}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.800125)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.796036)")
+    // golden: application.conf:4-9 (trainAUROC=0.800124686714066,
+    // testAUROC=0.7960363661387208)
+    result.metrics("auroc_train") shouldBe 0.8001 +- 0.03
+    result.metrics("auroc_test") shouldBe 0.7960 +- 0.03
+  }
+}
