@@ -97,15 +97,17 @@ object PipelineRunner extends Logging {
 
     val pageResults = perPage.map { case (k, datasets) =>
       val train = datasets.head._2
-      // 4. preprocessing + feature gen + vectorization, fit on train
-      val tokenCol = conf.preprocessing.reverse.collectFirst {
-        case p if p.op == "tokenizer" =>
-          p.outputColumn.getOrElse(s"${p.inputColumn}_c${conf.preprocessing.indexOf(p)}")
+      // 4. preprocessing + feature gen + vectorization, fit on train;
+      // every tokenizer output becomes its own text vector (the reference's
+      // per-column text vectorization steps)
+      val tokenCols = conf.preprocessing.zipWithIndex.collect {
+        case (p, i) if p.op == "tokenizer" =>
+          p.outputColumn.getOrElse(s"${p.inputColumn}_c$i")
       }
       val preStages = PreprocessingEngine.buildStages(conf.preprocessing)
       val vecStages = VectorizationEngine.buildStages(
         train, conf.columns, conf.featureGeneration, conf.vectorization,
-        tokenCol, conf.training.uplift)
+        tokenCols, conf.training.uplift)
       val prep = new Pipeline().setStages((preStages ++ vecStages).toArray).fit(train)
 
       val vectorized = datasets.map { case (name, df) =>

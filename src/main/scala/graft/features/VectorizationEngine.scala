@@ -16,11 +16,9 @@ import org.apache.spark.sql.DataFrame
   */
 object VectorizationEngine {
 
-  /** Feature-gen stages: n-grams per size, optional skip-grams, gram union,
-    * categorical token packing, numerical binning. Returns (stages, name of
-    * the final token column, name of categorical token column if any). */
-  def featureGenStages(df: DataFrame, cols: ColumnsConf, fg: FeatureGenConf,
-                       tokenCol: String): (Seq[PipelineStage], String, Option[String]) = {
+  /** Gram stages for ONE token column: n-grams per size, optional
+    * skip-grams, gram union. Returns (stages, final token column). */
+  def gramStages(fg: FeatureGenConf, tokenCol: String): (Seq[PipelineStage], String) = {
     val stages = Seq.newBuilder[PipelineStage]
     val gramCols = Seq.newBuilder[String]
     fg.ngrams.foreach { n =>
@@ -42,16 +40,7 @@ object VectorizationEngine {
         stages += new GramAssembler().setInputCols((tokenCol +: grams).toArray).setOutputCol(out)
         out
       }
-    fg.binning.foreach(b => stages += Binning.buildStage(df, b))
-    val catCol =
-      if (cols.categorical.isEmpty) None
-      else {
-        val out = "categorical_tokens"
-        stages += new CategoricalAssembler()
-          .setInputCols(cols.categorical.toArray).setOutputCol(out)
-        Some(out)
-      }
-    (stages.result(), finalTokens, catCol)
+    (stages.result(), finalTokens)
   }
 
   /** One vectorization method over a token-array column → vector column. */
@@ -73,35 +62,33 @@ object VectorizationEngine {
       case other => throw new IllegalArgumentException(s"unknown vectorization method '$other'")
     }
 
-  /** Full stage list: feature gen + text/categorical vectorization + final
-    * VectorAssembler into `features` (uplift treatment column goes LAST —
-    * the UpliftTransformer rewrites the final slot). */
+  /** Full stage list: per-text-column grams + vectorization (one vector per
+    * token column, like the reference's per-step text vectorization —
+    * VectorizationEngine.scala:88-233), categorical vectorization, binning,
+    * and the final VectorAssembler into `features` (uplift treatment column
+    * goes LAST — the UpliftTransformer rewrites the final slot). */
   def buildStages(df: DataFrame, cols: ColumnsConf, fg: FeatureGenConf,
-                  vec: VectorizationConf, tokenCol: Option[String],
+                  vec: VectorizationConf, tokenCols: Seq[String],
                   upliftTreatmentCol: Option[String] = None): Seq[PipelineStage] = {
     val stages = Seq.newBuilder[PipelineStage]
     val assembled = Seq.newBuilder[String]
 
-    tokenCol.foreach { tc =>
-      val (fgStages, finalTokens, catCol) = featureGenStages(df, cols, fg, tc)
-      stages ++= fgStages
-      stages ++= vectorizerStages(vec.method, vec.slots, finalTokens, "text_vec")
-      assembled += "text_vec"
-      catCol.foreach { cc =>
-        stages ++= vectorizerStages(vec.method,
-          vec.categoricalSlots.getOrElse(vec.slots), cc, "cat_vec")
-        assembled += "cat_vec"
-      }
+    tokenCols.zipWithIndex.foreach { case (tc, i) =>
+      val (gs, finalTokens) = gramStages(fg, tc)
+      stages ++= gs
+      val out = if (tokenCols.size <= 1) "text_vec" else s"text_vec_$i"
+      stages ++= vectorizerStages(vec.method, vec.slots, finalTokens, out)
+      assembled += out
     }
-    if (tokenCol.isEmpty && cols.categorical.nonEmpty) {
+    if (cols.categorical.nonEmpty) {
       val out = "categorical_tokens"
       stages += new CategoricalAssembler()
         .setInputCols(cols.categorical.toArray).setOutputCol(out)
       stages ++= vectorizerStages(vec.method,
         vec.categoricalSlots.getOrElse(vec.slots), out, "cat_vec")
       assembled += "cat_vec"
-      fg.binning.foreach(b => stages += Binning.buildStage(df, b))
     }
+    fg.binning.foreach(b => stages += Binning.buildStage(df, b))
     if (vec.assembleNumericals) {
       assembled ++= cols.numerical.filterNot(n =>
         fg.binning.exists(_.inputColumn == n)) // binned cols replace raw
