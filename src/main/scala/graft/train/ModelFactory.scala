@@ -34,18 +34,21 @@ object ModelFactory {
       case "decision_tree" =>
         new DecisionTreeClassifier()
           .setMaxDepth(p(conf, "maxDepth", 5).toInt)
+          .setMaxBins(p(conf, "maxBins", 32).toInt)
           .setMinInstancesPerNode(p(conf, "minInstancesPerNode", 1).toInt)
           .setSeed(conf.seed)
       case "random_forest" =>
         new RandomForestClassifier()
           .setNumTrees(p(conf, "numTrees", 20).toInt)
           .setMaxDepth(p(conf, "maxDepth", 5).toInt)
+          .setMaxBins(p(conf, "maxBins", 32).toInt)
           .setSubsamplingRate(p(conf, "subsamplingRate", 1.0))
           .setSeed(conf.seed)
       case "gbt" =>
         new GBTClassifier()
           .setMaxIter(p(conf, "maxIter", 20).toInt)
           .setMaxDepth(p(conf, "maxDepth", 5).toInt)
+          .setMaxBins(p(conf, "maxBins", 32).toInt)
           .setStepSize(p(conf, "stepSize", 0.1))
           .setSeed(conf.seed)
       case "naive_bayes" =>

@@ -102,4 +102,43 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("auroc_train") should be >= 0.8607 - 0.02
     result.metrics("auroc_test") should be >= 0.8420 - 0.02
   }
+
+  it should "reproduce the binary decision-tree AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // binary_decisionTree_test_config.json: the binary flow limited to the
+    // first 1000 rows, decision_trees maxDepth=5 maxBins=150 seed=99.
+    // Goldens: application.conf:75-80 (train 0.7779 / test 0.7268). Trees
+    // are split-point-sensitive, so the band is wider than for LR.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-dt", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz",
+        |           "queries": ["SELECT * FROM graftView0 LIMIT 1000"]},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "decision_tree", "buildType": "binary", "seed": 99,
+        |               "params": {"maxDepth": 5, "maxBins": 150}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.777854)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.726823)")
+    result.metrics("auroc_train") shouldBe 0.7779 +- 0.08
+    result.metrics("auroc_test") shouldBe 0.7268 +- 0.08
+  }
 }
