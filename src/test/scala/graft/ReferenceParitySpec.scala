@@ -141,4 +141,45 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("auroc_train") shouldBe 0.7779 +- 0.08
     result.metrics("auroc_test") shouldBe 0.7268 +- 0.08
   }
+
+  it should "reproduce the binary GBT AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // binary_gbt_test_config.json: same 1000-row flow, GBT maxIter=50
+    // maxDepth=4 seed=99. Goldens: application.conf:82-87
+    // (train 1.0 / test 0.7316) — 50 boosted rounds memorize 800 rows.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-gbt", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz",
+        |           "queries": ["SELECT * FROM graftView0 LIMIT 1000"]},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "gbt", "buildType": "binary", "seed": 99,
+        |               "params": {"maxIter": 50, "maxDepth": 4}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 1.0)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.731554)")
+    // observed: train 1.0 exactly; test ≈0.818, 8.7 points ABOVE golden —
+    // Spark's GBT improved materially after 2.4, so the floor contract
+    // applies (switching engines must not lose quality)
+    result.metrics("auroc_train") should be > 0.99
+    result.metrics("auroc_test") should be >= 0.7316 - 0.02
+  }
 }
