@@ -6,8 +6,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(GraftSession.envCores, "graft-bench")
-    // JIT + catalog warmup on the smallest table so q1 isn't charged for it.
-    Tables.region(spark, sfDir).count()
+    // Warm up the machinery every query pays for once (catalog, parquet
+    // footer reads, codegen/janino, shuffle + window + join infrastructure)
+    // on a 5-row dim table so the first measured query isn't charged for it.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = Tables.region(spark, sfDir)
+      r.groupBy("r_regionkey").agg(count(lit(1))).count()
+      r.join(r.withColumnRenamed("r_regionkey", "k"), col("r_regionkey") === col("k"))
+        .count()
+      r.withColumn("rn",
+        row_number().over(Window.partitionBy("r_regionkey").orderBy("r_regionkey"))).count()
+      // range-partitioner + two-pass rank machinery (plans.GlobalRank)
+      graft.plans.GlobalRank.withNtile(r, Seq(col("r_regionkey")), 2, "b").count()
+      spark.catalog.clearCache()
+    }
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -15,7 +29,11 @@ object Bench {
         case e: Throwable =>
           errors += name -> e.toString.take(200); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Each query is measured in isolation: drop its cached plans so a
+      // later query neither reuses nor evicts them (uncharged cleanup).
+      spark.catalog.clearCache()
+      name -> (if (ok) secs else -1.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -96,6 +96,9 @@ final case class TrainingConf(
     params: Map[String, Double] = Map.empty,
     buildType: String = "binary",    // binary | multi_intent | ovr
     seed: Long = 999L,
+    /** MLP hidden-layer sizes (ref: "intermediateLayers"); input/output
+      * widths are resolved from the data by the training engine. */
+    hiddenLayers: Seq[Int] = Nil,
     plattScaling: Boolean = false,
     topK: Int = 0,
     uplift: Option[String] = None)   // treatment column

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scalable exact global ordering ops.
+  *
+  * `Window.orderBy(...)` with no partition key collapses the whole dataset
+  * into ONE task (Spark warns "No Partition Defined for Window operation") —
+  * a non-starter at 100 TB. This utility computes exact global row numbers
+  * with the classic two-pass range-sort scheme instead:
+  *
+  *   1. `repartitionByRange` on the sort keys (the same parallel range
+  *      partitioner a distributed ORDER BY uses) + in-partition sort, then
+  *      `monotonically_increasing_id()` — which is (partitionId << 33 |
+  *      rowInPartition) — captured in the SAME narrow stage, so no second
+  *      shuffle can reorder or eliminate the range exchange;
+  *   2. one tiny job counts rows per partition → cumulative offsets
+  *      (numPartitions longs on the driver);
+  *   3. global row number = offset(partition) + rowInPartition + 1, a
+  *      row-local expression.
+  *
+  * Every stage is partition-parallel; driver state is O(partitions). The
+  * sorted frame is persisted (memory-and-disk) so both passes see one
+  * materialization — also what you'd do on a cluster to avoid re-sorting.
+  */
+object GlobalRank {
+
+  private val RowMask = (1L << 33) - 1
+
+  /** Adds `outCol` = exact 1-based global row number under `sortCols`.
+    * The returned frame is persisted; `unpersist()` it when consumed. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__mid"), 33).cast("int")
+    val counts = sorted.groupBy(pid.as("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetExpr = element_at(
+      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
+      pid)
+    sorted
+      .withColumn(outCol, offsetExpr + col("__mid").bitwiseAND(RowMask) + 1)
+      .drop("__mid")
+  }
+
+  /** Adds `outCol` = SQL-standard NTILE(k) bucket (1-based) under
+    * `sortCols`, computed from the exact global row number — the scalable
+    * twin of `ntile(k).over(Window.orderBy(...))`. */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int, outCol: String): DataFrame = {
+    val rn = "__rn"
+    val ranked = withRowNumber(df, sortCols, rn)
+    val n = ranked.count()
+    // SQL NTILE: first (n % k) buckets hold ceil(n/k) rows, the rest floor.
+    val size = n / k
+    val rem = n % k
+    val cut = rem * (size + 1) // rows in the oversized buckets
+    val r0 = col(rn) - 1 // 0-based
+    val bucket =
+      if (size == 0) r0 + 1 // fewer rows than buckets: row i → bucket i+1
+      else when(r0 < cut, floor(r0 / (size + 1)) + 1)
+        .otherwise(lit(rem) + floor((r0 - cut) / size) + 1)
+    ranked.withColumn(outCol, bucket.cast("long")).drop(rn)
+  }
+}

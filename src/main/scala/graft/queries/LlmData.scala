@@ -83,9 +83,11 @@ object LlmData extends QueryPack {
     * hash family members are integer mixes (aₖ·h + bₖ) mod p — codegen'd
     * arithmetic, not 12 digests — aggregated as 12 `min` columns of ONE
     * hash aggregate (no 12× row explode, no (doc, seed) shuffle). Band
-    * signatures are row-local concat+md5 of those columns; the
-    * exact-Jaccard verify semi-joins the shingle stream down to candidate
-    * docs so the quadratic inverted-index join runs over candidates only. */
+    * signatures are row-local concat+md5 of those columns. The
+    * exact-Jaccard verify is PAIR-DRIVEN: candidate pairs broadcast onto
+    * the (semi-joined) shingle stream, so the cost is Σ_pairs |shingles|
+    * — bounded by the LSH output, never quadratic in a hot shingle's
+    * document frequency the way an inverted-index self-join is. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val seeds = 0 until 12
     val p = 2147483647L // 2^31 − 1
@@ -108,17 +110,20 @@ object LlmData extends QueryPack {
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("db")), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-      .cache() // used twice: candidate-doc broadcast + final verify join
-    // verify ONLY candidate docs with exact jaccard
+      .cache() // used twice: candidate-doc semi-join + pair-driven verify
+    // restrict the shingle stream to candidate docs, then intersect per PAIR:
+    // cand ⋈ shingles(da) gives each pair its left shingle set; matching on
+    // (db, s) counts the intersection — work scales with pairs, not df².
     val candDocs = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
     val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shC.select(col("doc_id").as("da"), col("s"))
-      .join(shC.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") < col("db"))
+    // no broadcast hint on cand: small under the 64MB auto-threshold at
+    // test scale; at 100 TB the pair set can be large — AQE decides.
+    val inter = cand
+      .join(shC.select(col("doc_id").as("da"), col("s")), "da")
+      .join(shC.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-    cand
-      .join(inter, Seq("da", "db"))
+    inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
@@ -145,10 +150,6 @@ object LlmData extends QueryPack {
 
   // ----------------------------------------------------- similarity search
 
-  /** Brute-force cosine top-5 for query vectors (vec_id < 8) — the
-    * correctness baseline for ANN. The query side is tiny → broadcast
-    * nested-loop; candidates stream partition-parallel. Scale path:
-    * LSH-bucketed candidate generation (see AnnSpec). */
   /** Primitive-array dot product for pre-normalized vectors — the pair hot
     * path; interpreted `aggregate`/`zip_with` costs ~10× more per pair. */
   private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
@@ -157,13 +158,55 @@ object LlmData extends QueryPack {
     acc
   }
 
+  /** float→double cast + L2 normalization as one primitive loop. Same
+    * left-to-right accumulation order as `aggregate(v, 0D, (a,x) -> a+x*x)`
+    * and DuckDB's list_dot_product → bit-identical doubles, but evaluated
+    * as compiled array code instead of one interpreted lambda per element. */
+  private val normUdf = udf { (v: Seq[Float]) =>
+    val n = v.length
+    val d = new Array[Double](n)
+    var ss = 0.0; var i = 0
+    while (i < n) { val x = v(i).toDouble; d(i) = x; ss += x * x; i += 1 }
+    val inv = 1.0 / math.sqrt(ss)
+    i = 0
+    while (i < n) { d(i) *= inv; i += 1 }
+    d
+  }
+
+  /** Sign-projection LSH bucket id from `planes` fixed ±1 hyperplanes
+    * (row-local; weights derived from md5 hex-digit parity of the dimension
+    * index so any engine can reproduce them). Dot accumulates left-to-right
+    * — identical to the SQL `aggregate(zip_with(...))` form it replaces. */
+  private def sigUdf(w: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var sig = 0L
+    var j = 0
+    while (j < w.length) {
+      val wj = w(j)
+      var acc = 0.0; var i = 0
+      while (i < wj.length) { acc += v(i).toDouble * wj(i); i += 1 }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  private def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
+    .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** weight(j)(i) = +1 when hex digit j of md5(i) is even, else -1 */
+  private def lshPlanes(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((j, i) =>
+      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 8) — the
+    * correctness baseline for ANN. The query side is tiny → broadcast
+    * nested-loop; candidates stream partition-parallel. Scale path:
+    * LSH-bucketed candidate generation ([[annLsh]]). */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id",
-        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn")
-    val q = e.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv")
-    val c = e.selectExpr("vec_id AS c_id", "vn AS cv")
+      .select(col("vec_id"), normUdf(col("embedding")).as("vn"))
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("vn").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("vn").as("cv"))
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(dotUdf(col("qv"), col("cv")), 4).as("cos_sim"))
@@ -184,23 +227,10 @@ object LlmData extends QueryPack {
     * on the 16-way signature key, and more planes/bands trade recall for
     * bucket size without changing the plan shape. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val dims = 64
-    val planes = 4
-    def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
-      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // weight(j)(i) = +1 when hex digit j of md5(i) is even, else -1
-    val w = Array.tabulate(planes, dims)((j, i) =>
-      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
-    val e = Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
-    val sigExpr = (0 until planes).map { j =>
-      val arr = w(j).mkString("array(", "D,", "D)")
-      s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
-        s" THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-    val sigs = e.selectExpr("vec_id",
-        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn",
-        s"CAST($sigExpr AS BIGINT) AS sig")
+    val w = lshPlanes(planes = 4, dims = 64)
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), normUdf(col("embedding")).as("vn"),
+        sigUdf(w)(col("embedding")).as("sig"))
       .cache() // both join sides read the signatures
     val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv", "sig")
     val c = sigs.selectExpr("vec_id AS c_id", "vn AS cv", "sig")
@@ -224,22 +254,10 @@ object LlmData extends QueryPack {
     * expressions (`aggregate`/`zip_with`) are interpreted per element, an
     * order of magnitude slower in the pair hot path. */
   def neardupCosine(s: SparkSession, dir: String): DataFrame = {
-    val dims = 64
-    val planes = 4
-    def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
-      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val w = Array.tabulate(planes, dims)((j, i) =>
-      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
-    val e = Tables.embeddings(s, dir)
-      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS DOUBLE)) AS v")
-    val sigExpr = (0 until planes).map { j =>
-      val arr = w(j).mkString("array(", "D,", "D)")
-      s"(CASE WHEN aggregate(zip_with(v, $arr, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0" +
-        s" THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-    val sigs = e.selectExpr("vec_id",
-        "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x * x))) AS vn",
-        s"CAST($sigExpr AS BIGINT) AS sig")
+    val w = lshPlanes(planes = 4, dims = 64)
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), normUdf(col("embedding")).as("vn"),
+        sigUdf(w)(col("embedding")).as("sig"))
       .cache()
     sigs.selectExpr("sig", "vec_id AS da", "vn AS va")
       .join(sigs.selectExpr("sig", "vec_id AS db", "vn AS vb"), "sig")

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * dim-side joins use `broadcast(...)` so the fact table never shuffles for
   * them, aggregations are partial (map-side combine) by construction, and
   * window functions partition on high-cardinality keys (user_id), never a
-  * single global partition — except `ntile_bins`, kept for oracle parity
-  * (its scale path is approxQuantile → Bucketizer; see the binning
+  * single global partition — `ntile_bins` computes its exact global
+  * ranking with the two-pass range-sort scheme in plans.GlobalRank (its
+  * approximate scale path is approxQuantile → Bucketizer; see the binning
   * operators in the feature-generation package).
   */
 object Relational extends QueryPack {
@@ -143,14 +144,16 @@ object Relational extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
-  /** ntile equi-depth buckets — oracle-parity variant of equiarea binning.
-    * Global-sort window: fine at verify scale, NOT the 100 TB path — that is
-    * approxQuantile → Bucketizer (feature-generation binning). */
+  /** Exact ntile equi-depth buckets — oracle-parity variant of equiarea
+    * binning, computed via the scalable two-pass range-sort rank
+    * (plans.GlobalRank) instead of a single-partition global window. The
+    * approximate 100 TB path stays approxQuantile → Bucketizer
+    * (feature-generation binning); this is the exact path, and it also
+    * scales (every stage partition-parallel). */
   def ntileBins(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_totalprice"), col("o_orderkey"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    graft.plans.GlobalRank.withNtile(
+        Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 10, "bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
@@ -189,9 +192,10 @@ object Relational extends QueryPack {
     }.reduce(_ unionAll _).orderBy("split")
   }
 
-  /** Exact stratified split invariants (seeded sampleByKeyExact — engine
-    * RNG, so no cross-engine oracle; the driver's rows-only check + the
-    * TrainTestSamplerSpec exactness asserts cover it). */
+  /** Exact stratified split invariants: `sampleByKeyExact` guarantees the
+    * train stratum size is exactly ⌈fraction·n_class⌉ regardless of RNG
+    * state, so the per-class counts ARE cross-engine oracle-able even
+    * though the sampled row identities are not. */
   def stratifiedCounts(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.customer(s, dir)
     val conf = graft.config.SamplingConf(samplingType = "stratified",
@@ -257,6 +261,9 @@ object Relational extends QueryPack {
         |  UNION ALL
         |  SELECT 1::BIGINT, count(*) FROM rv WHERE rv > 80)
         |ORDER BY split""".stripMargin,
+    "stratified_counts" ->
+      """SELECT c_mktsegment, ceil(count(*) * 0.8)::BIGINT AS n_train
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.features.{CategoricalAssembler, SkipGramGenerator}
+import graft.text._
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.NGram
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries over the REAL text-preprocessing (§2.4) and
+  * feature-generation (§2.5) transformers: each query runs the spark.ml
+  * stages themselves (not re-implemented SQL), and the DuckDB oracle
+  * replays the same semantics independently, so the transformers' exact
+  * string behavior — `~SP~` token convention included — is verified
+  * cross-engine.
+  *
+  * Scale notes: every stage here is a row-local Column expression
+  * (whole-stage codegen, no shuffle besides the final deterministic
+  * ORDER BY); gram generation explodes only per-row arrays.
+  */
+object TextOpsPack extends QueryPack {
+
+  private val subsFrom = Seq("dont", "cant", "wont")
+  private val subsTo = Seq("do not", "can not", "will not")
+  private val stops = Seq("the", "a", "of", "and", "is")
+
+  /** case_normalization → contractions (WordSubstitutor) →
+    * word_classes_replacement (digits → _class_number) → stopwords →
+    * sentence_marker, chained exactly like PreprocessingEngine builds the
+    * per-column pipeline (ref: PreprocessingEngine.scala:206-248). */
+  def preprocessChain(s: SparkSession, dir: String): DataFrame = {
+    val stages = new Pipeline().setStages(Array(
+      new CaseNormalizer().setInputCol("text").setOutputCol("t1"),
+      new WordSubstitutor().setInputCol("t1").setOutputCol("t2")
+        .setDictionary(subsFrom.zip(subsTo).toMap),
+      new RegexReplacer().setInputCol("t2").setOutputCol("t3")
+        .setPairs(Seq("[0-9]+" -> "_class_number")),
+      new StopWordsFilter().setInputCol("t3").setOutputCol("t4")
+        .setStopwords(stops.toArray),
+      new SentenceMarker().setInputCol("t4").setOutputCol("out")))
+    val df = Tables.documents(s, dir)
+    stages.fit(df).transform(df)
+      .select(col("doc_id"), length(col("out")).as("n_out"),
+        md5(col("out")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** TokenSplitter → SkipGramGenerator(window 5): per-doc gram count +
+    * order-sensitive content hash (ref: SkipGramGenerator.scala:28-46). */
+  def skipgramStats(s: SparkSession, dir: String): DataFrame = {
+    val stages = new Pipeline().setStages(Array(
+      new TokenSplitter().setInputCol("text").setOutputCol("toks"),
+      new SkipGramGenerator().setInputCol("toks").setOutputCol("grams")
+        .setWindowSize(5)))
+    val df = Tables.documents(s, dir)
+    stages.fit(df).transform(df)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        md5(concat_ws("|", col("grams"))).as("grams_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** TokenSplitter → spark.ml NGram(n=2): per-doc bigram count + hash. */
+  def ngramStats(s: SparkSession, dir: String): DataFrame = {
+    val stages = new Pipeline().setStages(Array(
+      new TokenSplitter().setInputCol("text").setOutputCol("toks"),
+      new NGram().setN(2).setInputCol("toks").setOutputCol("grams")))
+    val df = Tables.documents(s, dir)
+    stages.fit(df).transform(df)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        md5(concat_ws("|", col("grams"))).as("grams_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** CategoricalAssembler over two order columns → token frequencies
+    * (ref: CategoricalColumnsTransformer.scala:31-33). */
+  def catAssemble(s: SparkSession, dir: String): DataFrame = {
+    val t = new CategoricalAssembler()
+      .setInputCols(Array("o_orderstatus", "o_orderpriority"))
+      .setOutputCol("cats")
+    t.transform(Tables.orders(s, dir))
+      .select(explode(col("cats")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
+  }
+
+  /** Interval binning through the real Bucketizer stage
+    * (ref: FeatureGenerationEngine.scala:320-332). */
+  def binningIntervals(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    val stage = graft.features.Binning.buildStage(df,
+      graft.config.BinningConf("o_totalprice", "intervals", 0,
+        intervals = Seq(100000.0, 200000.0, 400000.0)))
+      .asInstanceOf[org.apache.spark.ml.feature.Bucketizer]
+    stage.transform(df)
+      .groupBy(col(graft.features.Binning.outputName("o_totalprice"))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "preprocess_chain" -> preprocessChain,
+    "skipgram_stats" -> skipgramStats,
+    "ngram_stats" -> ngramStats,
+    "cat_assemble" -> catAssemble,
+    "binning_intervals" -> binningIntervals)
+
+  private val splitRe = "\\s|(~SP~)"
+
+  val oracle: Map[String, String] = Map(
+    "preprocess_chain" -> {
+      val subCases = subsFrom.zip(subsTo)
+        .map { case (f, t) => s"WHEN t = '$f' THEN '$t'" }.mkString(" ")
+      val stopList = stops.map(w => s"'$w'").mkString(", ")
+      s"""WITH c AS (SELECT doc_id, lower(text) AS t1 FROM documents),
+         | sub AS (SELECT doc_id, array_to_string(list_transform(
+         |     string_split_regex(t1, '$splitRe'),
+         |     t -> CASE $subCases ELSE t END), '~SP~') AS t2 FROM c),
+         | cls AS (SELECT doc_id,
+         |     regexp_replace(t2, '[0-9]+', '_class_number', 'g') AS t3 FROM sub),
+         | stp AS (SELECT doc_id, array_to_string(list_filter(
+         |     string_split_regex(t3, '$splitRe'),
+         |     t -> t NOT IN ($stopList)), '~SP~') AS t4 FROM cls)
+         |SELECT doc_id,
+         |  length('_class_ss ' || t4 || ' _class_se') AS n_out,
+         |  md5('_class_ss ' || t4 || ' _class_se') AS out_md5
+         |FROM stp ORDER BY doc_id""".stripMargin
+    },
+    "skipgram_stats" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '$splitRe'),
+         |     x -> length(x) > 0) AS toks FROM documents),
+         | g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |     flatten(list_transform(generate_series(3, 5), w ->
+         |       CASE WHEN len(toks) >= w THEN
+         |         list_transform(generate_series(1, len(toks) - w + 1),
+         |           i -> toks[i] || ' & ' || toks[i + w - 1])
+         |       ELSE [] END))
+         |   ELSE [] END AS grams FROM t)
+         |SELECT doc_id, len(grams) AS n_grams,
+         |  md5(array_to_string(grams, '|')) AS grams_md5
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "ngram_stats" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '$splitRe'),
+         |     x -> length(x) > 0) AS toks FROM documents),
+         | g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+         |     list_transform(generate_series(1, len(toks) - 1),
+         |       i -> toks[i] || ' ' || toks[i + 1])
+         |   ELSE [] END AS grams FROM t)
+         |SELECT doc_id, len(grams) AS n_grams,
+         |  md5(array_to_string(grams, '|')) AS grams_md5
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "cat_assemble" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(['o_orderstatus_' || o_orderstatus,
+        |                 'o_orderpriority_' || o_orderpriority]) AS token
+        |  FROM orders)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "binning_intervals" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 0
+        |            WHEN o_totalprice < 200000 THEN 1
+        |            WHEN o_totalprice < 400000 THEN 2
+        |            ELSE 3 END::BIGINT AS bucket,
+        | count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+}

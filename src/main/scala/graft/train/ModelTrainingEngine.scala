@@ -54,11 +54,20 @@ object ModelTrainingEngine {
     val labels = indexer.labelsArray.head
     val indexed = indexer.transform(cleaned).cache()
 
+    val mlpHidden =
+      if (conf.hiddenLayers.nonEmpty) conf.hiddenLayers
+      else conf.params.get("hiddenLayer").map(h => Seq(h.toInt)).getOrElse(Seq(10))
     val baseEst: Estimator[_] = ModelFactory.build(conf) match {
       case mlp: MultilayerPerceptronClassifier =>
-        val hidden = conf.params.get("hiddenLayer").map(h => Seq(h.toInt)).getOrElse(Seq(10))
         mlp.setLayers(mlpLayers(
-          indexed.withColumn("features", col(featuresCol)), "features", "label", hidden))
+          indexed.withColumn("features", col(featuresCol)), "features", "label", mlpHidden))
+      case ovr: OneVsRestScored
+          if ovr.getClassifier.isInstanceOf[MultilayerPerceptronClassifier] =>
+        // each OVR submodel is binary → output width 2, input from the data
+        val nFeatures = indexed.select(featuresCol).head().getAs[Vector](0).size
+        ovr.getClassifier.asInstanceOf[MultilayerPerceptronClassifier]
+          .setLayers((nFeatures +: mlpHidden :+ 2).toArray)
+        ovr
       case e => e
     }
     baseEst.set(baseEst.getParam("labelCol"), "label")

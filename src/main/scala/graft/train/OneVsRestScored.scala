@@ -40,6 +40,7 @@ class OneVsRestScored(override val uid: String)
   setDefault(labelCol -> "label", featuresCol -> "features", parallelism -> 3)
 
   def setClassifier(c: Classifier[_, _, _]): this.type = set(classifier, c)
+  def getClassifier: Classifier[_, _, _] = $(classifier)
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setParallelism(v: Int): this.type = set(parallelism, v)

@@ -182,4 +182,147 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("auroc_train") should be > 0.99
     result.metrics("auroc_test") should be >= 0.7316 - 0.02
   }
+
+  it should "reproduce the binary random-forest AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // binaryRF_test_config.json: full web-journey flow, random_forest
+    // gini maxDepth=4 numberOfTrees=15. Goldens: application.conf:52-57
+    // (train 0.7294 / test 0.6895). Forests are split-point + bootstrap
+    // sensitive across versions → floor contract.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-rf", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "random_forest", "buildType": "binary",
+        |               "params": {"maxDepth": 4, "numTrees": 15}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.729352)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.689467)")
+    result.metrics("auroc_train") should be >= 0.7294 - 0.05
+    result.metrics("auroc_test") should be >= 0.6895 - 0.05
+  }
+
+  it should "reproduce the binary naive-bayes AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // binary_nb_test_config.json: multinomial NB smoothing=3 on the same
+    // flow. Goldens: application.conf:59-64 (train 0.3438 / test 0.3193) —
+    // BELOW 0.5, i.e. the reference's NB ranks positives behind negatives
+    // (a score-orientation artifact: an AUROC of x with the probability
+    // column flipped is 1−x). This engine scores 0.713/0.627 with the
+    // correct orientation. The honest contract is therefore
+    // discriminativeness |AUROC − 0.5|: at least the golden's, minus a
+    // band for 2.4→4.x smoothing/feature drift — plus correct orientation.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-nb", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "naive_bayes", "buildType": "binary",
+        |               "params": {"smoothing": 3}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.343757, inverted ≈0.656)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.319312, inverted ≈0.681)")
+    result.metrics("auroc_train") should be > 0.5 // correct orientation
+    result.metrics("auroc_test") should be > 0.5
+    math.abs(result.metrics("auroc_train") - 0.5) should be >= math.abs(0.3438 - 0.5) - 0.07
+    math.abs(result.metrics("auroc_test") - 0.5) should be >= math.abs(0.3193 - 0.5) - 0.07
+  }
+
+  behavior of "reference multi-intent goldens (yelp reviews)"
+
+  it should "reproduce the multi-intent OVR SVM precision/recall within tolerance" in {
+    assume(new java.io.File("/root/reference/data/yelp-data/reviews_1k.json.gz").exists())
+    // multiIntent_svm_test_config.json: yelp 1k reviews, stars response,
+    // punctuation regex_replacement → space tokenizer → count_vectorizer
+    // 15000, OVR LinearSVC regParam=0.1 maxIter=20 + Platt, random 70/30
+    // seed 20. Goldens: application.conf:189-196 (test precision 0.4165 /
+    // recall 0.4092).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-mi-svm", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "json:///root/reference/data/yelp-data/reviews_1k.json.gz"},
+        |  "columns": {"response": "stars", "text": ["text"], "primaryKey": ["review_id"]},
+        |  "sampling": {"samplingType": "random", "split": [70, 30], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "regex_replacement", "inputColumn": "text", "outputColumn": "t1",
+        |     "pairs": [[":", " "], [",", " "], [";", " "], ["\n", " "]]},
+        |    {"op": "tokenizer", "inputColumn": "t1", "outputColumn": "toks", "pattern": " "}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 15000,
+        |                    "assembleNumericals": false},
+        |  "training": {"algorithm": "svm", "buildType": "ovr", "plattScaling": true,
+        |               "params": {"regParam": 0.1, "maxIter": 20}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"test precision=${result.metrics("weightedPrecision_test")}%.6f (golden 0.416536)")
+    info(f"test recall   =${result.metrics("weightedRecall_test")}%.6f (golden 0.409247)")
+    result.metrics("weightedPrecision_test") should be >= 0.4165 - 0.07
+    result.metrics("weightedRecall_test") should be >= 0.4092 - 0.07
+  }
+
+  it should "reproduce the multi-intent OVR MLP precision/recall within tolerance" in {
+    assume(new java.io.File("/root/reference/data/yelp-data/reviews_1k.json.gz").exists())
+    // multiIntent_mlp_test_config.json: same yelp flow, OVR MLP
+    // intermediateLayers=[5,5] blockSize=128 maxIter=50. Goldens:
+    // application.conf:34-41 (test precision 0.3541 / recall 0.3564).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-mi-mlp", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "json:///root/reference/data/yelp-data/reviews_1k.json.gz"},
+        |  "columns": {"response": "stars", "text": ["text"], "primaryKey": ["review_id"]},
+        |  "sampling": {"samplingType": "random", "split": [70, 30], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "regex_replacement", "inputColumn": "text", "outputColumn": "t1",
+        |     "pairs": [[":", " "], [",", " "], [";", " "], ["\n", " "]]},
+        |    {"op": "tokenizer", "inputColumn": "t1", "outputColumn": "toks", "pattern": " "}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 15000,
+        |                    "assembleNumericals": false},
+        |  "training": {"algorithm": "mlp", "buildType": "ovr",
+        |               "hiddenLayers": [5, 5],
+        |               "params": {"maxIter": 50, "blockSize": 128}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"test precision=${result.metrics("weightedPrecision_test")}%.6f (golden 0.354083)")
+    info(f"test recall   =${result.metrics("weightedRecall_test")}%.6f (golden 0.356362)")
+    result.metrics("weightedPrecision_test") should be >= 0.3541 - 0.07
+    result.metrics("weightedRecall_test") should be >= 0.3564 - 0.07
+  }
 }
