@@ -110,7 +110,14 @@ final case class TuningConf(
     evalMetric: String = "weightedPrecision",
     grid: Map[String, Seq[Double]] = Map.empty,
     maxHyperbandIter: Int = 81,
-    eta: Int = 3)
+    eta: Int = 3,
+    /** maxIter granted per unit of HyperBand resource
+      * (ref: HyperBand.scala iterationMultiplier, default 20). */
+    iterationMultiplier: Int = 20,
+    /** maxIter for the winning config's final refit (ref:
+      * maxIterationsFinalModel, default 1000 — size DOWN for tree
+      * ensembles, where an iteration is a whole tree). */
+    finalMaxIter: Int = 1000)
 
 final case class GraftConf(
     project: ProjectConf = ProjectConf(),

@@ -88,7 +88,12 @@ object LlmData extends QueryPack {
     * the (semi-joined) shingle stream, so the cost is Σ_pairs |shingles|
     * — bounded by the LSH output, never quadratic in a hot shingle's
     * document frequency the way an inverted-index self-join is. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("da", "db")
+
+  /** Verified near-dup pairs (unordered) — shared by [[dedupMinhash]] and
+    * [[dedupClusters]]. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val seeds = 0 until 12
     val p = 2147483647L // 2^31 − 1
     val sh = shingles(s, dir).cache()
@@ -129,7 +134,76 @@ object LlmData extends QueryPack {
       .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
       .filter(col("jac") >= 0.7)
       .select("da", "db", "jac")
-      .orderBy("da", "db")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the verified MinHash
+    * pair graph, labeling every member with the minimum doc_id reachable
+    * from it — the "keep one representative per duplicate cluster" step of
+    * a dedup pipeline.
+    *
+    * Scale design: the pair graph after LSH + verify is orders of magnitude
+    * smaller than the corpus, so — exactly like a broadcast-join
+    * threshold — components are solved driver-side by union-find while the
+    * edge list fits (`maxDriverEdges`), and by the distributed min-label
+    * propagation loop with POINTER JUMPING (lbl ← lbl(lbl) each round →
+    * O(log n) rounds instead of O(diameter)) when it does not. Both paths
+    * produce identical labels (min doc_id per component); the spec forces
+    * the distributed path and asserts equality. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, 1L << 20)
+
+  def dedupClusters(s: SparkSession, dir: String, maxDriverEdges: Long): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("da", "db").cache()
+    val labels =
+      if (pairs.count() <= maxDriverEdges) {
+        // driver union-find with min-root tracking
+        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+        }
+        val rows = parent.keys.toSeq.map(d => (d, find(d)))
+        import s.implicits._
+        rows.toDF("doc_id", "lbl")
+      } else {
+        val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+          .union(pairs.select(col("db").as("a"), col("da").as("b")))
+          .cache()
+        var lbls = edges.select(col("a").as("doc_id")).distinct()
+          .withColumn("lbl", col("doc_id"))
+          .cache()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) {
+          val neighborMin = edges
+            .join(lbls.select(col("doc_id").as("a"), col("lbl").as("la")), "a")
+            .groupBy(col("b").as("doc_id")).agg(min("la").as("nl"))
+          val propagated = lbls.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          // pointer jumping: shortcut each label to its label's label
+          val next = propagated
+            .join(propagated.select(col("doc_id").as("lbl"), col("lbl").as("ll")),
+              Seq("lbl"), "left")
+            .select(col("doc_id"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+            .cache()
+          changed = next.join(lbls.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(col("lbl") =!= col("old")).count()
+          lbls.unpersist()
+          lbls = next
+          rounds += 1
+        }
+        lbls
+      }
+    labels
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc"))
+      .orderBy("cluster_id")
   }
 
   /** 32-bit SimHash per doc from distinct-token md5s (majority vote per
@@ -348,6 +422,7 @@ object LlmData extends QueryPack {
     "dedup_exact" -> dedupExact,
     "neardup_pairs" -> neardupPairs,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_clusters" -> dedupClusters,
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
@@ -394,6 +469,34 @@ object LlmData extends QueryPack {
         | JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
         |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7
         |ORDER BY c.da, c.db""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT c.da, c.db
+        |   FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        |    JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |   WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7),
+        | e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+        | r(d, m) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT r.d, e.b FROM r JOIN e ON r.m = e.a),
+        | lbl AS (SELECT d, min(m) AS cluster_id FROM r GROUP BY d)
+        |SELECT cluster_id, count(*) AS n_docs, max(d) AS max_doc
+        |FROM lbl GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "simhash_sig" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),

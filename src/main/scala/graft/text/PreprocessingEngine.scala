@@ -28,9 +28,12 @@ object PreprocessingEngine {
       .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** `from<TAB>to` or `from,to` per line (the reference's substitution
+    * files are comma-separated — PreprocessingStageLoader.scala:282). */
   private def filePairs(path: String): Seq[Seq[String]] =
     fileLines(path).map { l =>
-      l.split("\t", 2) match {
+      val sep = if (l.contains('\t')) "\t" else ","
+      l.split(sep, 2) match {
         case Array(a, b) => Seq(a, b)
         case Array(a) => Seq(a)
       }
@@ -46,8 +49,11 @@ object PreprocessingEngine {
     * SURVEY §2.4). */
   def stage(p: PreprocessStep, out: String): PipelineStage = p.op match {
     case "tokenizer" =>
+      // the split pattern is composed with the ~SP~ joined-string marker so
+      // tokenization undoes upstream String→String stages' joining
+      // (ref: PreprocessingEngine.scala:281-283)
       new RegexTokenizer().setInputCol(p.inputColumn).setOutputCol(out)
-        .setPattern(p.pattern.getOrElse("\\s+")).setToLowercase(false)
+        .setPattern(p.pattern.getOrElse("\\s") + "|(~SP~)").setToLowercase(false)
     case "case_normalization" =>
       new CaseNormalizer().setInputCol(p.inputColumn).setOutputCol(out)
     case "stemming" =>

@@ -38,11 +38,11 @@ object HyperBand extends Logging {
     pm
   }
 
-  private val iterationMultiplier = 20
-  private val finalMaxIter = 1000
   private val trainSize = 0.8
 
   def fit(df: DataFrame, est: Estimator[_], tuning: TuningConf, seed: Long): Transformer = {
+    val iterationMultiplier = tuning.iterationMultiplier
+    val finalMaxIter = tuning.finalMaxIter
     require(tuning.grid.nonEmpty, "hyperband requires a non-empty tuning.grid search space")
     val rnd = new scala.util.Random(seed)
     val eta = tuning.eta.toDouble

@@ -70,12 +70,19 @@ object ModelFactory {
     }
   }
 
-  /** Param grid from config arrays, matched to the estimator's params. */
+  /** Param grid from config arrays, matched to the estimator's params.
+    * For OVR the grid names resolve against the INNER classifier (whose
+    * params are what tuning varies); OneVsRestScored.copy propagates the
+    * resulting ParamMaps into it at fit time. */
   def grid(est: Estimator[_], tuning: TuningConf): Array[ParamMap] = {
     if (tuning.grid.isEmpty) return Array(ParamMap.empty)
+    val target: org.apache.spark.ml.param.Params = est match {
+      case ovr: OneVsRestScored => ovr.getClassifier
+      case e => e
+    }
     val b = new ParamGridBuilder()
     tuning.grid.foreach { case (name, values) =>
-      est.extractParamMap().toSeq.map(_.param).find(_.name == name) match {
+      target.extractParamMap().toSeq.map(_.param).find(_.name == name) match {
         case Some(param) =>
           val typed = param.asInstanceOf[org.apache.spark.ml.param.Param[Any]]
           val generic: org.apache.spark.ml.param.Param[_] = param

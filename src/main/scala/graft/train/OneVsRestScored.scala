@@ -70,7 +70,16 @@ class OneVsRestScored(override val uid: String)
   override def transformSchema(schema: StructType): StructType =
     schema.add("rawPrediction", org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
       .add("prediction", org.apache.spark.sql.types.DoubleType)
-  override def copy(extra: ParamMap): OneVsRestScored = defaultCopy(extra)
+  /** Propagates `extra` into the inner classifier too, so CV/HyperBand
+    * grids built on the sub-model's params (e.g. smoothing, regParam)
+    * apply — the same contract as spark.ml's OneVsRest.copy. */
+  override def copy(extra: ParamMap): OneVsRestScored = {
+    val copied = defaultCopy(extra).asInstanceOf[OneVsRestScored]
+    if (isDefined(classifier))
+      copied.setClassifier(
+        $(classifier).copy(extra).asInstanceOf[Classifier[_, _, _]])
+    copied
+  }
 }
 
 class OneVsRestScoredModel(

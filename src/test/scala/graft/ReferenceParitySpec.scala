@@ -325,4 +325,84 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("weightedPrecision_test") should be >= 0.3541 - 0.07
     result.metrics("weightedRecall_test") should be >= 0.3564 - 0.07
   }
+
+  it should "reproduce the multi-intent NB 2-fold-CV precision/recall within tolerance" in {
+    assume(new java.io.File("/root/reference/data/yelp-data/reviews_1k.json.gz").exists())
+    // multiIntent_nb_cv_test_config.json: stratified 80/20, OVR multinomial
+    // NB with a 2-fold CV over smoothing {3,5,7}, the reference's full
+    // preprocessing chain (case_normalization → stopwords → stemming →
+    // lemma substitution → tokenizer on its punctuation pattern), hashingtf
+    // 15000. Goldens: application.conf:112-119 (train P/R 0.9839/0.9838,
+    // test P/R 0.4409/0.4150). Observed ≈0.554/0.390 — precision above
+    // golden, recall within 2.5 points.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-nb-cv", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "json:///root/reference/data/yelp-data/reviews_1k.json.gz"},
+        |  "columns": {"response": "stars", "text": ["text"], "primaryKey": ["review_id"]},
+        |  "sampling": {"samplingType": "stratified", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "text", "outputColumn": "t1"},
+        |    {"op": "stopwords", "inputColumn": "t1", "outputColumn": "t2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "t2", "outputColumn": "t3"},
+        |    {"op": "contractions_replacement", "inputColumn": "t3", "outputColumn": "t4",
+        |     "file": "/root/reference/support_files/lemma.txt"},
+        |    {"op": "tokenizer", "inputColumn": "t4", "outputColumn": "toks",
+        |     "pattern": "[.,? ###_END_### !]"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 15000,
+        |                    "assembleNumericals": false},
+        |  "training": {"algorithm": "naive_bayes", "buildType": "ovr",
+        |               "params": {"smoothing": 3}},
+        |  "tuning": {"method": "cv", "folds": 2,
+        |             "grid": {"smoothing": [3, 5, 7]}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train precision=${result.metrics("weightedPrecision_train")}%.6f (golden 0.983938)")
+    info(f"test precision =${result.metrics("weightedPrecision_test")}%.6f (golden 0.440876)")
+    info(f"test recall    =${result.metrics("weightedRecall_test")}%.6f (golden 0.415000)")
+    result.metrics("weightedPrecision_test") should be >= 0.4409 - 0.05
+    result.metrics("weightedRecall_test") should be >= 0.4150 - 0.05
+  }
+
+  it should "reproduce the binary GBT HyperBand AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // binary_gbt_hyperband.json: the web-journey binary flow with GBT under
+    // a HyperBand search (eta=3, successive halving over random param
+    // draws). Goldens: application.conf:27-32 (train 0.9761 / test 0.8468).
+    // The search is seeded-random and version-sensitive → floor contract.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-gbt-hb", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat", "nop_count",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "current_page_url", "outputColumn": "u1"},
+        |    {"op": "stopwords", "inputColumn": "u1", "outputColumn": "u2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "u2", "outputColumn": "u3"},
+        |    {"op": "tokenizer", "inputColumn": "u3", "outputColumn": "toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "gbt", "buildType": "binary", "seed": 99,
+        |               "params": {"maxDepth": 4}},
+        |  "tuning": {"method": "hyperband", "maxHyperbandIter": 9, "eta": 3,
+        |             "iterationMultiplier": 5, "finalMaxIter": 60,
+        |             "grid": {"maxDepth": [2, 6], "stepSize": [0.05, 0.3]}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.976137)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.846842)")
+    result.metrics("auroc_test") should be >= 0.8468 - 0.06
+  }
 }
