@@ -1,0 +1,268 @@
+package graft.publish
+
+import graft.features.{CategoricalAssembler, GramAssembler, SkipGramGenerator}
+import graft.text._
+import graft.train.ModelTrainingEngine.FittedChain
+import graft.train.PlattScalarModel
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.{LinearSVCModel, LogisticRegressionModel}
+import org.apache.spark.ml.feature.{CountVectorizerModel, HashingTF, IDFModel, RegexTokenizer, VectorAssembler}
+
+/** Standalone-JavaScript scorer codegen
+  * (ref: publish/Publish.scala:41-53 generateJS → PublishAssembler + the
+  * publisher classes under publish/{preprocessing,vectorization,model}).
+  *
+  * Re-expressed for this engine: instead of string-assembling every stage
+  * inline, the generator walks the FITTED spark.ml stages (the same objects
+  * the cluster scores with), embeds their parameters as machine-readable
+  * JSON blocks (sparse non-zero coefficient map — same trick as the
+  * reference's `createCoefficientsMap`), and emits one self-contained
+  * `graftScore(input)` function. Supported surface mirrors the reference's
+  * JS publishers: case_normalization, stopwords, word substitution, regex
+  * replacement, sentence marker, null imputation, tokenizer,
+  * count_vectorizer / tfidf / hashingtf (murmur3), assembled numericals,
+  * binary LR / SVM with optional Platt sigmoid, hotlead threshold. Porter
+  * stemming is a published NO-OP — exactly like the reference's
+  * PorterStemmingPublisher.generateJS, which returns an empty builder.
+  */
+object JsPublish {
+
+  private def jsStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Java regex → JS regex literal. Capture groups become non-capturing:
+    * JS String.split INSERTS captured separator text into the result array
+    * (Java's split does not), which would corrupt token streams split on
+    * the composed `...|(~SP~)` pattern. */
+  private def jsRegex(javaPattern: String): String =
+    "/" + javaPattern.replace("/", "\\/").replace("(~SP~)", "(?:~SP~)") + "/g"
+
+  private def sane(col: String): String = "v_" + col.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Generate the scorer for one fitted page: preprocessing+vectorization
+    * `prep`, model `chain`, decision `threshold` on the probability. */
+  def generate(prep: PipelineModel, chain: FittedChain, threshold: Double): String = {
+    val sb = new StringBuilder
+    sb ++= "// graft published scorer (generated)\n"
+    sb ++= "// input: an object keyed by raw column name\n"
+
+    // ---- split stages: string preprocessing vs vectorization
+    val stages = prep.stages.toSeq
+    val assembler = stages.collectFirst { case a: VectorAssembler => a }
+      .getOrElse(throw new UnsupportedOperationException(
+        "JS publish requires a VectorAssembler stage"))
+
+    // per-column vector sources keyed by output column
+    val vocabs = stages.collect { case cv: CountVectorizerModel =>
+      cv.getOutputCol -> cv
+    }.toMap
+    val hashes = stages.collect { case h: HashingTF => h.getOutputCol -> h }.toMap
+    val idfs = stages.collect { case i: IDFModel => i.getOutputCol -> i }.toMap
+
+    def widthOf(col: String): Int =
+      vocabs.get(col).map(_.vocabulary.length)
+        .orElse(hashes.get(col).map(_.getNumFeatures))
+        .orElse(idfs.get(col).map(_.idf.size))
+        .getOrElse(1) // numeric passthrough
+
+    // ---- model + calibration
+    val (kind, coefs, intercept) = chain.stages
+      .collectFirst {
+        case m: LogisticRegressionModel => ("lr", m.coefficients, m.intercept)
+        case m: LinearSVCModel => ("svm", m.coefficients, m.intercept)
+      }
+      .getOrElse(throw new UnsupportedOperationException(
+        "JS publish supports binary LogisticRegression / LinearSVC models"))
+    val platt = chain.stages.collectFirst { case p: PlattScalarModel => p }
+
+    val coefEntries = coefs.toArray.zipWithIndex.collect {
+      case (w, i) if w != 0.0 => s""""$i":$w"""
+    }
+    sb ++= s"""var graftModel = {"kind":${jsStr(kind)},"intercept":$intercept,"threshold":$threshold,\n"""
+    sb ++= s""" "platt":${platt.map(p => s"""{"a":${p.a.head},"b":${p.b.head}}""").getOrElse("null")},\n"""
+    sb ++= s""" "coefficients":{${coefEntries.mkString(",")}}};\n"""
+
+    // ---- vocab / idf JSON blocks
+    vocabs.foreach { case (col, cv) =>
+      val entries = cv.vocabulary.zipWithIndex
+        .map { case (t, i) => s"${jsStr(t)}:$i" }
+      sb ++= s"var graftVocab_${sane(col)} = {${entries.mkString(",")}};\n"
+    }
+    idfs.foreach { case (col, m) =>
+      sb ++= s"var graftIdf_${sane(col)} = [${m.idf.toArray.mkString(",")}];\n"
+    }
+
+    if (hashes.nonEmpty) sb ++= murmurJs
+
+    // ---- scorer
+    sb ++= "function graftScore(input) {\n"
+    // raw column reads happen lazily: first use of a column var reads input
+    val declared = scala.collection.mutable.Set.empty[String]
+    def ref(col: String): String = {
+      if (!declared(col)) {
+        sb ++= s"  var ${sane(col)} = (input[${jsStr(col)}] == null) ? \"\" : String(input[${jsStr(col)}]);\n"
+        declared += col
+      }
+      sane(col)
+    }
+    def declare(col: String, expr: String): Unit = {
+      sb ++= s"  var ${sane(col)} = $expr;\n"
+      declared += col
+    }
+
+    val splitRe = "\\s|(~SP~)" // TextIOParams default composition
+    stages.foreach {
+      case t: CaseNormalizer =>
+        declare(t.getOrDefault(t.outputCol), s"${ref(t.getOrDefault(t.inputCol))}.toLowerCase()")
+      case t: SentenceMarker =>
+        declare(t.getOrDefault(t.outputCol),
+          s""""_class_ss " + ${ref(t.getOrDefault(t.inputCol))} + " _class_se"""")
+      case t: NullImputer =>
+        val in = t.getOrDefault(t.inputCol)
+        declare(t.getOrDefault(t.outputCol),
+          s"(input[${jsStr(in)}] == null) ? ${jsStr(t.getOrDefault(t.fillValue))} : String(input[${jsStr(in)}])")
+      case t: StopWordsFilter =>
+        val stops = t.getOrDefault(t.stopwords).map(jsStr).mkString(",")
+        declare(t.getOrDefault(t.outputCol),
+          s"${ref(t.getOrDefault(t.inputCol))}.split(${jsRegex(t.splitRegex)})" +
+            s".filter(function(x){return x !== undefined && [$stops].indexOf(x) < 0;})" +
+            """.join("~SP~")""")
+      case t: WordSubstitutor =>
+        val dict = t.getOrDefault(t.fromWords).zip(t.getOrDefault(t.toWords))
+          .map { case (f, x) => s"${jsStr(f)}:${jsStr(x)}" }.mkString(",")
+        sb ++= s"  var graftDict_${sane(t.getOrDefault(t.outputCol))} = {$dict};\n"
+        declare(t.getOrDefault(t.outputCol),
+          s"${ref(t.getOrDefault(t.inputCol))}.split(${jsRegex(t.splitRegex)})" +
+            s".map(function(x){var r = graftDict_${sane(t.getOrDefault(t.outputCol))}[x];" +
+            s"return r === undefined ? x : r;})" +
+            """.filter(function(x){return x !== undefined;}).join("~SP~")""")
+      case t: RegexReplacer =>
+        val in = ref(t.getOrDefault(t.inputCol))
+        val expr = t.getOrDefault(t.pairs).grouped(2).foldLeft(in) {
+          case (acc, Array(re, repl)) => s"$acc.replace(${jsRegex(re)}, ${jsStr(repl)})"
+          case (acc, _) => acc
+        }
+        declare(t.getOrDefault(t.outputCol), expr)
+      case t: PorterStemming =>
+        // published as identity — matches the reference's
+        // PorterStemmingPublisher (empty JS body)
+        declare(t.getOrDefault(t.outputCol), ref(t.getOrDefault(t.inputCol)))
+      case t: RegexTokenizer =>
+        declare(t.getOutputCol,
+          s"${ref(t.getInputCol)}.split(${jsRegex(t.getPattern)})" +
+            ".filter(function(x){return x !== undefined && x.length > 0;})")
+      case t: TokenSplitter =>
+        declare(t.getOrDefault(t.outputCol),
+          s"${ref(t.getOrDefault(t.inputCol))}.split(${jsRegex(t.splitRegex)})" +
+            ".filter(function(x){return x !== undefined && x.length > 0;})")
+      case _: CountVectorizerModel | _: HashingTF | _: IDFModel | _: VectorAssembler => ()
+      case s: SkipGramGenerator =>
+        throw new UnsupportedOperationException(s"JS publish: unsupported stage ${s.uid}")
+      case s: GramAssembler =>
+        throw new UnsupportedOperationException(s"JS publish: unsupported stage ${s.uid}")
+      case s: CategoricalAssembler =>
+        throw new UnsupportedOperationException(s"JS publish: unsupported stage ${s.uid}")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"JS publish: unsupported stage ${other.getClass.getSimpleName}")
+    }
+
+    // ---- vectorization into one sparse feature map (assembler order)
+    sb ++= "  var features = {};\n"
+    var offset = 0
+    assembler.getInputCols.foreach { col =>
+      val inTokens = // trace tfidf: IDF input is the CountVectorizer output
+        idfs.get(col).map(_.getInputCol).getOrElse(col)
+      (vocabs.get(inTokens), hashes.get(inTokens), idfs.get(col)) match {
+        case (Some(cv), _, idf) =>
+          val toks = sane(cv.getInputCol)
+          sb ++= s"  $toks.forEach(function(t){var i = graftVocab_${sane(inTokens)}[t];\n"
+          sb ++= s"    if (i !== undefined) { var k = $offset + i; features[k] = (features[k]||0) + 1; }});\n"
+          idf.foreach { m =>
+            sb ++= s"  for (var i = 0; i < ${m.idf.size}; i++) { var k = $offset + i;\n"
+            sb ++= s"    if (features[k] !== undefined) features[k] *= graftIdf_${sane(col)}[i]; }\n"
+          }
+        case (_, Some(h), idf) =>
+          val toks = sane(h.getInputCol)
+          sb ++= s"  $toks.forEach(function(t){var i = graftMurmurIndex(t, ${h.getNumFeatures});\n"
+          sb ++= s"    var k = $offset + i; features[k] = (features[k]||0) + 1;});\n"
+          idf.foreach { m =>
+            sb ++= s"  for (var i = 0; i < ${m.idf.size}; i++) { var k = $offset + i;\n"
+            sb ++= s"    if (features[k] !== undefined) features[k] *= graftIdf_${sane(col)}[i]; }\n"
+          }
+        case _ => // numeric passthrough column
+          sb ++= s"  features[$offset] = Number(input[${jsStr(col)}] == null ? 0 : input[${jsStr(col)}]);\n"
+      }
+      offset += widthOf(col)
+    }
+
+    // ---- dot product + calibration + decision
+    sb ++= "  var margin = graftModel.intercept;\n"
+    sb ++= "  for (var k in features) { var c = graftModel.coefficients[k];\n"
+    sb ++= "    if (c !== undefined) margin += c * features[k]; }\n"
+    sb ++= "  var probability;\n"
+    sb ++= "  if (graftModel.platt != null) {\n"
+    sb ++= "    probability = 1 / (1 + Math.exp(-(graftModel.platt.a * margin + graftModel.platt.b)));\n"
+    sb ++= "  } else if (graftModel.kind === \"lr\") {\n"
+    sb ++= "    probability = 1 / (1 + Math.exp(-margin));\n"
+    sb ++= "  } else { probability = margin >= 0 ? 1 : 0; }\n"
+    sb ++= "  return {margin: margin, probability: probability,\n"
+    sb ++= "          isHotLead: probability >= graftModel.threshold ? 1 : 0};\n"
+    sb ++= "}\n"
+    sb.toString
+  }
+
+  /** murmur3_x86_32 over UTF-8 bytes, seed 42 — the exact hash
+    * spark.ml HashingTF uses for string terms; index = non-negative mod
+    * (ref JS twin: publish/vectorization/HashingTFPublisher.scala). */
+  private val murmurJs: String =
+    """function graftUtf8(str) {
+      |  var out = [];
+      |  for (var i = 0; i < str.length; i++) {
+      |    var c = str.codePointAt(i);
+      |    if (c > 0xFFFF) i++;
+      |    if (c < 0x80) out.push(c);
+      |    else if (c < 0x800) { out.push(0xC0 | (c >> 6), 0x80 | (c & 63)); }
+      |    else if (c < 0x10000) { out.push(0xE0 | (c >> 12), 0x80 | ((c >> 6) & 63), 0x80 | (c & 63)); }
+      |    else { out.push(0xF0 | (c >> 18), 0x80 | ((c >> 12) & 63), 0x80 | ((c >> 6) & 63), 0x80 | (c & 63)); }
+      |  }
+      |  return out;
+      |}
+      |function graftMul32(a, b) {
+      |  return ((a & 0xffff) * b + ((((a >>> 16) * b) & 0xffff) << 16)) | 0;
+      |}
+      |function graftMurmur3(bytes, seed) {
+      |  var h1 = seed | 0, c1 = 0xcc9e2d51, c2 = 0x1b873593;
+      |  var n = bytes.length - (bytes.length % 4);
+      |  for (var i = 0; i < n; i += 4) {
+      |    var k1 = (bytes[i] & 0xff) | ((bytes[i+1] & 0xff) << 8) |
+      |             ((bytes[i+2] & 0xff) << 16) | ((bytes[i+3] & 0xff) << 24);
+      |    k1 = graftMul32(k1, c1); k1 = (k1 << 15) | (k1 >>> 17); k1 = graftMul32(k1, c2);
+      |    h1 ^= k1; h1 = (h1 << 13) | (h1 >>> 19); h1 = (graftMul32(h1, 5) + 0xe6546b64) | 0;
+      |  }
+      |  var kt = 0; // tail: accumulate LE, one k-mix XORed in (no h-mix) —
+      |  for (var j = n, sh = 0; j < bytes.length; j++, sh += 8) {
+      |    kt ^= (bytes[j] & 0xff) << sh;
+      |  }
+      |  kt = graftMul32(kt, c1); kt = (kt << 15) | (kt >>> 17); kt = graftMul32(kt, c2);
+      |  h1 ^= kt;
+      |  h1 ^= bytes.length;
+      |  h1 ^= h1 >>> 16; h1 = graftMul32(h1, 0x85ebca6b);
+      |  h1 ^= h1 >>> 13; h1 = graftMul32(h1, 0xc2b2ae35);
+      |  h1 ^= h1 >>> 16;
+      |  return h1 | 0;
+      |}
+      |function graftMurmurIndex(term, numFeatures) {
+      |  var h = graftMurmur3(graftUtf8(term), 42);
+      |  return ((h % numFeatures) + numFeatures) % numFeatures;
+      |}
+      |""".stripMargin
+}
