@@ -56,4 +56,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(LlmData.dedupMinhash(spark, dir))
     p should include ("LeftSemi")
   }
+
+  it should "compute exact ntile without a single-partition window" in {
+    val p = plan(Relational.ntileBins(spark, dir))
+    p should not include "SinglePartition"
+    p should not include "Window" // rank comes from range sort + offsets
+  }
+
+  it should "keep the preprocess chain row-local (no shuffle before the sort)" in {
+    val p = plan(TextOpsPack.preprocessChain(spark, dir))
+    // one exchange only: the final deterministic ORDER BY (range partition)
+    "Exchange".r.findAllIn(p).size should be <= 2
+    p should not include "CartesianProduct"
+  }
+
+  it should "push the doc filter into skip-gram/ngram scans" in {
+    val p = plan(TextOpsPack.skipgramStats(spark, dir))
+    p.linesIterator.filter(_.contains("ReadSchema")).mkString should
+      (include ("text") and not include "lang")
+  }
 }
