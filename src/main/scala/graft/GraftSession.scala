@@ -22,6 +22,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // graft native expressions (vec_dot/vec_norm/vec_l2/vec_sig) — public
+      // extension hook; makes them callable from DataFrame code AND SQL text.
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/** Registration of the graft native expressions as SQL functions through
+  * the public `SparkSessionExtensions` hook (wired by `GraftSession` via
+  * `SparkSession.builder.withExtensions`), plus typed Column wrappers so
+  * DataFrame code reads like `functions._`.
+  *
+  * Going through the function registry (rather than constructing Columns
+  * from raw expressions) keeps everything on public API and makes the
+  * functions available to ad-hoc SQL (`SELECT vec_dot(a, b) ...`) — the
+  * reference's config-driven SQL view chains can call them directly.
+  */
+object GraftFunctions {
+
+  private def one(name: String, build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[VectorExpressions.type].getName, name),
+      build)
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  /** Injects all graft functions; called from
+    * `SparkSession.builder.withExtensions(GraftFunctions.register)`. */
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(one("vec_norm", args => VecNorm(args.head)))
+    ext.injectFunction(one("vec_l2", args => VecL2(args.head)))
+    ext.injectFunction(one("vec_dot", args => VecDot(args(0), args(1))))
+    ext.injectFunction(one("vec_sig", args =>
+      VecSig(args(0), intArg(args(1), "vec_sig"), intArg(args(2), "vec_sig"))))
+  }
+
+  // ---- typed Column wrappers (resolve through the session registry) ----
+
+  /** float-vector column → L2-normalized double-vector. */
+  def vecNorm(v: Column): Column = call_function("vec_norm", v)
+
+  /** float-vector column → L2 norm. */
+  def vecL2(v: Column): Column = call_function("vec_l2", v)
+
+  /** dot product of two double-vector columns. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** sign-projection LSH signature of a float-vector column. */
+  def vecSig(v: Column, planes: Int, dims: Int): Column =
+    call_function("vec_sig", v, lit(planes), lit(dims))
+}

@@ -45,6 +45,13 @@ object SourceReader {
           .option("url", path)
           .option("dbtable", s"( $q ) first_table")
           .load())
+      case "hive" =>
+        // `hive://db.table` (ref: dal/HiveReader.scala:19-51) — resolve
+        // through the session catalog: a real metastore table when the
+        // session was built with Hive support, or a temp/global view in
+        // metastore-less deployments (Tables.registerAll). Same semantics
+        // as the reference's `select * from <db.table>`.
+        Some(spark.table(path))
       case "views" => None
       case other => throw new IllegalArgumentException(s"unknown source format '$other'")
     }

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *    shingles or the MinHash path. It is kept as the exactness baseline.
   *  - Everything is hash-based on md5 (same function exists in the DuckDB
   *    oracle), so correctness is verifiable bit-for-bit across engines.
-  *  - All expressions are Spark-SQL builtins → whole-stage codegen; no UDFs.
+  *  - Text expressions are Spark-SQL builtins; the vector kernels are
+  *    native Catalyst expressions with codegen (graft.functions) — both
+  *    run inside whole-stage codegen, no Scala UDFs anywhere.
   */
 object LlmData extends QueryPack {
 
@@ -223,54 +225,13 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
 
   // ----------------------------------------------------- similarity search
-
-  /** Primitive-array dot product for pre-normalized vectors — the pair hot
-    * path; interpreted `aggregate`/`zip_with` costs ~10× more per pair. */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
-
-  /** float→double cast + L2 normalization as one primitive loop. Same
-    * left-to-right accumulation order as `aggregate(v, 0D, (a,x) -> a+x*x)`
-    * and DuckDB's list_dot_product → bit-identical doubles, but evaluated
-    * as compiled array code instead of one interpreted lambda per element. */
-  private val normUdf = udf { (v: Seq[Float]) =>
-    val n = v.length
-    val d = new Array[Double](n)
-    var ss = 0.0; var i = 0
-    while (i < n) { val x = v(i).toDouble; d(i) = x; ss += x * x; i += 1 }
-    val inv = 1.0 / math.sqrt(ss)
-    i = 0
-    while (i < n) { d(i) *= inv; i += 1 }
-    d
-  }
-
-  /** Sign-projection LSH bucket id from `planes` fixed ±1 hyperplanes
-    * (row-local; weights derived from md5 hex-digit parity of the dimension
-    * index so any engine can reproduce them). Dot accumulates left-to-right
-    * — identical to the SQL `aggregate(zip_with(...))` form it replaces. */
-  private def sigUdf(w: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
-    var sig = 0L
-    var j = 0
-    while (j < w.length) {
-      val wj = w(j)
-      var acc = 0.0; var i = 0
-      while (i < wj.length) { acc += v(i).toDouble * wj(i); i += 1 }
-      if (acc >= 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
-
-  private def md5hex(str: String): String = java.security.MessageDigest.getInstance("MD5")
-    .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** weight(j)(i) = +1 when hex digit j of md5(i) is even, else -1 */
-  private def lshPlanes(planes: Int, dims: Int): Array[Array[Double]] =
-    Array.tabulate(planes, dims)((j, i) =>
-      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0 else -1.0)
+  //
+  // The vector kernels (normalize / dot / LSH signature) are native
+  // Catalyst expressions with codegen — graft.functions.VectorExpressions —
+  // registered as vec_norm/vec_dot/vec_sig via SparkSessionExtensions.
+  // Inside whole-stage codegen they read ArrayData directly; the Scala UDFs
+  // they replaced paid per-row Seq boxing on every candidate pair.
+  import graft.functions.GraftFunctions.{vecDot, vecL2, vecNorm, vecSig}
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 8) — the
     * correctness baseline for ANN. The query side is tiny → broadcast
@@ -278,12 +239,12 @@ object LlmData extends QueryPack {
     * LSH-bucketed candidate generation ([[annLsh]]). */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), normUdf(col("embedding")).as("vn"))
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
     val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("vn").as("qv"))
     val c = e.select(col("vec_id").as("c_id"), col("vn").as("cv"))
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dotUdf(col("qv"), col("cv")), 4).as("cos_sim"))
+        round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
@@ -301,16 +262,53 @@ object LlmData extends QueryPack {
     * on the 16-way signature key, and more planes/bands trade recall for
     * bucket size without changing the plan shape. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val w = lshPlanes(planes = 4, dims = 64)
     val sigs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), normUdf(col("embedding")).as("vn"),
-        sigUdf(w)(col("embedding")).as("sig"))
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"),
+        vecSig(col("embedding"), 4, 64).as("sig"))
       .cache() // both join sides read the signatures
     val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv", "sig")
     val c = sigs.selectExpr("vec_id AS c_id", "vn AS cv", "sig")
     q.join(c, "sig").filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dotUdf(col("qv"), col("cv")), 4).as("cos_sim"))
+        round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF-bucketed ANN — the coarse-quantizer scale path (IVF-flat): a small
+    * centroid set partitions the corpus into inverted lists; every vector
+    * joins its nearest centroid's list (one broadcast join — the centroid
+    * set is small by construction), and queries probe their `nprobe`=2
+    * closest lists, so candidate generation touches ~nprobe/k of the corpus
+    * instead of all of it. Exact cosine ranks the survivors.
+    *
+    * Centroids here are deterministic (every 97th vector) so the oracle can
+    * replay the assignment; at 100 TB they'd come from k-means on a sample —
+    * the plan shape (broadcast assign → equi-join on cell id → per-query
+    * top-k) is unchanged. Assignment ranks on round(dot, 6) with a
+    * centroid-id tie-break — deterministic across engines. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("vn"), col("cent_id"),
+        round(vecDot(col("vn"), col("cv")), 6).as("d"))
+    // rn over vec_id: high-cardinality partition key — parallel window
+    val byCell = row_number().over(
+      Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id")))
+    val assigned = scored.withColumn("rn", byCell).cache()
+    val lists = assigned.filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("vn").as("cvn"), col("cent_id"))
+    val probes = assigned.filter(col("vec_id") < 8 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"), col("cent_id"))
+    probes.join(lists, "cent_id").filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(vecDot(col("qv"), col("cvn")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
       .filter(col("rnk") <= 3)
@@ -328,16 +326,15 @@ object LlmData extends QueryPack {
     * expressions (`aggregate`/`zip_with`) are interpreted per element, an
     * order of magnitude slower in the pair hot path. */
   def neardupCosine(s: SparkSession, dir: String): DataFrame = {
-    val w = lshPlanes(planes = 4, dims = 64)
     val sigs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), normUdf(col("embedding")).as("vn"),
-        sigUdf(w)(col("embedding")).as("sig"))
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"),
+        vecSig(col("embedding"), 4, 64).as("sig"))
       .cache()
     sigs.selectExpr("sig", "vec_id AS da", "vn AS va")
       .join(sigs.selectExpr("sig", "vec_id AS db", "vn AS vb"), "sig")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(dotUdf(col("va"), col("vb")), 4).as("cos_sim"))
+        round(vecDot(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy("da", "db")
   }
@@ -353,11 +350,11 @@ object LlmData extends QueryPack {
         round(avg("mean_tok_len"), 6).as("avg_tok_len"))
       .orderBy("source")
 
-  /** Per-label embedding profile: count + mean L2 norm. */
+  /** Per-label embedding profile: count + mean L2 norm (vec_l2 native
+    * expression — same left-to-right accumulation as the SQL `aggregate`). */
   def embedStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .selectExpr("label",
-        "sqrt(aggregate(transform(embedding, x -> cast(x AS DOUBLE)), 0D, (a, x) -> a + x * x)) AS nrm")
+      .select(col("label"), vecL2(col("embedding")).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
       .orderBy("label")
@@ -426,6 +423,7 @@ object LlmData extends QueryPack {
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "neardup_cosine" -> neardupCosine,
     "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
@@ -538,6 +536,28 @@ object LlmData extends QueryPack {
         |SELECT q_id, rnk, c_id, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
         |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+        |  FROM embeddings),
+        | c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 97 = 0),
+        | sc AS (SELECT e.vec_id, c.cent_id,
+        |     round(list_dot_product(e.vn, c.cv), 6) AS d FROM e, c),
+        | a AS (SELECT vec_id, cent_id,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn
+        |   FROM sc),
+        | lists AS (SELECT vec_id AS c_id, cent_id FROM a WHERE rn = 1),
+        | probes AS (SELECT vec_id AS q_id, cent_id FROM a WHERE vec_id < 8 AND rn <= 2),
+        | pairs AS (SELECT p.q_id, l.c_id,
+        |     round(list_dot_product(q.vn, cand.vn), 4) AS cos_sim
+        |   FROM probes p JOIN lists l USING (cent_id)
+        |     JOIN e q ON q.vec_id = p.q_id JOIN e cand ON cand.vec_id = l.c_id
+        |   WHERE p.q_id <> l.c_id)
+        |SELECT q_id, rnk, c_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "neardup_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

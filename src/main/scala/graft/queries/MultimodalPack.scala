@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.{MediaFile, Multimodal}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries over the multimodal column operators
+  * (graft.multimodal): binary `content` + typed `meta`, frame sampling as
+  * a typed flatMap, metadata-only profiles that prune the blob column at
+  * the scan.
+  *
+  * The media table is derived deterministically from `documents` (text
+  * bytes as the blob, metadata from doc_id/n_chars) so the byte-level
+  * operators — frame slicing, blob lengths, md5 of frame bytes — are
+  * exactly reproducible in the DuckDB oracle. The float feature-extract
+  * stub stays spec-verified (MultimodalSpec): float accumulation is not
+  * bit-stable across engines, byte slicing is.
+  */
+object MultimodalPack extends QueryPack {
+
+  /** Deterministic media rows: blob = UTF-8 text bytes; kind/format cycle
+    * image/audio/video by doc_id; duration = 10ms per char. */
+  def mediaFrom(s: SparkSession, dir: String): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 10).as("durationMs"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format")).as("meta"))
+      .as[MediaFile]
+  }
+
+  /** Frame sampling through the REAL typed operator
+    * (Multimodal.sampleFrames): one row per sampled frame, bytes sliced
+    * from the blob — verified per frame by length + md5 of the bytes. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(mediaFrom(s, dir), everyMs = 5000)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+
+  /** Metadata-only profile (Multimodal.metaProfile) — reads `meta` and
+    * never the blob; the scan must prune `content` (PlanAuditSpec checks
+    * the same property on the parquet path). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metaProfile(mediaFrom(s, dir).toDF())
+      .select(col("kind"), col("format"), col("n"),
+        round(col("avg_duration_ms"), 2).as("avg_duration_ms"))
+      .orderBy("kind")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_frames" -> mediaFrames,
+    "media_meta" -> mediaMeta)
+
+  val oracle: Map[String, String] = Map(
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |   n_chars * 10 AS duration_ms FROM documents),
+        | p AS (SELECT media_id, text, len,
+        |   greatest(1, duration_ms // 5000) AS n FROM m),
+        | q AS (SELECT media_id, text, len, n,
+        |   greatest(1, len // n) AS chunk FROM p),
+        | f AS (SELECT media_id, i AS frame_idx,
+        |     least(i * chunk, len) AS f_from,
+        |     least(i * chunk + chunk, len) AS f_until, text
+        |   FROM q, unnest(generate_series(0, n - 1)) AS u(i))
+        |SELECT media_id, frame_idx, f_until - f_from AS n_bytes,
+        | md5(substring(text, f_from + 1, f_until - f_from)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "media_meta" ->
+      """WITH m AS (SELECT
+        |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |        ELSE 'video' END AS kind,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |        ELSE 'mp4' END AS format,
+        |   n_chars * 10 AS duration_ms FROM documents)
+        |SELECT kind, format, count(*) AS n,
+        | round(avg(duration_ms), 2) AS avg_duration_ms
+        |FROM m GROUP BY kind, format ORDER BY kind""".stripMargin)
+}
