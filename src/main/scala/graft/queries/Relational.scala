@@ -144,6 +144,26 @@ object Relational extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join (plans.AsOfJoin): each purchase event picks up the most
+    * recent prior-or-same-time click of the same user — "latest quote for
+    * each trade". The right side is deduped to one row per (user, ts)
+    * first so the match is deterministic in any engine; the oracle is
+    * DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_event"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    graft.plans.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_event").as("click_event"),
+        round(col("asof_click_value"), 4).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Exact ntile equi-depth buckets — oracle-parity variant of equiarea
     * binning, computed via the scalable two-pass range-sort rank
     * (plans.GlobalRank) instead of a single-partition global window. The
@@ -240,6 +260,7 @@ object Relational extends QueryPack {
     "rollup_agg" -> rollupAgg,
     "window_dwell" -> windowDwell,
     "sessionize" -> sessionize,
+    "asof_join" -> asofJoin,
     "ntile_bins" -> ntileBins)
 
   val oracle: Map[String, String] = Map(
@@ -322,6 +343,17 @@ object Relational extends QueryPack {
         | x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
         |SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event
         |FROM x GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |   event_type, value FROM events),
+        | p AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, tsu, max(event_id) AS click_event,
+        |     arg_max(value, event_id) AS click_value
+        |   FROM e WHERE event_type = 'click' GROUP BY user_id, tsu)
+        |SELECT p.event_id, p.user_id, c.click_event,
+        | round(c.click_value, 4) AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsu >= c.tsu
+        |ORDER BY p.event_id""".stripMargin,
     "ntile_bins" ->
       """SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM (SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket FROM orders)

@@ -82,6 +82,15 @@ class SourceReaderSpec extends SparkSpec {
     df.select("ID").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
   }
 
+  it should "resolve hive:// sources through the session catalog" in {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, null: String)).toDF("id", "label")
+      .createOrReplaceTempView("hive_backed")
+    val df = SourceReader.read(spark, DataConf("hive://hive_backed"),
+      ColumnsConf(response = "label"))
+    df.count() shouldBe 2 // default response-not-null filter applies
+  }
+
   it should "split pages with last-page accumulation" in {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b"), (3, "c"), (5, "d")).toDF("page", "x")

@@ -75,4 +75,33 @@ class PlanAuditSpec extends SparkSpec {
     p.linesIterator.filter(_.contains("ReadSchema")).mkString should
       (include ("text") and not include "lang")
   }
+
+  it should "run the vector kernels as native expressions, not UDFs" in {
+    // ScalaUDF in the pair loop would mean per-row boxing at 100 TB scale
+    Seq(LlmData.annLsh(spark, dir), LlmData.annIvf(spark, dir),
+      LlmData.neardupCosine(spark, dir), LlmData.embedStats(spark, dir))
+      .foreach { q =>
+        val p = q.queryExecution.optimizedPlan.toString
+        p should not include "UDF"
+        p.toLowerCase should include ("vec_") // vec_norm / vec_dot / vec_sig
+      }
+  }
+
+  it should "keep IVF assignment broadcast and probe join keyed on the cell" in {
+    val p = plan(LlmData.annIvf(spark, dir))
+    p should include ("BroadcastNestedLoopJoin") // tiny centroid set × corpus
+    p should not include "SinglePartition"       // assignment window is per-vector
+  }
+
+  it should "prune the blob column in metadata-only multimodal plans" in {
+    val p = MultimodalPack.mediaMeta(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    p should not include "content"
+  }
+
+  it should "compute the as-of join with keyed windows only" in {
+    val p = plan(Relational.asofJoin(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "SinglePartition"
+  }
 }
