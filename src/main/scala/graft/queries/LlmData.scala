@@ -60,8 +60,30 @@ object LlmData extends QueryPack {
 
   /** Exact n-gram (trigram-shingle) Jaccard near-dup pairs via inverted-
     * index join — the exactness baseline for MinHash. */
-  def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+  def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    neardupPairsImpl(s, dir, maxDf = None)
+
+  /** The inverted-index join with the 100 TB hot-shingle mitigation made
+    * real: shingles whose document frequency exceeds `maxDf` are dropped
+    * from the index before the self-join, bounding the per-shingle join
+    * fan-out at df² ≤ maxDf² (a boilerplate-shingle appearing in 1M docs
+    * would otherwise emit 10¹² pairs). Jaccard is computed over the capped
+    * shingle universe — the oracle applies the identical cap, so the capped
+    * semantics are exact, not approximate. */
+  def neardupCapped(s: SparkSession, dir: String): DataFrame =
+    neardupPairsImpl(s, dir, maxDf = Some(50))
+
+  private def neardupPairsImpl(s: SparkSession, dir: String,
+                               maxDf: Option[Int]): DataFrame = {
+    val shAll = shingles(s, dir)
+    val sh = (maxDf match {
+      case Some(k) =>
+        // shingles are distinct per doc, so count(*) per shingle IS the df
+        val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= k).select("s")
+        shAll.join(rare, Seq("s"), "left_semi")
+      case None => shAll
+    }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), "s")
@@ -418,6 +440,7 @@ object LlmData extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "neardup_pairs" -> neardupPairs,
+    "neardup_capped" -> neardupCapped,
     "dedup_minhash" -> dedupMinhash,
     "dedup_clusters" -> dedupClusters,
     "simhash_sig" -> simhashSig,
@@ -442,6 +465,17 @@ object LlmData extends QueryPack {
         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
+        |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "neardup_capped" ->
+      s"""WITH $shinglesSql,
+        | rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+        | shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da, db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
         |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.8

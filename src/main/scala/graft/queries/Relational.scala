@@ -164,6 +164,31 @@ object Relational extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Range (point-in-interval) join through plans.RangeJoin: events land in
+    * a 50-window campaign grid derived declaratively from the data (agg →
+    * broadcast — no driver round-trip). The bucketized equi-join replaces
+    * the BroadcastNestedLoopJoin Spark would plan for the raw range
+    * predicate; the oracle is the plain theta join in DuckDB. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p"))
+    // integer grid arithmetic (div) — bit-exact in any engine
+    val stats = ev.agg(min("p").as("t0"), max("p").as("t1"))
+      .selectExpr("t0", "(t1 - t0) div 50 AS step")
+    val grid = s.range(50).select(col("id").as("interval_id"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("interval_id",
+        "t0 + interval_id * step AS lo",
+        "t0 + interval_id * step + (step div 2) AS hi",
+        "step AS w") // bucket width must resolve on BOTH join inputs
+    val points = ev.crossJoin(broadcast(stats.select(col("step").as("w"))))
+    graft.plans.RangeJoin.pointInInterval(
+        points, grid, "p", "lo", "hi", width = col("w"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy("interval_id")
+  }
+
   /** Exact ntile equi-depth buckets — oracle-parity variant of equiarea
     * binning, computed via the scalable two-pass range-sort rank
     * (plans.GlobalRank) instead of a single-partition global window. The
@@ -261,6 +286,7 @@ object Relational extends QueryPack {
     "window_dwell" -> windowDwell,
     "sessionize" -> sessionize,
     "asof_join" -> asofJoin,
+    "range_join" -> rangeJoin,
     "ntile_bins" -> ntileBins)
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +380,17 @@ object Relational extends QueryPack {
         | round(c.click_value, 4) AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsu >= c.tsu
         |ORDER BY p.event_id""".stripMargin,
+    "range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p FROM events),
+        | b AS (SELECT min(p) AS t0, (max(p) - min(p)) // 50 AS step FROM e),
+        | g AS (SELECT k AS interval_id, t0 + k * step AS lo,
+        |     t0 + k * step + step // 2 AS hi
+        |   FROM b, unnest(generate_series(0, 49)) AS u(k)),
+        | j AS (SELECT g.interval_id, e.event_id, e.user_id
+        |   FROM e JOIN g ON e.p >= g.lo AND e.p < g.hi)
+        |SELECT interval_id, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY interval_id ORDER BY interval_id""".stripMargin,
     "ntile_bins" ->
       """SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM (SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket FROM orders)

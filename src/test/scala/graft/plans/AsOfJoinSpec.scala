@@ -34,6 +34,30 @@ class AsOfJoinSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("sym", "t", "trade_id", "asof_px")
   }
 
+  it should "match a brute-force as-of on randomized fixtures" in {
+    val rng = new scala.util.Random(20) // fixed seed — reference convention
+    for (round <- 1 to 3) {
+      val lt = (1 to 120).map(i =>
+        (s"k${rng.nextInt(6)}", rng.nextInt(100).toLong, (round * 1000 + i).toLong))
+        .toDF("sym", "t", "trade_id")
+      val rt = (1 to 80).map(_ =>
+        (s"k${rng.nextInt(6)}", rng.nextInt(100).toLong, rng.nextDouble()))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+        .toDF("sym", "qt", "px")
+      val got = AsOfJoin.asOf(lt, rt, Seq("sym"), "t", "qt")
+        .select("trade_id", "asof_px").as[(Long, Option[Double])]
+        .collect().toMap
+      // brute force: max-qt quote <= t per trade
+      val quotes = rt.as[(String, Long, Double)].collect()
+      val expected = lt.as[(String, Long, Long)].collect().map {
+        case (sym, t, id) =>
+          val c = quotes.filter(q => q._1 == sym && q._2 <= t)
+          id -> (if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+      }.toMap
+      got shouldBe expected
+    }
+  }
+
   it should "shuffle once per side on the key — no range/cross join" in {
     val p = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt")
       .queryExecution.explainString(
