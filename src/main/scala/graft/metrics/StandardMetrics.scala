@@ -1,7 +1,7 @@
 package graft.metrics
 
+import graft.plans.GlobalRank
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Standard classification metrics as pure DataFrame aggregations
@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Re-expressed Spark-first: every metric is a declarative plan over hash
   * aggregates — partial aggregation, codegen, no RDD round-trips, no
   * `.collect()`. Rank statistics (AUROC, F-measure-by-threshold) first
-  * group by the SCORE VALUE, so the only ordered window runs over distinct
+  * group by the SCORE VALUE, so the cumulative pass runs over distinct
   * scores — cardinality ≪ rows (bounded by rounding, e.g. probabilities
   * have ≤ ~1e7 distinct doubles in practice; bucket scores first if not) —
-  * never over the full fact table.
+  * never over the full fact table; and even that pass is partition-parallel
+  * ([[graft.plans.GlobalRank.withRunningSums]] range-partition prefix sums,
+  * not an unpartitioned `Window.orderBy` that serializes into one task).
   */
 object StandardMetrics {
 
@@ -66,9 +68,8 @@ object StandardMetrics {
     * score) + one ordered window over DISTINCT scores only. */
   def auroc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val g = byScore(df, labelCol, scoreCol)
-    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = g.withColumn("avgrank",
-      sum("c").over(w) - col("c") + (col("c") + 1) / 2.0)
+    val ranked = GlobalRank.withRunningSums(g, Seq(col("s")), Seq("c" -> "__cum"))
+      .withColumn("avgrank", col("__cum") - col("c") + (col("c") + 1) / 2.0)
     ranked.agg(
       sum(col("pos") * col("avgrank")).as("sr"),
       sum("pos").as("np"), sum("c").as("n"))
@@ -82,12 +83,10 @@ object StandardMetrics {
   def fMeasureByThreshold(df: DataFrame, labelCol: String, scoreCol: String,
                           beta: Double): DataFrame = {
     val g = byScore(df, labelCol, scoreCol)
-    val wDesc = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b2 = beta * beta
     val totals = g.agg(sum("pos").as("npos"))
-    g.withColumn("tp", sum("pos").over(wDesc))
-      .withColumn("cnt", sum("c").over(wDesc))
+    GlobalRank.withRunningSums(g, Seq(col("s").desc),
+        Seq("pos" -> "tp", "c" -> "cnt"))
       .crossJoin(broadcast(totals))
       .select(
         col("s").as("thresh"),

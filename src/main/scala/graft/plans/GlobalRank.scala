@@ -49,6 +49,53 @@ object GlobalRank {
       .drop("__mid")
   }
 
+  /** Adds, for each `(inCol, outCol)` in `sums`, the inclusive running sum
+    * of `inCol` under the global `sortCols` order — the scalable twin of
+    * `sum(inCol).over(Window.orderBy(sortCols).rowsBetween(unboundedPreceding,
+    * currentRow))`, which would collapse to one task.
+    *
+    * Same two-pass scheme as [[withRowNumber]]: range-partition + local
+    * sort, then one tiny job computes per-partition totals whose prefix
+    * sums become per-partition offsets (O(partitions) driver state); the
+    * within-partition running sum is an ordinary keyed window over the
+    * partition id — every stage partition-parallel. */
+  def withRunningSums(df: DataFrame, sortCols: Seq[Column],
+                      sums: Seq[(String, String)]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one tiny job: per-partition totals of every summed column
+    val totalAggs = sums.map { case (in, _) => sum(col(in)).as(in) }
+    val totals = sorted.groupBy(col("__pid")).agg(totalAggs.head, totalAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // offset(p) = Σ totals over partitions < p, emitted as a CASE over the
+    // partition id (type-preserving; O(partitions) expression)
+    def offsetExpr(in: String): Column = {
+      val perPart = (0 until parts).map { p =>
+        p -> totals.get(p).map(_.getAs[Any](in)).getOrElse(null)
+      }
+      val offsets = perPart.scanLeft(0.0) { case (acc, (_, t)) =>
+        acc + (t match {
+          case null => 0.0
+          case n: Number => n.doubleValue()
+        })
+      }
+      (0 until parts).foldLeft(lit(0.0)) { (acc, p) =>
+        when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__mid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withSums = sums.foldLeft(sorted) { case (acc, (in, out)) =>
+      acc.withColumn(out, offsetExpr(in) + sum(col(in)).over(w))
+    }
+    withSums.drop("__mid", "__pid")
+  }
+
   /** Adds `outCol` = SQL-standard NTILE(k) bucket (1-based) under
     * `sortCols`, computed from the exact global row number — the scalable
     * twin of `ntile(k).over(Window.orderBy(...))`. */

@@ -315,18 +315,25 @@ object LlmData extends QueryPack {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .cache() // normalized corpus, read by assignment + both join sides
     val cents = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
+    // Assignment ranks on NARROW rows (vec_id, cent_id, d): the k-way
+    // centroid fan-out must never replicate the embedding array k× through
+    // the ranking shuffle/cache — vectors are joined back by id afterwards
+    // (linear, co-partitioned on vec_id).
     val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("vn"), col("cent_id"),
+      .select(col("vec_id"), col("cent_id"),
         round(vecDot(col("vn"), col("cv")), 6).as("d"))
     // rn over vec_id: high-cardinality partition key — parallel window
     val byCell = row_number().over(
       Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id")))
-    val assigned = scored.withColumn("rn", byCell).cache()
-    val lists = assigned.filter(col("rn") === 1)
+    val assigned = scored.withColumn("rn", byCell)
+      .filter(col("rn") <= 2).select("vec_id", "cent_id", "rn")
+      .cache()
+    val lists = assigned.filter(col("rn") === 1).join(e, "vec_id")
       .select(col("vec_id").as("c_id"), col("vn").as("cvn"), col("cent_id"))
-    val probes = assigned.filter(col("vec_id") < 8 && col("rn") <= 2)
+    val probes = assigned.filter(col("vec_id") < 8).join(e, "vec_id")
       .select(col("vec_id").as("q_id"), col("vn").as("qv"), col("cent_id"))
     probes.join(lists, "cent_id").filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
