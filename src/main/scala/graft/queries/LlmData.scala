@@ -407,6 +407,25 @@ object LlmData extends QueryPack {
           |  / size(toks), 6) AS stop_ratio""".stripMargin)
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenization counts: the GPT-2-family pretoken regex
+    * (contraction suffixes | space-prefixed letter runs | digit runs |
+    * punctuation runs | whitespace) — the unit a byte-pair tokenizer
+    * would merge within. Per-doc pretoken count + content hash, plus the
+    * whitespace-token count for comparison. Row-local regex → codegen,
+    * no shuffle except the final sort. */
+  def tokenBpe(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(pat), lit(0)).as("bpe"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws"),
+        size(col("bpe")).cast("long").as("n_bpe"),
+        md5(concat_ws("|", col("bpe"))).as("bpe_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID by marker-token scoring (n-gram heuristic family):
     * count stopword hits per language, argmax with fixed tie order. */
   def langidMarkers(s: SparkSession, dir: String): DataFrame =
@@ -458,6 +477,7 @@ object LlmData extends QueryPack {
     "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
     "text_stats" -> textStats,
+    "token_bpe" -> tokenBpe,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
     "lang_profile" -> langProfile)
@@ -649,6 +669,15 @@ object LlmData extends QueryPack {
         |     x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to')))::DOUBLE
         |   / len(string_split(text, ' ')), 6) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_bpe" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text),
+        |     '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+') AS bpe,
+        |   list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+        | FROM documents)
+        |SELECT doc_id, len(ws)::BIGINT AS n_ws, len(bpe)::BIGINT AS n_bpe,
+        | md5(array_to_string(bpe, '|')) AS bpe_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "langid_markers" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | sc AS (SELECT doc_id,

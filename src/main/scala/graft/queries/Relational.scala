@@ -144,6 +144,24 @@ object Relational extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Page-level split through the REAL io.SourceReader.splitPages operator
+    * (ref: PipelineSteps.scala:316-322): page == k for every page but the
+    * last, page >= k accumulation on the last — the reference's per-page
+    * model layout. Pages derived per user by event order (the same
+    * convention the hotlead simulation uses). Each split is one pushed
+    * filter over the paged frame; counts are single-shuffle aggregates. */
+  def pageSplit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paged = Tables.events(s, dir)
+      .withColumn("page", row_number().over(w).cast("long"))
+    val splits = graft.io.SourceReader.splitPages(paged, "page", 3)
+    splits.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"))
+        .select(lit(i + 1L).as("split_page"), col("n_rows"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy("split_page")
+  }
+
   /** As-of join (plans.AsOfJoin): each purchase event picks up the most
     * recent prior-or-same-time click of the same user — "latest quote for
     * each trade". The right side is deduped to one row per (user, ts)
@@ -285,6 +303,7 @@ object Relational extends QueryPack {
     "rollup_agg" -> rollupAgg,
     "window_dwell" -> windowDwell,
     "sessionize" -> sessionize,
+    "page_split" -> pageSplit,
     "asof_join" -> asofJoin,
     "range_join" -> rangeJoin,
     "ntile_bins" -> ntileBins)
@@ -369,6 +388,15 @@ object Relational extends QueryPack {
         | x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
         |SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event
         |FROM x GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "page_split" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        | paged AS (SELECT user_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS page FROM e),
+        | tagged AS (SELECT CASE WHEN page >= 3 THEN 3 ELSE page END AS split_page,
+        |   user_id FROM paged)
+        |SELECT split_page, count(*)::BIGINT AS n_rows,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM tagged GROUP BY split_page ORDER BY split_page""".stripMargin,
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu,
         |   event_type, value FROM events),

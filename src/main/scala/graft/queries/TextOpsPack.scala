@@ -4,7 +4,7 @@ import graft.Tables
 import graft.features.{CategoricalAssembler, SkipGramGenerator}
 import graft.text._
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.feature.NGram
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, IDFModel, NGram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,12 +101,47 @@ object TextOpsPack extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** TokenSplitter → CountVectorizer(minDF=5) → IDF, then per-term df +
+    * idf read from the FITTED models (docFreq/idf are what the transform
+    * applies) joined with corpus term totals from the same token stream —
+    * verifying Spark's idf formula ln((m+1)/(df+1)) cross-engine
+    * (ref: VectorizationEngine.scala:208-216, the tfidf method).
+    *
+    * Scale note: vocabulary size is bounded by vocabSize/minDF exactly as
+    * CountVectorizer bounds its driver-side vocab; term totals come from a
+    * row-local explode + one hash aggregate — never a dense vector
+    * explode (which would be rows × |vocab|). */
+  def tfidfStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pipe = new Pipeline().setStages(Array(
+      new TokenSplitter().setInputCol("text").setOutputCol("toks"),
+      new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+        .setMinDF(5).setVocabSize(1 << 18),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val model = pipe.fit(docs)
+    val cv = model.stages(1).asInstanceOf[CountVectorizerModel]
+    val idfM = model.stages(2).asInstanceOf[IDFModel]
+    import s.implicits._
+    val vocab = cv.vocabulary.indices
+      .map(i => (cv.vocabulary(i), idfM.docFreq(i), idfM.idf(i)))
+      .toDF("term", "df", "idf")
+    val totals = new TokenSplitter().setInputCol("text").setOutputCol("toks")
+      .transform(docs)
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf_total"))
+    totals.join(broadcast(vocab), "term")
+      .select(col("term"), col("df"), round(col("idf"), 6).as("idf"),
+        col("tf_total"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "preprocess_chain" -> preprocessChain,
     "skipgram_stats" -> skipgramStats,
     "ngram_stats" -> ngramStats,
     "cat_assemble" -> catAssemble,
-    "binning_intervals" -> binningIntervals)
+    "binning_intervals" -> binningIntervals,
+    "tfidf_stats" -> tfidfStats)
 
   private val splitRe = "\\s|(~SP~)"
 
@@ -158,6 +193,15 @@ object TextOpsPack extends QueryPack {
         |                 'o_orderpriority_' || o_orderpriority]) AS token
         |  FROM orders)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "tfidf_stats" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '$splitRe'),
+         |     x -> length(x) > 0) AS toks FROM documents),
+         | td AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+         | stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         |     count(*)::BIGINT AS tf_total FROM td GROUP BY term),
+         | n AS (SELECT count(*) AS m FROM documents)
+         |SELECT term, df, round(ln((m + 1.0) / (df + 1.0)), 6) AS idf, tf_total
+         |FROM stats, n WHERE df >= 5 ORDER BY term""".stripMargin,
     "binning_intervals" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 0
         |            WHEN o_totalprice < 200000 THEN 1

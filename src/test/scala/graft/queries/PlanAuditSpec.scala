@@ -99,6 +99,21 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "content"
   }
 
+  it should "have no unpartitioned window in ANY driver-contract query" in {
+    // An empty partitionSpec serializes the whole input through one task —
+    // the single worst scale hazard a plan can silently acquire. Sweep every
+    // SparkEntry query so a new/edited query can't reintroduce one.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    offenders shouldBe empty
+  }
+
   it should "compute the as-of join with keyed windows only" in {
     val p = plan(Relational.asofJoin(spark, dir))
     p should not include "CartesianProduct"
