@@ -15,6 +15,8 @@ final case class SessionState(
 final case class SessionUpdate(
     user_id: Long, session_seq: Long, n_events: Long, first_event: Long)
 
+final case class HotleadAlert(user_id: Long, event_id: Long, value: Double)
+
 /** Structured-Streaming twins of the batch operators: the same logical
   * semantics expressed over an unbounded source (`readStream` → transform →
   * `writeStream`), with state bounded by watermarks where the operator
@@ -68,6 +70,34 @@ object StreamOps {
             touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
           state.update(st)
           touched.result().iterator
+      }
+  }
+
+  /** First-qualifying-event alert per user — the streaming twin of the
+    * hotlead rule (publish/HotleadTransformer; WebCustomMetrics first-
+    * hotlead-page attribution: `groupBy(visitors).agg(min(page))`). Each
+    * user alerts AT MOST ONCE across the whole stream: per-user state is a
+    * single boolean, flipped on the first event with `value >= threshold`.
+    * Later qualifying events emit nothing — exactly the batch `min(page)`
+    * semantics, without retaining per-event state. */
+  def hotleadAlerts(events: Dataset[Event],
+                    threshold: Double): Dataset[HotleadAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            val hit = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .find(_.value >= threshold)
+            hit match {
+              case Some(e) =>
+                state.update(true)
+                Iterator.single(HotleadAlert(uid, e.event_id, e.value))
+              case None => Iterator.empty
+            }
+          }
       }
   }
 

@@ -59,6 +59,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "alert each user at most once on the first qualifying event" in {
+    val in = MemoryStream[Event]
+    val q = StreamOps.hotleadAlerts(in.toDS(), threshold = 0.8)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "view", 0.2),
+        Event(2, ts(1), 7, "click", 0.9), // first qualifying for user 7
+        Event(3, ts(2), 8, "view", 0.5))
+      q.processAllAvailable()
+      in.addData(
+        Event(4, ts(3), 7, "click", 0.95), // user 7 already alerted → nothing
+        Event(5, ts(4), 8, "click", 0.85)) // first qualifying for user 8
+      q.processAllAvailable()
+      val alerts = spark.table("alerts")
+        .as[HotleadAlert].collect().map(a => a.user_id -> a.event_id).toSet
+      alerts shouldBe Set(7L -> 2L, 8L -> 5L)
+    } finally q.stop()
+  }
+
   it should "dedup a stream by content hash keeping the first occurrence" in {
     val in = MemoryStream[(Long, String)]
     val q = StreamOps.dedupByContent(
