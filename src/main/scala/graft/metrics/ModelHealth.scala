@@ -62,6 +62,22 @@ object ModelHealth {
       .select(col("bucket"), col("p"), col("q"), si.as("si"))
   }
 
+  /** PSI bucketing BOTH frames with the real spark.ml QuantileDiscretizer
+    * fitted on the base — the reference's exact scheme (one fitted
+    * Bucketizer applied to base and current; inner join on the bucket).
+    * The approxQuantile path above is the scale-preferred twin; this one
+    * exists for golden parity with the reference's monitoring tests. */
+  def psiDiscretizer(base: DataFrame, current: DataFrame, column: String,
+                     k: Int): DataFrame = {
+    val model = new org.apache.spark.ml.feature.QuantileDiscretizer()
+      .setInputCol(column).setOutputCol("__bucket").setNumBuckets(k)
+      .fit(base)
+    def sh(df: DataFrame, out: String) =
+      shares(model.transform(df), col("__bucket").cast("long"), out)
+    sh(base, "p").join(sh(current, "q"), Seq("bucket"))
+      .select(col("bucket"), col("p"), col("q"), si.as("si"))
+  }
+
   /** Total PSI as a single-row DataFrame. */
   def psiTotal(bucketDf: DataFrame): DataFrame = bucketDf.agg(sum("si").as("psi"))
 

@@ -405,4 +405,56 @@ class ReferenceParitySpec extends SparkSpec {
     info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.846842)")
     result.metrics("auroc_test") should be >= 0.8468 - 0.06
   }
+
+  it should "reproduce the PSI/VSI monitoring goldens" in {
+    // The reference's monitoring fixtures are synthetic but exactly
+    // reproducible: scala.util.Random with seed 5, drawn in the order the
+    // test declares them (functionalTests/MonitoringMetricsTest.scala:93-99).
+    // Goldens: application.conf:227-258.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val browsers = Array("safari", "chrome", "firefox", "ie", "bing")
+    val oss = Array("windows", "linux", "macOS", "iOS", "android")
+    val referrers = Array("google", "link", "ad")
+    val devices = Array("tablet", "phone", "desktop", "pc")
+    val geos = Array("asia", "pacific", "europe", "us", "latam")
+    def scorePair() = (1 + rng.nextInt(10), rng.nextFloat())
+    val psiBase = Seq.fill(300)(scorePair()).toDF("pageNumber", "score")
+    val psiNew = Seq.fill(500)(scorePair()).toDF("pageNumber", "score")
+    def catRow() = (browsers(rng.nextInt(5)), devices(rng.nextInt(4)),
+      oss(rng.nextInt(5)), geos(rng.nextInt(5)), referrers(rng.nextInt(3)))
+    val vsiBase = Seq.fill(200)(catRow())
+      .toDF("browser", "device", "os", "geo", "referrer")
+    val vsiNew = Seq.fill(500)(catRow())
+      .toDF("browser", "device", "os", "geo", "referrer")
+
+    // VSI has no quantile sketch in the path — exact golden match.
+    val vsiGolden = Map("geo" -> 4.255441064758887, "browser" -> 1.9578938483459862,
+      "os" -> 2.3072454170197068, "device" -> 4.960638020241703,
+      "referrer" -> 1.347340395220971)
+    val vsiActual = graft.metrics.ModelHealth
+      .vsiAll(vsiBase, vsiNew, Seq("geo", "browser", "os", "device", "referrer"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    vsiGolden.foreach { case (v, g) =>
+      info(f"VSI $v%-8s = ${vsiActual(v)}%.12f (golden $g%.12f)")
+      vsiActual(v) shouldBe g +- 1e-9
+    }
+
+    // PSI goes through QuantileDiscretizer — bucket boundaries can drift
+    // across Spark's quantile-sketch versions, so assert within a band.
+    val psiGolden = Seq(66.95550940252959, 67.10232590306191, 19.62664642666293,
+      63.436363388871, 39.28869233172903, 31.521426127199383,
+      27.40143956824807, 30.376692031815818, 15.91405264957698,
+      28.50990149957255)
+    (1 to 10).foreach { page =>
+      val b = psiBase.filter(col("pageNumber") === page).select("score")
+      val c = psiNew.filter(col("pageNumber") === page).select("score")
+      val psi = graft.metrics.ModelHealth
+        .psiTotal(graft.metrics.ModelHealth.psiDiscretizer(b, c, "score", 10))
+        .collect()(0).getDouble(0)
+      info(f"PSI page$page%-2d = $psi%.6f (golden ${psiGolden(page - 1)}%.6f)")
+      psi shouldBe psiGolden(page - 1) +- 8.0
+    }
+  }
 }
