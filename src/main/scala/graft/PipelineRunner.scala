@@ -168,10 +168,16 @@ object PipelineRunner extends Logging {
   }
 
   /** Positive-class score column: calibrated probability when present,
-    * raw margin otherwise (rank metrics are invariant to the sigmoid). */
+    * raw margin otherwise (rank metrics are invariant to the sigmoid).
+    * Uplift runs carry the BASE model's probability as `modelProbability`
+    * (the uplift Δ replaces `probability`); standard metrics evaluate the
+    * base model exactly like the reference
+    * (StandardMetricsEvaluator.scala:66-76 switches on isUplift). */
   private def scoreCol(df: DataFrame) =
-    element_at(vector_to_array(
-      col(if (df.columns.contains("probability")) "probability" else "rawPrediction")), 2)
+    element_at(vector_to_array(col(
+      if (df.columns.contains("modelProbability")) "modelProbability"
+      else if (df.columns.contains("probability")) "probability"
+      else "rawPrediction")), 2)
 
   private def evaluate(conf: GraftConf, pages: Seq[PageResult]): Map[String, Double] = {
     val m = Map.newBuilder[String, Double]

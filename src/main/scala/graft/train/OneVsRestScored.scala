@@ -118,10 +118,16 @@ class OneVsRestScoredModel(
       if (hasProbability) {
         val probs = array(models.indices.map(k =>
           element_at(vector_to_array(col(s"__prob_$k")), 2)): _*)
-        // normalized accumulated positive-class probabilities
-        withVecs.withColumn("probability",
-          array_to_vector(F.transform(probs, p =>
-            p / aggregate(probs, lit(0.0), (a, x) => a + x))))
+        // normalized accumulated positive-class probabilities; the array is
+        // materialized into a column first so the normalize lambda reads an
+        // attribute — referencing `probs` inside the lambda would re-run
+        // the k element_at(vector_to_array(...)) calls per element (k² per
+        // row)
+        withVecs.withColumn("__parr", probs)
+          .withColumn("probability",
+            array_to_vector(F.transform(col("__parr"), p =>
+              p / aggregate(col("__parr"), lit(0.0), (a, x) => a + x))))
+          .drop("__parr")
       } else withVecs
     models.indices.foldLeft(out)((acc, k) =>
       acc.drop(s"__raw_$k").drop(s"__prob_$k"))

@@ -36,10 +36,14 @@ class UpliftTransformer(override val uid: String) extends Transformer {
 
   /** p(positive) for one forced treatment value, as a Column pipeline. */
   private def scoreWith(df: DataFrame, forced: Double, outCol: String): DataFrame = {
+    // Replace the LAST slot via slice+concat — O(d) per row. A
+    // transform((x, i) => when(i === size(arr)-1, ...)) lambda would
+    // re-evaluate size(vector_to_array(...)) per ELEMENT (the interpreted
+    // path inlines the subexpression), turning scoring into O(d²) per row
+    // — minutes instead of seconds at 5k feature slots.
     val arr = vector_to_array(col($(featuresCol)))
-    val n = size(arr)
     val rewritten = array_to_vector(
-      F.transform(arr, (x, i) => when(i === n - 1, lit(forced)).otherwise(x)))
+      concat(slice(arr, lit(1), size(arr) - 1), array(lit(forced))))
     val in = df.withColumn("__uplift_feat", rewritten)
     val m = baseModel.copy(ParamMap.empty).asInstanceOf[ClassificationModel[Vector, _]]
     m.set(m.getParam("featuresCol"), "__uplift_feat")

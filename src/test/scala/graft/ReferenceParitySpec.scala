@@ -103,6 +103,48 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("auroc_test") should be >= 0.8420 - 0.02
   }
 
+  it should "reproduce the single-intent SVM + uplift AUROC within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // mirrors singleIntent_svm_UP_test_config.json: the SVM config plus
+    // uplift modeling on treatment column repeatVisitor (forced into the
+    // LAST feature slot, scored twice at 0/1, probability := Δ).
+    // Goldens: application.conf:135-140 (train 0.877268 / test 0.876558).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-svm-up", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url", "referrer"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days", "session_time"],
+        |    "primaryKey": ["vid", "active_session", "dt"]
+        |  },
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "nullcheck", "inputColumn": "current_page_url", "outputColumn": "u0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "u0", "outputColumn": "u1"},
+        |    {"op": "tokenizer", "inputColumn": "u1", "outputColumn": "u_toks", "pattern": "/"},
+        |    {"op": "nullcheck", "inputColumn": "referrer", "outputColumn": "r0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "r0", "outputColumn": "r1"},
+        |    {"op": "tokenizer", "inputColumn": "r1", "outputColumn": "r_toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "training": {"algorithm": "svm", "buildType": "binary", "plattScaling": true,
+        |               "uplift": "repeatVisitor",
+        |               "params": {"regParam": 0.01, "maxIter": 10}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train AUROC=${result.metrics("auroc_train")}%.6f (golden 0.877268)")
+    info(f"test  AUROC=${result.metrics("auroc_test")}%.6f (golden 0.876558)")
+    // Same engine-version caveats as the plain SVM golden above (hashingtf
+    // murmur3 correction + randomSplit membership drift): the asserted
+    // contract is no quality loss vs the reference's own benchmark.
+    result.metrics("auroc_train") should be >= 0.8773 - 0.02
+    result.metrics("auroc_test") should be >= 0.8766 - 0.02
+  }
+
   it should "reproduce the binary decision-tree AUROC within tolerance" in {
     assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
     // binary_decisionTree_test_config.json: the binary flow limited to the
