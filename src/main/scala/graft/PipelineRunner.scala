@@ -105,8 +105,15 @@ object PipelineRunner extends Logging {
           p.outputColumn.getOrElse(s"${p.inputColumn}_c$i")
       }
       val preStages = PreprocessingEngine.buildStages(conf.preprocessing)
+      // per-page binning scope: page k's list overrides the shared one
+      // (ref: featuregeneration scope "perPage")
+      val fg = conf.featureGeneration
+      val fgPage =
+        if (fg.binningPerPage.nonEmpty)
+          fg.copy(binning = fg.binningPerPage.lift(k - 1).getOrElse(Nil))
+        else fg
       val vecStages = VectorizationEngine.buildStages(
-        train, conf.columns, conf.featureGeneration, conf.vectorization,
+        train, conf.columns, fgPage, conf.vectorization,
         tokenCols, conf.training.uplift)
       val prep = new Pipeline().setStages((preStages ++ vecStages).toArray).fit(train)
 

@@ -91,7 +91,8 @@ object ConfigValidator {
     c.featureGeneration.ngrams.foreach { n =>
       if (n < 2) err("featureGeneration", s"ngram size $n < 2 (unigrams are the base tokens)")
     }
-    c.featureGeneration.binning.foreach { b =>
+    (c.featureGeneration.binning ++
+      c.featureGeneration.binningPerPage.flatten).foreach { b =>
       if (!binningModes(b.mode)) err("featureGeneration", s"unknown binning mode '${b.mode}'")
       if (b.mode == "intervals" && b.intervals.size < 2)
         err("featureGeneration", "intervals binning requires >= 2 boundary values")

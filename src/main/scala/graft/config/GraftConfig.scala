@@ -81,7 +81,13 @@ final case class FeatureGenConf(
     ngrams: Seq[Int] = Nil,         // word n-gram sizes
     skipGramWindow: Int = 0,        // >=3 enables skip-grams
     gramInputColumn: Option[String] = None,
-    binning: Seq[BinningConf] = Nil)
+    binning: Seq[BinningConf] = Nil,
+    /** Per-page binning (the reference's featuregeneration scope
+      * "perPage": one binning list per page, fit on that page's train —
+      * ref: FeatureGenerationEngine + binning_test_config.json). When
+      * non-empty, entry k-1 overrides `binning` for page k; pages beyond
+      * the list get no binning. */
+    binningPerPage: Seq[Seq[BinningConf]] = Nil)
 
 final case class VectorizationConf(
     method: String = "tfidf",   // hashingtf | count_vectorizer | word2vec | tfidf

@@ -198,6 +198,61 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  it should "reproduce the page-level SVM + per-page binning AUROCs within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // mirrors binning_test_config.json: the PG SVM config plus per-page
+    // binning of no_of_visits_in_last_7_days — page1 none, page2 intervals
+    // [0,25,50], page3 equidistant 10, page4 equiarea 10 (featuregeneration
+    // scope "perPage"). Goldens: application.conf:155-167.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-svm-pg-bin", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url", "referrer"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days"],
+        |    "primaryKey": ["vid", "active_session", "dt"],
+        |    "page": "nop_count"
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "nullcheck", "inputColumn": "current_page_url", "outputColumn": "u0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "u0", "outputColumn": "u1"},
+        |    {"op": "tokenizer", "inputColumn": "u1", "outputColumn": "u_toks", "pattern": "/"},
+        |    {"op": "nullcheck", "inputColumn": "referrer", "outputColumn": "r0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "r0", "outputColumn": "r1"},
+        |    {"op": "tokenizer", "inputColumn": "r1", "outputColumn": "r_toks", "pattern": "/"}
+        |  ],
+        |  "featureGeneration": {"binningPerPage": [
+        |    [],
+        |    [{"inputColumn": "no_of_visits_in_last_7_days", "mode": "intervals",
+        |      "intervals": [0, 25, 50]}],
+        |    [{"inputColumn": "no_of_visits_in_last_7_days", "mode": "equidistant", "buckets": 10}],
+        |    [{"inputColumn": "no_of_visits_in_last_7_days", "mode": "equiarea", "buckets": 10}]
+        |  ]},
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "numPages": 4,
+        |  "training": {"algorithm": "svm", "buildType": "binary", "plattScaling": true,
+        |               "params": {"regParam": 0.01, "maxIter": 10}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val goldTrain = Seq(0.8471, 0.7924, 0.8576, 0.9063)
+    val goldTest = Seq(0.7623, 0.7068, 0.7486, 0.8404)
+    (1 to 4).foreach { p =>
+      val tr = result.metrics(s"auroc_train_page$p")
+      val te = result.metrics(s"auroc_test_page$p")
+      info(f"page$p train=$tr%.4f (golden ${goldTrain(p - 1)}%.4f)  " +
+        f"test=$te%.4f (golden ${goldTest(p - 1)}%.4f)")
+      val testSlack = if (p == 4) 0.09 else 0.03 // same last-page variance note as above
+      tr should be >= goldTrain(p - 1) - 0.03
+      te should be >= goldTest(p - 1) - testSlack
+    }
+  }
+
   it should "reproduce the binary decision-tree AUROC within tolerance" in {
     assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
     // binary_decisionTree_test_config.json: the binary flow limited to the
