@@ -516,6 +516,91 @@ class ReferenceParitySpec extends SparkSpec {
     result.metrics("weightedRecall_test") should be >= 0.4150 - 0.05
   }
 
+  it should "reproduce the multi-intent LR stratified-sampling precision within tolerance" in {
+    assume(new java.io.File("/root/reference/data/yelp-data/reviews_1k.json.gz").exists())
+    // multiIntent_lr_stratifiedSampling_test_config.json: stratified 70/30
+    // with the rare-class stabilizer (minimumClassSupport 10 →
+    // "other-other"), multinomial LR regParam 0.01 / maxIter 10,
+    // hashingtf 15000. Goldens: application.conf:181-188
+    // (test P/R 0.309791/0.303333; train 1.0/1.0).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-lr-strat", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "json:///root/reference/data/yelp-data/reviews_1k.json.gz"},
+        |  "columns": {"response": "stars", "text": ["text"], "primaryKey": ["review_id"]},
+        |  "sampling": {"samplingType": "stratified", "split": [70, 30], "seed": 20,
+        |               "minimumClassSupport": 10, "otherClassValue": "other-other"},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "text", "outputColumn": "t1"},
+        |    {"op": "stopwords", "inputColumn": "t1", "outputColumn": "t2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "t2", "outputColumn": "t3"},
+        |    {"op": "contractions_replacement", "inputColumn": "t3", "outputColumn": "t4",
+        |     "file": "/root/reference/support_files/lemma.txt"},
+        |    {"op": "tokenizer", "inputColumn": "t4", "outputColumn": "toks",
+        |     "pattern": "[.,? ###_END_### !]"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 15000,
+        |                    "assembleNumericals": false},
+        |  "training": {"algorithm": "logistic_regression", "buildType": "multi_intent",
+        |               "params": {"regParam": 0.01, "maxIter": 10,
+        |                          "elasticNetParam": 0}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train precision=${result.metrics("weightedPrecision_train")}%.6f (golden 1.0)")
+    info(f"test precision =${result.metrics("weightedPrecision_test")}%.6f (golden 0.309791)")
+    info(f"test recall    =${result.metrics("weightedRecall_test")}%.6f (golden 0.303333)")
+    result.metrics("weightedPrecision_test") should be >= 0.3098 - 0.05
+    result.metrics("weightedRecall_test") should be >= 0.3033 - 0.05
+  }
+
+  it should "reproduce the page-level SVM + uplift AUROCs within tolerance" in {
+    assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
+    // singleIntent_svm_PGUP_test_config.json: the PG config plus uplift on
+    // repeatVisitor. Goldens: application.conf:168-180.
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-svm-pgup", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "tsv:///root/reference/data/web_journey_data.tsv.gz"},
+        |  "columns": {
+        |    "response": "purchase_flag",
+        |    "text": ["current_page_url", "referrer"],
+        |    "categorical": ["initial_referrer_cat", "browser_cat",
+        |                    "isp", "os_cat", "dd", "hour_of_day"],
+        |    "numerical": ["no_of_visits_in_last_7_days"],
+        |    "primaryKey": ["vid", "active_session", "dt"],
+        |    "page": "nop_count"
+        |  },
+        |  "sampling": {"samplingType": "conditional",
+        |               "conditions": ["rv <= 80", "rv > 80"]},
+        |  "preprocessing": [
+        |    {"op": "nullcheck", "inputColumn": "current_page_url", "outputColumn": "u0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "u0", "outputColumn": "u1"},
+        |    {"op": "tokenizer", "inputColumn": "u1", "outputColumn": "u_toks", "pattern": "/"},
+        |    {"op": "nullcheck", "inputColumn": "referrer", "outputColumn": "r0", "value": ""},
+        |    {"op": "case_normalization", "inputColumn": "r0", "outputColumn": "r1"},
+        |    {"op": "tokenizer", "inputColumn": "r1", "outputColumn": "r_toks", "pattern": "/"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 2000, "categoricalSlots": 1000},
+        |  "numPages": 4,
+        |  "training": {"algorithm": "svm", "buildType": "binary", "plattScaling": true,
+        |               "uplift": "repeatVisitor",
+        |               "params": {"regParam": 0.01, "maxIter": 10}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val goldTrain = Seq(0.8630, 0.8106, 0.8723, 0.9047)
+    val goldTest = Seq(0.7734, 0.7157, 0.7463, 0.8373)
+    (1 to 4).foreach { p =>
+      val tr = result.metrics(s"auroc_train_page$p")
+      val te = result.metrics(s"auroc_test_page$p")
+      info(f"page$p train=$tr%.4f (golden ${goldTrain(p - 1)}%.4f)  " +
+        f"test=$te%.4f (golden ${goldTest(p - 1)}%.4f)")
+      val testSlack = if (p == 4) 0.09 else 0.03 // last-page variance note above
+      tr should be >= goldTrain(p - 1) - 0.03
+      te should be >= goldTest(p - 1) - testSlack
+    }
+  }
+
   it should "reproduce the binary GBT HyperBand AUROC within tolerance" in {
     assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
     // binary_gbt_hyperband.json: the web-journey binary flow with GBT under
