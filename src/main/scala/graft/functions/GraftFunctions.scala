@@ -36,6 +36,9 @@ object GraftFunctions {
     ext.injectFunction(one("vec_dot", args => VecDot(args(0), args(1))))
     ext.injectFunction(one("vec_sig", args =>
       VecSig(args(0), intArg(args(1), "vec_sig"), intArg(args(2), "vec_sig"))))
+    ext.injectFunction(one("text_winnow", args =>
+      TextWinnow(args(0), intArg(args(1), "text_winnow"),
+        intArg(args(2), "text_winnow"))))
   }
 
   // ---- typed Column wrappers (resolve through the session registry) ----
@@ -52,4 +55,8 @@ object GraftFunctions {
   /** sign-projection LSH signature of a float-vector column. */
   def vecSig(v: Column, planes: Int, dims: Int): Column =
     call_function("vec_sig", v, lit(planes), lit(dims))
+
+  /** winnowing rolling-hash fingerprint of a string column. */
+  def textWinnow(s: Column, k: Int, w: Int): Column =
+    call_function("text_winnow", s, lit(k), lit(w))
 }

@@ -452,6 +452,21 @@ object LlmData extends QueryPack {
         .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint (TRUE rolling hash — functions.TextWinnow
+    * native expression): 8-char-gram Rabin-Karp polynomial hash, window-4
+    * minima, sorted distinct. Row-local, codegen'd, no shuffle except the
+    * final sort; the oracle replays the identical polynomial with exact
+    * modular power constants. */
+  def docWinnow(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.textWinnow
+    Tables.documents(s, dir)
+      .select(col("doc_id"), textWinnow(col("text"), 8, 4).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        md5(concat_ws(",", transform(col("fp"), x => x.cast("string")))).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -480,6 +495,7 @@ object LlmData extends QueryPack {
     "token_bpe" -> tokenBpe,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
+    "doc_winnow" -> docWinnow,
     "lang_profile" -> langProfile)
 
   val oracle: Map[String, String] = Map(
@@ -698,6 +714,27 @@ object LlmData extends QueryPack {
         |SELECT doc_id,
         | md5(array_to_string(list_sort(list(h))[1:3], '')) AS fingerprint
         |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_winnow" ->
+      // exact modular powers 257^(7-j) mod 2^31-1 (floating pow would lose
+      // precision past 2^53); per-gram hash = Σ c_j·p_j mod P — the same
+      // residue the engine's rolling recurrence produces
+      """WITH pw AS (SELECT [623063367, 336663071, 168429323, 67503107,
+        |                   16974593, 66049, 257, 1] AS p),
+        | g AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN
+        |     list_transform(generate_series(1, length(text) - 7),
+        |       i -> list_aggregate(list_transform(generate_series(0, 7),
+        |              j -> CAST(ord(substr(text, i + j, 1)) AS BIGINT) * p[j + 1]
+        |                   % 2147483647), 'sum') % 2147483647)
+        |   ELSE [] END AS hashes FROM documents, pw),
+        | wn AS (SELECT doc_id, CASE
+        |     WHEN len(hashes) = 0 THEN []
+        |     WHEN len(hashes) < 4 THEN [list_min(hashes)]
+        |     ELSE list_sort(list_distinct(list_transform(
+        |       generate_series(1, len(hashes) - 3), i -> list_min(hashes[i:i+3]))))
+        |   END AS fp FROM g)
+        |SELECT doc_id, len(fp)::BIGINT AS n_fp,
+        | md5(array_to_string(fp, ',')) AS fp_md5
+        |FROM wn ORDER BY doc_id""".stripMargin,
     "lang_profile" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         | round(avg(n_chars), 2) AS avg_chars
