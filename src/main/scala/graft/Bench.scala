@@ -23,7 +23,11 @@ object Bench {
       spark.catalog.clearCache()
     }
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (unset for driver runs → full sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_ .contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -31,8 +35,11 @@ object Bench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       // Each query is measured in isolation: drop its cached plans so a
-      // later query neither reuses nor evicts them (uncharged cleanup).
+      // later query neither reuses nor evicts them, and collect garbage so
+      // one query's heap pressure doesn't show up as a GC pause inside the
+      // next one's wall-clock (uncharged cleanup).
       spark.catalog.clearCache()
+      System.gc()
       name -> (if (ok) secs else -1.0)
     }
     def jstr(s: String): String =
