@@ -202,6 +202,16 @@ object PipelineRunner extends Logging {
           m += s"f2_$name$suffix" -> best.getAs[Double]("fbeta")
           m += s"f2_threshold_$name$suffix" -> best.getAs[Double]("thresh")
           scored.unpersist()
+          // the reference also reports multiclass-style precision/recall
+          // for binary runs (StandardMetricsEvaluator computes both);
+          // uplift frames carry the base model's prediction as
+          // modelPrediction — same base-model rule as scoreCol
+          val predCol =
+            if (df.columns.contains("modelPrediction")) "modelPrediction"
+            else "prediction"
+          val row = StandardMetrics.weightedSummary(df, "label", predCol).head()
+          m += s"weightedPrecision_$name$suffix" -> row.getDouble(1)
+          m += s"weightedRecall_$name$suffix" -> row.getDouble(2)
         } else {
           val row = StandardMetrics.weightedSummary(df, "label", "prediction").head()
           m += s"accuracy_$name$suffix" -> row.getDouble(0)

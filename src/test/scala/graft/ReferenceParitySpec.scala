@@ -601,6 +601,48 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  it should "reproduce the titanic LR HyperBand precision within tolerance" in {
+    assume(new java.io.File("/root/reference/data/titanic-survival-data.csv.gz").exists())
+    // multiIntent_lr_hyperband_test_config.json (binary LR on titanic
+    // despite the name): stratified 80/20, HyperBand (81 iterations, eta 3)
+    // over regParam uniform [0,1] × elasticNet {0.5, 1.0, 0.3}, maxIter 10,
+    // cabin tokens count-vectorized (1500), pclass/sex hashed. Null
+    // handling via the SQL view chain (the reference imputes in place).
+    // Goldens: application.conf:11-18 (train P/R 0.7316/0.7338,
+    // test P/R 0.6425/0.6534).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-lr-hb", "root": "/tmp/graft-parity"},
+        |  "data": {
+        |    "source": "csv:///root/reference/data/titanic-survival-data.csv.gz",
+        |    "queries": ["SELECT CAST(survived AS STRING) AS survived, CAST(pclass AS STRING) AS pclass, sex, coalesce(CAST(age AS DOUBLE), 0.0) AS age_f, coalesce(cabin, 'default') AS cabin_f, home_dest FROM graftView0"]
+        |  },
+        |  "columns": {"response": "survived", "text": ["cabin_f"],
+        |              "categorical": ["pclass", "sex"], "numerical": ["age_f"],
+        |              "primaryKey": ["home_dest"]},
+        |  "sampling": {"samplingType": "stratified", "split": [80, 20], "seed": 20,
+        |               "minimumClassSupport": 10, "otherClassValue": "other-other"},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "cabin_f", "outputColumn": "c1"},
+        |    {"op": "tokenizer", "inputColumn": "c1", "outputColumn": "toks", "pattern": "\\s+"}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 1500,
+        |                    "categoricalSlots": 1000},
+        |  "training": {"algorithm": "logistic_regression", "buildType": "binary",
+        |               "params": {"maxIter": 10}},
+        |  "tuning": {"method": "hyperband", "maxHyperbandIter": 81, "eta": 3,
+        |             "iterationMultiplier": 1, "finalMaxIter": 100,
+        |             "grid": {"regParam": [0, 1],
+        |                      "elasticNetParam": [0.5, 1.0, 0.3]}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train precision=${result.metrics("weightedPrecision_train")}%.6f (golden 0.731551)")
+    info(f"test precision =${result.metrics("weightedPrecision_test")}%.6f (golden 0.642544)")
+    info(f"test recall    =${result.metrics("weightedRecall_test")}%.6f (golden 0.653386)")
+    result.metrics("weightedPrecision_train") should be >= 0.7316 - 0.06
+    result.metrics("weightedPrecision_test") should be >= 0.6425 - 0.06
+  }
+
   it should "reproduce the binary GBT HyperBand AUROC within tolerance" in {
     assume(new java.io.File("/root/reference/data/web_journey_data.tsv.gz").exists())
     // binary_gbt_hyperband.json: the web-journey binary flow with GBT under
