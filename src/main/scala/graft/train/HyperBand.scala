@@ -19,13 +19,21 @@ import org.apache.spark.sql.DataFrame
   */
 object HyperBand extends Logging {
 
+  /** For OVR the tuned params live on the INNER classifier; its copy(pm)
+    * propagates them at fit time (same convention as ModelFactory.grid). */
+  private def tuningTarget(p: org.apache.spark.ml.param.Params)
+      : org.apache.spark.ml.param.Params = p match {
+    case ovr: OneVsRestScored => ovr.getClassifier
+    case e => e
+  }
+
   /** Sample a random config: each grid entry [lo, hi] (or a discrete list
     * of >2 values) sampled uniformly, int-cast for int params. */
   private def randomConfig(est: Estimator[_], space: Map[String, Seq[Double]],
                            rnd: scala.util.Random): ParamMap = {
     val pm = ParamMap.empty
     space.foreach { case (name, values) =>
-      val param: org.apache.spark.ml.param.Param[_] = est.getParam(name)
+      val param: org.apache.spark.ml.param.Param[_] = tuningTarget(est).getParam(name)
       val v: Double =
         if (values.size == 2) values.head + rnd.nextDouble() * (values(1) - values.head)
         else values(rnd.nextInt(values.size))
@@ -50,7 +58,13 @@ object HyperBand extends Logging {
     val sMax = (math.log(maxR) / math.log(eta)).toInt
     val b = (sMax + 1) * maxR
     val eval = CrossValidatorCustom.evaluator(tuning.evalMetric)
-    val hasMaxIter = est.params.exists(_.name == "maxIter")
+    val hasMaxIter = tuningTarget(est).params.exists(_.name == "maxIter")
+    // each est.copy has its OWN inner classifier (OneVsRestScored.copy
+    // deep-copies it), so setting maxIter on the copy's target is safe
+    def setMaxIter(e: Estimator[_], v: Int): Unit = {
+      val t = tuningTarget(e)
+      t.set(t.getParam("maxIter"), v)
+    }
 
     val Array(train, valid) = df.randomSplit(Array(trainSize, 1 - trainSize), seed)
     train.cache(); valid.cache()
@@ -65,8 +79,7 @@ object HyperBand extends Logging {
         val scored = configs.map { pm =>
           val e = est.copy(pm)
           if (hasMaxIter)
-            e.set(e.getParam("maxIter"),
-              math.max(1, (ri * iterationMultiplier / maxR).toInt))
+            setMaxIter(e, math.max(1, (ri * iterationMultiplier / maxR).toInt))
           val fitted =
             (if (hasMaxIter) e.fit(train)
              else e.fit(train.sample(withReplacement = false, (ri / maxR).min(1.0), seed)))
@@ -88,7 +101,7 @@ object HyperBand extends Logging {
     val (bestPm, bestMetric) = best.get
     logInfo(s"hyperband best=$bestPm metric=$bestMetric — final fit")
     val e = est.copy(bestPm)
-    if (hasMaxIter) e.set(e.getParam("maxIter"), finalMaxIter)
+    if (hasMaxIter) setMaxIter(e, finalMaxIter)
     val result = e.fit(df).asInstanceOf[Transformer]
     train.unpersist(); valid.unpersist()
     result

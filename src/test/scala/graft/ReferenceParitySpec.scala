@@ -601,6 +601,44 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  it should "reproduce the multi-intent SVM HyperBand precision within tolerance" in {
+    assume(new java.io.File("/root/reference/data/yelp-data/reviews_1k.json.gz").exists())
+    // multiIntent_svm_hyperband_test_config.json: stratified 80/20, OVR
+    // Platt-calibrated SVM, HyperBand with the reference's own tiny budget
+    // (iterations 3, eta 3, iterMultiplier 2) over regParam. Goldens:
+    // application.conf:19-26 (train P/R 0.9975/0.9975, test P/R
+    // 0.3170/0.3050).
+    val conf = GraftConf.fromJson(
+      """{
+        |  "project": {"name": "parity-svm-hb", "root": "/tmp/graft-parity"},
+        |  "data": {"source": "json:///root/reference/data/yelp-data/reviews_1k.json.gz"},
+        |  "columns": {"response": "stars", "text": ["text"], "primaryKey": ["review_id"]},
+        |  "sampling": {"samplingType": "stratified", "split": [80, 20], "seed": 20,
+        |               "minimumClassSupport": 10, "otherClassValue": "other-other"},
+        |  "preprocessing": [
+        |    {"op": "case_normalization", "inputColumn": "text", "outputColumn": "t1"},
+        |    {"op": "stopwords", "inputColumn": "t1", "outputColumn": "t2",
+        |     "file": "/root/reference/support_files/stopwords.txt"},
+        |    {"op": "stemming", "inputColumn": "t2", "outputColumn": "t3"},
+        |    {"op": "tokenizer", "inputColumn": "t3", "outputColumn": "toks",
+        |     "pattern": "[.,? ###_END_### !]"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 15000,
+        |                    "assembleNumericals": false},
+        |  "training": {"algorithm": "svm", "buildType": "ovr", "plattScaling": true,
+        |               "params": {"maxIter": 100}},
+        |  "tuning": {"method": "hyperband", "maxHyperbandIter": 3, "eta": 3,
+        |             "iterationMultiplier": 2, "finalMaxIter": 100,
+        |             "grid": {"regParam": [0.01, 0.1]}}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    info(f"train precision=${result.metrics("weightedPrecision_train")}%.6f (golden 0.997516)")
+    info(f"test precision =${result.metrics("weightedPrecision_test")}%.6f (golden 0.316992)")
+    info(f"test recall    =${result.metrics("weightedRecall_test")}%.6f (golden 0.305000)")
+    result.metrics("weightedPrecision_test") should be >= 0.3170 - 0.05
+    result.metrics("weightedRecall_test") should be >= 0.3050 - 0.05
+  }
+
   it should "reproduce the titanic LR HyperBand precision within tolerance" in {
     assume(new java.io.File("/root/reference/data/titanic-survival-data.csv.gz").exists())
     // multiIntent_lr_hyperband_test_config.json (binary LR on titanic
