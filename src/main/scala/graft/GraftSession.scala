@@ -18,14 +18,26 @@ object GraftSession {
       .getOrElse(Runtime.getRuntime.availableProcessors)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(8),
-            appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(appName)
+            appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores)
+
+  /** Cluster entry: no master set — spark-submit / the cluster manager
+    * decides. Shuffle partitions stay at Spark's default (AQE coalesces);
+    * everything else matches [[local]]. */
+  def cluster(appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().appName(appName), shufflePartitions = 0)
+
+  private def configure(b: SparkSession.Builder,
+                        shufflePartitions: Int): SparkSession = {
+    val withParts =
+      if (shufflePartitions > 0)
+        b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      else b
+    val spark = withParts
       // graft native expressions (vec_dot/vec_norm/vec_l2/vec_sig) — public
       // extension hook; makes them callable from DataFrame code AND SQL text.
       .withExtensions(graft.functions.GraftFunctions.register)
-      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
