@@ -35,7 +35,8 @@ object GraftFunctions {
     ext.injectFunction(one("vec_l2", args => VecL2(args.head)))
     ext.injectFunction(one("vec_dot", args => VecDot(args(0), args(1))))
     ext.injectFunction(one("vec_sig", args =>
-      VecSig(args(0), intArg(args(1), "vec_sig"), intArg(args(2), "vec_sig"))))
+      VecSig(args(0), intArg(args(1), "vec_sig"), intArg(args(2), "vec_sig"),
+        if (args.length > 3) intArg(args(3), "vec_sig") else 0)))
     ext.injectFunction(one("text_winnow", args =>
       TextWinnow(args(0), intArg(args(1), "text_winnow"),
         intArg(args(2), "text_winnow"))))
@@ -52,9 +53,10 @@ object GraftFunctions {
   /** dot product of two double-vector columns. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  /** sign-projection LSH signature of a float-vector column. */
-  def vecSig(v: Column, planes: Int, dims: Int): Column =
-    call_function("vec_sig", v, lit(planes), lit(dims))
+  /** sign-projection LSH signature of a float-vector column; `offset`
+    * selects an independent plane family (band) from the md5 digits. */
+  def vecSig(v: Column, planes: Int, dims: Int, offset: Int = 0): Column =
+    call_function("vec_sig", v, lit(planes), lit(dims), lit(offset))
 
   /** winnowing rolling-hash fingerprint of a string column. */
   def textWinnow(s: Column, k: Int, w: Int): Column =

@@ -170,14 +170,15 @@ case class VecDot(left: Expression, right: Expression)
   * (`weight(j)(i) = +1 iff hexdigit j of md5(i) is even`) — reproducible
   * in any engine, so the bucket assignment itself is oracle-checkable.
   * Row-local; the weights matrix is one broadcast-once reference object. */
-case class VecSig(child: Expression, planes: Int, dims: Int)
+case class VecSig(child: Expression, planes: Int, dims: Int, offset: Int = 0)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.requireTypes(prettyName, child.dataType -> ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_sig"
 
-  @transient private lazy val w: Array[Array[Double]] = VecSig.planeWeights(planes, dims)
+  @transient private lazy val w: Array[Array[Double]] =
+    VecSig.planeWeights(planes, dims, offset)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -226,9 +227,12 @@ object VecSig {
     java.security.MessageDigest.getInstance("MD5")
       .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** weight(j)(i) = +1 when hex digit j of md5(i) is even, else −1. */
-  def planeWeights(planes: Int, dims: Int): Array[Array[Double]] =
+  /** weight(j)(i) = +1 when hex digit offset+j of md5(i) is even, else −1.
+    * `offset` selects an independent plane family from the same digest —
+    * band b of a multi-table LSH index uses offset = b * planes (md5 has
+    * 32 hex digits → up to 32/planes independent bands). */
+  def planeWeights(planes: Int, dims: Int, offset: Int = 0): Array[Array[Double]] =
     Array.tabulate(planes, dims)((j, i) =>
-      if (Integer.parseInt(md5hex(i.toString).substring(j, j + 1), 16) % 2 == 0) 1.0
+      if (Integer.parseInt(md5hex(i.toString).substring(offset + j, offset + j + 1), 16) % 2 == 0) 1.0
       else -1.0)
 }

@@ -275,24 +275,38 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
-  /** LSH-bucketed ANN — the SCALE path for similarity search: 4 deterministic
-    * sign-projection hyperplanes (weights ±1 from md5 hex-digit parity of the
-    * dimension index — reproducible in any engine) hash every vector into one
-    * of 16 buckets; candidates meet only within their bucket (equi-join on
-    * the signature — never all-pairs), then exact cosine ranks top-3.
-    * At 100 TB: the signature is one row-local expression, the join shuffles
-    * on the 16-way signature key, and more planes/bands trade recall for
-    * bucket size without changing the plan shape. */
+  /** LSH-bucketed ANN — the SCALE path for similarity search: EIGHT
+    * independent 4-hyperplane sign-projection tables (weights ±1 from md5
+    * hex-digit parity of the dimension index, band b reading digit family
+    * b·4 — reproducible in any engine) hash every vector into 16 buckets
+    * per band; candidates meet when they share a bucket in ANY band
+    * (OR-ed tables — the standard LSH recall knob: per-band match
+    * probability is (1−θ/π)⁴, so recall@3 on this weakly-clustered
+    * synthetic corpus goes ~0.13 (1 band) → ~0.21 (3) → ~0.46 (6) →
+    * 0.67 at 8, measured by AnnRecallSpec), then exact cosine ranks top-3.
+    * At 100 TB: signatures are row-local expressions, the index is 3× the
+    * corpus in narrow (band, sig, id) rows, the join shuffles on the
+    * (band, sig) key, and bands/planes trade recall for bucket size
+    * without changing the plan shape. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.embeddings(s, dir)
+    val nBands = 8
+    val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"),
-        vecSig(col("embedding"), 4, 64).as("sig"))
-      .cache() // both join sides read the signatures
-    val q = sigs.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "vn AS qv", "sig")
-    val c = sigs.selectExpr("vec_id AS c_id", "vn AS cv", "sig")
-    q.join(c, "sig").filter(col("q_id") =!= col("c_id"))
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            vecSig(col("embedding"), 4, 64, b * 4).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("vn"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache() // both join sides read the banded index
+    val q = e.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id", "vn AS qv", "band", "sig")
+    val c = e.selectExpr("vec_id AS c_id", "vn AS cv", "band", "sig")
+    q.join(c, Seq("band", "sig")).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
+      // a pair sharing several bands appears once per band — dedup on the
+      // NARROW (ids, score) rows, never shuffling the vectors
+      .groupBy("q_id", "c_id").agg(min("cos_sim").as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
       .filter(col("rnk") <= 3)
@@ -599,17 +613,20 @@ object LlmData extends QueryPack {
         | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
         |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
         |          THEN 1.0 ELSE -1.0 END) AS wv
-        |   FROM generate_series(0, 3) AS t(j)),
-        | sigv AS (SELECT vec_id,
-        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
-        |   FROM e, w GROUP BY vec_id),
-        | sigs AS (SELECT e.vec_id,
-        |     list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS vn,
-        |     sigv.sig FROM e JOIN sigv USING (vec_id)),
-        | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |     round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
-        |   FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
-        |   WHERE q.vec_id < 8)
+        |   FROM generate_series(0, 31) AS t(j)),
+        | sigv AS (SELECT vec_id, j // 4 AS band,
+        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << (j % 4)) ELSE 0 END)::BIGINT AS sig
+        |   FROM e, w GROUP BY vec_id, j // 4),
+        | nrm AS (SELECT vec_id,
+        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+        | cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |   FROM sigv q JOIN sigv c ON q.band = c.band AND q.sig = c.sig
+        |     AND q.vec_id <> c.vec_id
+        |   WHERE q.vec_id < 8),
+        | sc AS (SELECT cand.q_id, cand.c_id,
+        |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+        |   FROM cand JOIN nrm a ON cand.q_id = a.vec_id
+        |             JOIN nrm b ON cand.c_id = b.vec_id)
         |SELECT q_id, rnk, c_id, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
         |  FROM sc)
