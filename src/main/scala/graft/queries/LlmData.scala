@@ -317,7 +317,7 @@ object LlmData extends QueryPack {
   /** IVF-bucketed ANN — the coarse-quantizer scale path (IVF-flat): a small
     * centroid set partitions the corpus into inverted lists; every vector
     * joins its nearest centroid's list (one broadcast join — the centroid
-    * set is small by construction), and queries probe their `nprobe`=2
+    * set is small by construction), and queries probe their `nprobe`=3
     * closest lists, so candidate generation touches ~nprobe/k of the corpus
     * instead of all of it. Exact cosine ranks the survivors.
     *
@@ -343,7 +343,7 @@ object LlmData extends QueryPack {
     val byCell = row_number().over(
       Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id")))
     val assigned = scored.withColumn("rn", byCell)
-      .filter(col("rn") <= 2).select("vec_id", "cent_id", "rn")
+      .filter(col("rn") <= 3).select("vec_id", "cent_id", "rn")
       .cache()
     val lists = assigned.filter(col("rn") === 1).join(e, "vec_id")
       .select(col("vec_id").as("c_id"), col("vn").as("cvn"), col("cent_id"))
@@ -643,7 +643,7 @@ object LlmData extends QueryPack {
         |     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn
         |   FROM sc),
         | lists AS (SELECT vec_id AS c_id, cent_id FROM a WHERE rn = 1),
-        | probes AS (SELECT vec_id AS q_id, cent_id FROM a WHERE vec_id < 8 AND rn <= 2),
+        | probes AS (SELECT vec_id AS q_id, cent_id FROM a WHERE vec_id < 8 AND rn <= 3),
         | pairs AS (SELECT p.q_id, l.c_id,
         |     round(list_dot_product(q.vn, cand.vn), 4) AS cos_sim
         |   FROM probes p JOIN lists l USING (cent_id)

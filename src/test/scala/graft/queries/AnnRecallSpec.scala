@@ -35,7 +35,7 @@ class AnnRecallSpec extends SparkSpec {
       LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
     val ivf = resultSet(LlmData.annIvf(spark, dir))
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    info(f"IVF recall@3 (nprobe=2) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
+    info(f"IVF recall@3 (nprobe=3) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
     recall should be >= 0.5
   }
 }
