@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.features.{CategoricalAssembler, SkipGramGenerator}
+import graft.features.{CategoricalAssembler, GramAssembler, SkipGramGenerator}
 import graft.text._
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, IDFModel, NGram}
@@ -101,6 +101,25 @@ object TextOpsPack extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** TokenSplitter → NGram(2) → SkipGramGenerator(5) → GramAssembler: the
+    * gram-union operator itself (ref: GramAssembler.scala:33-35) through
+    * real stages — base tokens ++ bigrams ++ skip-grams in declared
+    * order, per-doc count + order-sensitive hash. */
+  def gramAssemble(s: SparkSession, dir: String): DataFrame = {
+    val stages = new Pipeline().setStages(Array(
+      new TokenSplitter().setInputCol("text").setOutputCol("toks"),
+      new NGram().setN(2).setInputCol("toks").setOutputCol("bi"),
+      new SkipGramGenerator().setInputCol("toks").setOutputCol("sk")
+        .setWindowSize(5),
+      new GramAssembler().setInputCols(Array("toks", "bi", "sk"))
+        .setOutputCol("all_grams")))
+    val df = Tables.documents(s, dir)
+    stages.fit(df).transform(df)
+      .select(col("doc_id"), size(col("all_grams")).as("n_grams"),
+        md5(concat_ws("|", col("all_grams"))).as("grams_md5"))
+      .orderBy("doc_id")
+  }
+
   /** TokenSplitter → CountVectorizer(minDF=5) → IDF, then per-term df +
     * idf read from the FITTED models (docFreq/idf are what the transform
     * applies) joined with corpus term totals from the same token stream —
@@ -141,7 +160,8 @@ object TextOpsPack extends QueryPack {
     "ngram_stats" -> ngramStats,
     "cat_assemble" -> catAssemble,
     "binning_intervals" -> binningIntervals,
-    "tfidf_stats" -> tfidfStats)
+    "tfidf_stats" -> tfidfStats,
+    "gram_assemble" -> gramAssemble)
 
   private val splitRe = "\\s|(~SP~)"
 
@@ -193,6 +213,25 @@ object TextOpsPack extends QueryPack {
         |                 'o_orderpriority_' || o_orderpriority]) AS token
         |  FROM orders)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "gram_assemble" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '$splitRe'),
+         |     x -> length(x) > 0) AS toks FROM documents),
+         | g AS (SELECT doc_id, toks,
+         |   CASE WHEN len(toks) >= 2 THEN
+         |     list_transform(generate_series(1, len(toks) - 1),
+         |       i -> toks[i] || ' ' || toks[i + 1])
+         |   ELSE [] END AS bi,
+         |   CASE WHEN len(toks) >= 3 THEN
+         |     flatten(list_transform(generate_series(3, 5), w ->
+         |       CASE WHEN len(toks) >= w THEN
+         |         list_transform(generate_series(1, len(toks) - w + 1),
+         |           i -> toks[i] || ' & ' || toks[i + w - 1])
+         |       ELSE [] END))
+         |   ELSE [] END AS sk FROM t),
+         | u AS (SELECT doc_id, list_concat(list_concat(toks, bi), sk) AS allg FROM g)
+         |SELECT doc_id, len(allg) AS n_grams,
+         | md5(array_to_string(allg, '|')) AS grams_md5
+         |FROM u ORDER BY doc_id""".stripMargin,
     "tfidf_stats" ->
       s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '$splitRe'),
          |     x -> length(x) > 0) AS toks FROM documents),
