@@ -35,12 +35,17 @@ final class Savepoints(project: ProjectConf) {
   }
 
   /** Metrics map → JSON file (ref: PipelineSteps.scala:263-272). */
+  /** Metrics land as BOTH json and csv, like the reference's metrics sink
+    * (PipelineSteps.scala:263-272 writes a JSON file + CSV text). */
   def saveMetrics(metrics: Map[String, Double], name: String = "metrics"): Unit = {
     val dir = java.nio.file.Paths.get(
       s"${project.root}/${project.name}/${project.retrainId}")
     java.nio.file.Files.createDirectories(dir)
-    val json = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val sorted = metrics.toSeq.sortBy(_._1)
+    val json = sorted.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     java.nio.file.Files.writeString(dir.resolve(s"$name.json"), json)
+    val csv = ("metric,value" +: sorted.map { case (k, v) => s"$k,$v" })
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(dir.resolve(s"$name.csv"), csv)
   }
 }
