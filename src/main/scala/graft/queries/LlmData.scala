@@ -143,8 +143,11 @@ object LlmData extends QueryPack {
     // restrict the shingle stream to candidate docs, then intersect per PAIR:
     // cand ⋈ shingles(da) gives each pair its left shingle set; matching on
     // (db, s) counts the intersection — work scales with pairs, not df².
+    // no broadcast hint: the candidate-doc set scales with the dup rate —
+    // at 100 TB it can exceed any broadcast budget; below the 64MB
+    // threshold AQE still picks a broadcast semi-join on its own
     val candDocs = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // no broadcast hint on cand: small under the 64MB auto-threshold at
     // test scale; at 100 TB the pair set can be large — AQE decides.

@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The scalable ordering primitives vs their single-partition window
+  * definitions — equality on data that actually spans many partitions, so
+  * the per-partition offset bookkeeping (not just the happy path) is what's
+  * being checked. */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keys deliberately collide and interleave across partitions
+  private def df = (1 to 5000)
+    .map(i => (i.toLong, (i * 2654435761L % 97).toInt, (i % 13).toDouble))
+    .toDF("id", "k", "v")
+    .repartition(32)
+
+  behavior of "GlobalRank"
+
+  it should "compute exact global row numbers equal to an ordered window" in {
+    val got = GlobalRank.withRowNumber(df, Seq(col("k"), col("id")), "rn")
+      .select("id", "rn")
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy("k", "id")).cast("long"))
+      .select("id", "rn")
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+  }
+
+  it should "compute running sums equal to a cumulative window" in {
+    val got = GlobalRank.withRunningSums(df, Seq(col("k"), col("id")),
+        Seq("v" -> "cum_v", "id" -> "cum_id"))
+      .select(col("id"), col("cum_v"), col("cum_id"))
+    val w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cum_v", sum("v").over(w))
+      .withColumn("cum_id", sum("id").over(w).cast("double"))
+      .select(col("id"), col("cum_v"), col("cum_id"))
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+  }
+
+  it should "compute SQL-standard ntile buckets" in {
+    val got = GlobalRank.withNtile(df, Seq(col("k"), col("id")), 7, "b")
+      .select("id", "b")
+    val want = df.withColumn("b",
+      ntile(7).over(Window.orderBy("k", "id")).cast("long"))
+      .select("id", "b")
+    got.except(want).count() shouldBe 0
+  }
+}
