@@ -37,12 +37,14 @@ object Relational extends QueryPack {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 flavor: 3-way join (broadcast dims) + top-k. */
+  /** TPC-H Q3 flavor: 3-way join + top-k. customer scales with SF — no
+    * broadcast hint even filtered (1/5 of customers is still fact-scale at
+    * 100 TB); under the 64MB threshold AQE broadcasts it on its own. */
   def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
     val cut = to_timestamp(lit("2000-01-01 00:00:00"))
     Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
       .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+      .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       // o_date as a STRING 'yyyy-MM-dd' on both sides: date values render
       // differently across Spark/DuckDB/pandas and would fail the hash.
@@ -53,14 +55,15 @@ object Relational extends QueryPack {
       .limit(10)
   }
 
-  /** TPC-H Q5 flavor: 6-way star join; all dims broadcast, single shuffle
-    * for the final agg. */
+  /** TPC-H Q5 flavor: 6-way star join; FIXED-size dims (nation 25, region
+    * 5) broadcast, single shuffle for the final agg. */
   def regionRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      // customer is fact-scale (grows with SF) — no broadcast hint; let the
-      // 64MB autoBroadcastJoinThreshold / AQE decide per actual size.
+      // supplier and customer GROW with SF (supplier is small only at test
+      // scale) — no broadcast hints; the 64MB autoBroadcastJoinThreshold /
+      // AQE decide per actual size.
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
