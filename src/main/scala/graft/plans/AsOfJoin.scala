@@ -41,13 +41,13 @@ object AsOfJoin {
           s"`$c`:${right.schema(c).dataType.sql}").mkString(",")}>"))
     val rightTagged = right
       .select((keyCols :+ col(rightTs).as("__ts")) :+
-        struct(payloadCols.map(col): _*).as("__payload"): _*)
+        struct(payloadCols.toIndexedSeq.map(col): _*).as("__payload"): _*)
       .withColumn("__side", lit(0))
     // align columns for the union: right side carries nulls for left cols
     val leftOnly = left.columns.filterNot(c => keys.contains(c))
     val rightAligned = leftOnly.foldLeft(rightTagged)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(leftTagged.columns.map(col): _*)
+      .select(leftTagged.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -57,6 +57,6 @@ object AsOfJoin {
 
     val out = left.columns.map(col) ++
       payloadCols.map(c => col(s"__match.$c").as(s"$asofPrefix$c"))
-    matched.select(out: _*)
+    matched.select(out.toIndexedSeq: _*)
   }
 }
