@@ -10,7 +10,11 @@ package graft
   * Flags: `--savepoint` writes per-step parquet savepoints, `--resume`
   * loads the input step from its savepoint when present, `--local[=N]`
   * forces a local master (otherwise spark-submit / the cluster manager
-  * decides). Prints one JSON line with the run's metrics.
+  * decides), `--monitor` runs monitoring mode instead of training (the
+  * reference's `experiment.type = monitoring` entry point): PSI per
+  * numerical column and VSI per categorical column between
+  * `data.monitorBaseSource` and `data.source`. Prints one JSON line with
+  * the run's metrics.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -24,10 +28,21 @@ object Main {
         GraftSession.local(cores, appName)
     }.getOrElse(GraftSession.cluster(appName))
     try {
-      val result = PipelineRunner.run(spark, conf,
-        savepointing = args.contains("--savepoint"),
-        resume = args.contains("--resume"))
-      val json = result.metrics.toSeq.sortBy(_._1)
+      val metrics =
+        if (args.contains("--monitor")) {
+          val baseSource = conf.data.monitorBaseSource.getOrElse(
+            throw new IllegalArgumentException(
+              "--monitor requires data.monitorBaseSource in the config"))
+          val base = io.SourceReader.read(spark,
+            conf.data.copy(source = baseSource), conf.columns)
+          val current = io.SourceReader.read(spark, conf.data, conf.columns)
+          PipelineRunner.monitor(spark, conf, base, current,
+            savepointing = args.contains("--savepoint"))
+        } else
+          PipelineRunner.run(spark, conf,
+            savepointing = args.contains("--savepoint"),
+            resume = args.contains("--resume")).metrics
+      val json = metrics.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(json)
     } finally spark.stop()

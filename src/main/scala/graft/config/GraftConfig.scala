@@ -38,7 +38,12 @@ final case class DataConf(
     source: String,
     queries: Seq[String] = Nil,
     customFilter: Option[String] = None,
-    tempViewPrefix: String = "graftView")
+    tempViewPrefix: String = "graftView",
+    /** Monitoring mode's BASE snapshot (the reference's 4th entry point,
+      * `experiment.type = monitoring`): `source` is the current data,
+      * this the baseline it drifts against. Read with the same column
+      * roles; required when running `graft.Main --monitor`. */
+    monitorBaseSource: Option[String] = None)
 
 /** Train/test sampling (ref: core/sampling/TrainTestSampler.scala:59-300). */
 final case class SamplingConf(
