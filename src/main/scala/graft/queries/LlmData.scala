@@ -484,6 +484,66 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: for every corpus doc, the overlap of its
+    * shingles with the held-out eval set's shingle universe (eval docs =
+    * `doc_id % 97 == 0` — stand-in for a benchmark/test corpus). Reports
+    * each corpus doc sharing at least one shingle with the eval set.
+    *
+    * Scale design: the eval side is a benchmark — tiny relative to a
+    * 100 TB corpus — so its distinct-shingle set is the build side of a
+    * broadcast-able semi-join (AQE picks broadcast under the threshold;
+    * no hint so a pathological eval set degrades to shuffle, not OOM).
+    * The corpus side streams through one hash aggregate keyed by doc_id.
+    * The local cache of the shingle stream is test-scale convenience
+    * only — the three consumers (eval set, sizes, hits) each prune to
+    * different columns, so at 100 TB you drop the cache and let the
+    * scan run twice rather than materialize corpus-scale shingles. */
+  def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = corpus.join(evalSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    hits.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+        round(col("n_overlap") / col("n_sh"), 6).as("frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    * Language Models", §A1.1 repetition filters): per-doc duplicate-word
+    * fraction, top-word fraction, top-bigram fraction, and a keep flag.
+    *
+    * Scale design: two explode → hash-aggregate chains keyed by
+    * (doc_id, gram) then doc_id — partial aggregation map-side, keys
+    * uniform in doc_id, no window, no skew. The bigram explode is
+    * row-local (array transform), never a self-join. */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir).selectExpr("doc_id", "split(text, ' ') AS toks")
+    val wc = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      (sum("c") - count(lit(1))).as("n_dup"),
+      max("c").as("top_w"))
+    val bc = t.filter(size(col("toks")) >= 2)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg""".stripMargin)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_b"))
+    ws.join(bs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_dup") / col("n_words"), 6).as("dup_word_frac"),
+        round(col("top_w") / col("n_words"), 6).as("top_word_frac"),
+        round(col("top_b") / col("n_bigrams"), 6).as("top_bigram_frac"))
+      .withColumn("keep",
+        (col("top_word_frac") <= 0.125 && col("top_bigram_frac") <= 0.05)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -513,7 +573,9 @@ object LlmData extends QueryPack {
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
     "doc_winnow" -> docWinnow,
-    "lang_profile" -> langProfile)
+    "lang_profile" -> langProfile,
+    "decontam_overlap" -> decontamOverlap,
+    "gopher_repetition" -> gopherRepetition)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -758,5 +820,36 @@ object LlmData extends QueryPack {
     "lang_profile" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         | round(avg(n_chars), 2) AS avg_chars
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "decontam_overlap" ->
+      s"""WITH $shinglesSql,
+        | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        | corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        | sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id),
+        | hits AS (SELECT doc_id, count(*) AS n_overlap
+        |   FROM corpus JOIN ev USING (s) GROUP BY doc_id)
+        |SELECT doc_id, n_sh, n_overlap,
+        | round(n_overlap::DOUBLE / n_sh, 6) AS frac
+        |FROM hits JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | wc AS (SELECT doc_id, w, count(*) AS c FROM
+        |   (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        | ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |   (sum(c) - count(*))::BIGINT AS n_dup, max(c) AS top_w
+        |   FROM wc GROUP BY doc_id),
+        | bc AS (SELECT doc_id, bg, count(*) AS c FROM
+        |   (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, bg),
+        | bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_b
+        |   FROM bc GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words,
+        | round(n_dup::DOUBLE / n_words, 6) AS dup_word_frac,
+        | round(top_w::DOUBLE / n_words, 6) AS top_word_frac,
+        | round(top_b::DOUBLE / n_bigrams, 6) AS top_bigram_frac,
+        | (CASE WHEN round(top_w::DOUBLE / n_words, 6) <= 0.125
+        |       AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
+        |  THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin)
 }

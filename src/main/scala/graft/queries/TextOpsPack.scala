@@ -154,6 +154,34 @@ object TextOpsPack extends QueryPack {
       .orderBy("term")
   }
 
+  /** PII-style identifier scrub through the REAL RegexReplacer stage
+    * (word_classes_replacement with ID classes): long digit runs →
+    * `_class_id` first, remaining digit runs → `_class_num` second — the
+    * reference's ordered longest-class-first application
+    * (PreprocessingEngine.scala:395-401) on a mixed corpus of customer
+    * names and event property JSON. Per-source redaction profile.
+    *
+    * Scale notes: row-local regex (codegen, no shuffle before the final
+    * per-source aggregate); countDistinct is a two-level hash aggregate
+    * (partial map-side), never a collect. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val txt = Tables.customer(s, dir)
+      .select(lit("customer").as("src"), col("c_name").as("raw"))
+      .unionAll(Tables.events(s, dir)
+        .select(lit("events").as("src"), col("props").as("raw")))
+    val red = new RegexReplacer().setInputCol("raw").setOutputCol("red")
+      .setPairs(Seq("[0-9]{4,}" -> "_class_id", "[0-9]+" -> "_class_num"))
+    red.transform(txt)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("red") =!= col("raw"), 1L).otherwise(0L)).as("n_redacted"),
+        countDistinct(col("red")).as("n_forms"),
+        min(col("red")).as("min_form"),
+        sum(length(col("raw"))).as("n_chars_in"),
+        sum(length(col("red"))).as("n_chars_out"))
+      .orderBy("src")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "preprocess_chain" -> preprocessChain,
     "skipgram_stats" -> skipgramStats,
@@ -161,7 +189,8 @@ object TextOpsPack extends QueryPack {
     "cat_assemble" -> catAssemble,
     "binning_intervals" -> binningIntervals,
     "tfidf_stats" -> tfidfStats,
-    "gram_assemble" -> gramAssemble)
+    "gram_assemble" -> gramAssemble,
+    "pii_scrub" -> piiScrub)
 
   private val splitRe = "\\s|(~SP~)"
 
@@ -248,5 +277,20 @@ object TextOpsPack extends QueryPack {
         |            ELSE 3 END::BIGINT AS bucket,
         | count(*) AS n, round(min(o_totalprice), 2) AS lo,
         | round(max(o_totalprice), 2) AS hi
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "pii_scrub" ->
+      """WITH txt AS (
+        |  SELECT 'customer' AS src, c_name AS raw FROM customer
+        |  UNION ALL
+        |  SELECT 'events' AS src, props AS raw FROM events),
+        | red AS (SELECT src, raw,
+        |   regexp_replace(regexp_replace(raw, '[0-9]{4,}', '_class_id', 'g'),
+        |                  '[0-9]+', '_class_num', 'g') AS red FROM txt)
+        |SELECT src, count(*) AS n_rows,
+        | sum(CASE WHEN red <> raw THEN 1 ELSE 0 END)::BIGINT AS n_redacted,
+        | count(DISTINCT red)::BIGINT AS n_forms,
+        | min(red) AS min_form,
+        | sum(length(raw))::BIGINT AS n_chars_in,
+        | sum(length(red))::BIGINT AS n_chars_out
+        |FROM red GROUP BY src ORDER BY src""".stripMargin)
 }

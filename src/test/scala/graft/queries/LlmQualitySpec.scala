@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Invariants for the corpus-quality operators (decontamination overlap,
+  * Gopher repetition signals, PII/ID scrub) — the driver's DuckDB oracle
+  * checks exact values; these check the semantic contracts that hold at
+  * any scale factor. */
+class LlmQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  behavior of "decontamOverlap"
+
+  it should "report only non-eval docs with partial-or-full overlap fractions" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.decontamOverlap(spark, dir).collect()
+    rows should not be empty // the shared vocab guarantees some overlap
+    rows.foreach { r =>
+      r.getLong(0) % 97 should not be 0L // eval docs never appear
+      val (nSh, nOv) = (r.getLong(1), r.getLong(2))
+      nOv should be > 0L
+      nOv should be <= nSh
+      val frac = r.getDouble(3)
+      frac should (be > 0.0 and be <= 1.0)
+    }
+  }
+
+  behavior of "gopherRepetition"
+
+  it should "produce consistent fractions and a threshold-derived keep flag" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.gopherRepetition(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val nWords = r.getLong(1)
+      nWords should be > 0L
+      val (dup, topW, topB) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      dup should (be >= 0.0 and be < 1.0)
+      // the most frequent word occurs at least once (5e-7 = round-6 slack)
+      topW should be >= 1.0 / nWords - 5e-7
+      topB should (be > 0.0 and be <= 1.0)
+      r.getLong(5) shouldBe (if (topW <= 0.125 && topB <= 0.05) 1L else 0L)
+    }
+    // thresholds must actually split the corpus, not rubber-stamp it
+    rows.map(_.getLong(5)).distinct.length shouldBe 2
+  }
+
+  behavior of "piiScrub"
+
+  it should "remove every digit run and account for all rows" in {
+    assume(new java.io.File(s"$dir/customer.parquet").exists())
+    val rows = TextOpsPack.piiScrub(spark, dir).collect()
+    rows.map(_.getString(0)).sorted shouldBe Array("customer", "events")
+    rows.foreach { r =>
+      val (nRows, nRed) = (r.getLong(1), r.getLong(2))
+      nRed should be <= nRows
+      nRed should be > 0L // both sources carry digit runs
+      r.getString(4) should not include regex("[0-9]")
+    }
+  }
+}
