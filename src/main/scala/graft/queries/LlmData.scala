@@ -385,6 +385,66 @@ object LlmData extends QueryPack {
       .orderBy("da", "db")
   }
 
+  /** Deterministic k-means over the embedding corpus (Lloyd, 3 assignment
+    * rounds, centroids seeded from every 97th vector) → per-cluster
+    * profile — the corpus-clustering step of training-data curation
+    * (cluster-balanced sampling / domain discovery).
+    *
+    * Scale design: assignment is ROW-LOCAL — the k centroids ride into the
+    * plan as literals (the broadcast-join limit case: no shuffle, no join,
+    * one argmin expression per row), exactly how MLlib's k-means scores
+    * after collecting centroids to the driver. Each centroid update is one
+    * hash aggregate on narrow (cluster, dim, partial-sum) rows with
+    * map-side combine. Per-round centroids are rounded to 6 dp so the
+    * floating-point summation order of the update aggregate can never leak
+    * into the next round's distances — that makes the whole iteration
+    * bit-reproducible cross-engine (distances use the left-to-right
+    * vec_dot kernel = DuckDB's list_dot_product order). */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("x2", vecDot(col("v"), col("v")))
+      .cache() // read once per round; narrow (id, vec, norm) rows
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    // initial centroids: every 97th vector, components rounded like updates
+    var cents: Seq[(Long, Array[Double])] = e
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(round6)))
+      .sortBy(_._1).toSeq
+    def assign(): DataFrame = {
+      val centArr = array(cents.map { case (id, cv) =>
+        struct(lit(id).as("cid"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
+      }: _*)
+      def d2(c: org.apache.spark.sql.Column) =
+        col("x2") + c("c2") - lit(2.0) * vecDot(col("v"), c("cv"))
+      e.withColumn("best", array_min(transform(centArr, c =>
+          struct(round(d2(c), 6).as("rd2"), c("cid").as("cid"), d2(c).as("d2")))))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
+    }
+    for (_ <- 1 to 2) {
+      val updated = assign()
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(r => round6(r.getDouble(2))).toArray)
+        }
+      // empty clusters keep their previous centroid (standard Lloyd choice)
+      cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
+    }
+    assign()
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(sqrt(greatest(col("d2"), lit(0.0)))), 4).as("avg_dist"))
+      .orderBy("cluster_id")
+  }
+
   /** Quality gate over documents through the real text.TextQuality
     * operator: per-source pass/fail counts. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
@@ -575,7 +635,8 @@ object LlmData extends QueryPack {
     "doc_winnow" -> docWinnow,
     "lang_profile" -> langProfile,
     "decontam_overlap" -> decontamOverlap,
-    "gopher_repetition" -> gopherRepetition)
+    "gopher_repetition" -> gopherRepetition,
+    "embed_kmeans" -> embedKmeans)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -821,6 +882,36 @@ object LlmData extends QueryPack {
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         | round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "embed_kmeans" -> {
+      def assignCte(a: String, c: String) =
+        s"""$a AS (SELECT vec_id, v, cid, d2
+           |  FROM (SELECT e.vec_id, e.v, c.cid,
+           |          e.x2 + list_dot_product(c.cv, c.cv)
+           |            - 2 * list_dot_product(e.v, c.cv) AS d2
+           |        FROM e, $c c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+      def updateCte(u: String, a: String, cPrev: String, c: String) =
+        s"""$u AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           |  FROM $a, unnest(generate_series(1, len(v))) AS t(i)
+           |  GROUP BY cid, i),
+           | ${c}raw AS (SELECT cid, list(m ORDER BY i) AS cv FROM $u GROUP BY cid),
+           | $c AS (SELECT $cPrev.cid, coalesce(${c}raw.cv, $cPrev.cv) AS cv
+           |   FROM $cPrev LEFT JOIN ${c}raw USING (cid))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS x2
+         |  FROM embeddings),
+         | c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+         |   FROM e WHERE vec_id % 97 = 0),
+         | ${assignCte("a1", "c0")},
+         | ${updateCte("u1", "a1", "c0", "c1")},
+         | ${assignCte("a2", "c1")},
+         | ${updateCte("u2", "a2", "c1", "c2")},
+         | ${assignCte("a3", "c2")}
+         |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
+         | round(avg(sqrt(greatest(d2, 0))), 4) AS avg_dist
+         |FROM a3 GROUP BY cid ORDER BY cluster_id""".stripMargin
+    },
     "decontam_overlap" ->
       s"""WITH $shinglesSql,
         | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),

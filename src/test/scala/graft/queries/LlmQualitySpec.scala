@@ -46,6 +46,20 @@ class LlmQualitySpec extends SparkSpec {
     rows.map(_.getLong(5)).distinct.length shouldBe 2
   }
 
+  behavior of "embedKmeans"
+
+  it should "partition the corpus across the seeded clusters" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val total = graft.Tables.embeddings(spark, dir).count()
+    val rows = LlmData.embedKmeans(spark, dir).collect()
+    rows should not be empty
+    rows.map(_.getLong(1)).sum shouldBe total // every vector assigned once
+    rows.foreach { r =>
+      r.getLong(0) % 97 shouldBe 0L // cluster ids are the seed ids
+      r.getDouble(2) should be >= 0.0
+    }
+  }
+
   behavior of "piiScrub"
 
   it should "remove every digit run and account for all rows" in {
