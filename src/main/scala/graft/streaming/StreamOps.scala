@@ -101,6 +101,20 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a bounded
+    * dimension snapshot (user → segment, doc → source metadata). The static
+    * side re-resolves per micro-batch, so a dim refresh is picked up
+    * without restarting the query.
+    *
+    * Scale note: `broadcast` on the static side keeps every micro-batch
+    * shuffle-free (stream-static joins cannot shuffle the stream side into
+    * a stateful join anyway — broadcast is the only plan that doesn't
+    * re-scan the dim per partition). A dim too big to broadcast belongs in
+    * a keyed state store (`flatMapGroupsWithState`), not this operator. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup: first occurrence per content hash wins.
     * With `eventTimeCol` set the state is watermark-bounded (dedup within
     * the lateness horizon — the standard unbounded-stream tradeoff);

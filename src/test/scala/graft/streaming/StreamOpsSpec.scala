@@ -95,4 +95,23 @@ class StreamOpsSpec extends SparkSpec {
       kept shouldBe Set(1L, 3L, 5L) // 2, 4 are dups of 1 after normalization
     } finally q.stop()
   }
+
+  it should "enrich a stream against a static dim with a broadcast join" in {
+    val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")
+    val in = MemoryStream[Event]
+    val enriched = StreamOps.enrichWithDim(in.toDF(), dim, "user_id")
+    val q = enriched
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(2, ts(1), 9, "click", 1.0)) // no dim row → null segment
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select("event_id", "segment").as[(Long, Option[String])]
+        .collect().toMap
+      out shouldBe Map(1L -> Some("gold"), 2L -> None)
+    } finally q.stop()
+  }
 }
