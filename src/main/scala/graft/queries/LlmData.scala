@@ -61,7 +61,7 @@ object LlmData extends QueryPack {
   /** Exact n-gram (trigram-shingle) Jaccard near-dup pairs via inverted-
     * index join — the exactness baseline for MinHash. */
   def neardupPairs(s: SparkSession, dir: String): DataFrame =
-    neardupPairsImpl(s, dir, maxDf = None)
+    neardupPairsImpl(s, dir, maxDf = None, prefixFilter = true)
 
   /** The inverted-index join with the 100 TB hot-shingle mitigation made
     * real: shingles whose document frequency exceeds `maxDf` are dropped
@@ -71,10 +71,26 @@ object LlmData extends QueryPack {
     * shingle universe — the oracle applies the identical cap, so the capped
     * semantics are exact, not approximate. */
   def neardupCapped(s: SparkSession, dir: String): DataFrame =
-    neardupPairsImpl(s, dir, maxDf = Some(50))
+    // the cap already bounds per-shingle fan-out at maxDf² — prefix
+    // filtering on top is redundant stages, so it stays off here
+    neardupPairsImpl(s, dir, maxDf = Some(50), prefixFilter = false)
 
+  /** Exact Jaccard-join with PREFIX FILTERING (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. ICDE'08): under any global
+    * shingle order, two docs with Jaccard ≥ t MUST share a shingle inside
+    * each one's first `n − ⌈t·n⌉ + 1` shingles — so the inverted index is
+    * built from prefixes only (rarest-first order makes them the least
+    * frequent shingles), and the full intersection is computed
+    * PAIR-DRIVEN on the candidates, exactly like the MinHash verify. The
+    * result is provably identical to the naive inverted-index self-join;
+    * the per-shingle join fan-out drops from df² over the whole corpus to
+    * df² over prefixes of the rarest shingles. With `prefixFilter` off the
+    * index join runs over all shingles directly — right when a DF cap
+    * already bounds the fan-out. */
   private def neardupPairsImpl(s: SparkSession, dir: String,
-                               maxDf: Option[Int]): DataFrame = {
+                               maxDf: Option[Int],
+                               prefixFilter: Boolean): DataFrame = {
+    val t = 0.8
     val shAll = shingles(s, dir)
     val sh = (maxDf match {
       case Some(k) =>
@@ -85,15 +101,39 @@ object LlmData extends QueryPack {
       case None => shAll
     }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    val inter =
+      if (!prefixFilter)
+        // one self-join computes the intersections directly — fan-out is
+        // already bounded (maxDf²), a candidate pre-pass would double it
+        sh.select(col("doc_id").as("da"), col("s"))
+          .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      else {
+        // global rarest-first order (df asc, shingle asc): prefixes then
+        // hold the most selective shingles, shrinking the join's fan-out
+        val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val prefix = sh.join(df, "s")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .filter(col("rnk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+          .select("doc_id", "s")
+        val cand = prefix.select(col("doc_id").as("da"), col("s"))
+          .join(prefix.select(col("doc_id").as("db"), col("s")), "s")
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        // pair-driven intersection: cost Σ_cand |shingles(da)|, never df²
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+          .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      }
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= t)
       .select("da", "db", "jac")
       .orderBy("da", "db")
   }
