@@ -440,7 +440,30 @@ object LlmData extends QueryPack {
     * into the next round's distances — that makes the whole iteration
     * bit-reproducible cross-engine (distances use the left-to-right
     * vec_dot kernel = DuckDB's list_dot_product order). */
-  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+  def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(s, dir)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(sqrt(greatest(col("d2"), lit(0.0)))), 4).as("avg_dist"))
+      .orderBy("cluster_id")
+
+  /** Cluster-balanced sampling — the curation step k-means exists for:
+    * per cluster, the `perCluster` members nearest the centroid
+    * (deterministic order: rounded distance, then vec_id). A keyed window
+    * per cluster — partition-parallel, no global sort. */
+  def kmeansBalance(s: SparkSession, dir: String,
+                    perCluster: Int = 3): DataFrame =
+    kmeansAssign(s, dir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cid").orderBy(round(col("d2"), 6), col("vec_id"))))
+      .filter(col("rnk") <= perCluster)
+      .select(col("cid").as("cluster_id"), col("rnk"), col("vec_id"),
+        round(sqrt(greatest(col("d2"), lit(0.0))), 4).as("dist"))
+      .orderBy("cluster_id", "rnk")
+
+  /** Final-round (vec_id, cid, d2) assignment shared by the k-means
+    * profile and the balanced sampler. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("x2", vecDot(col("v"), col("v")))
@@ -479,10 +502,25 @@ object LlmData extends QueryPack {
       cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
     assign()
-      .groupBy(col("cid").as("cluster_id"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(sqrt(greatest(col("d2"), lit(0.0)))), 4).as("avg_dist"))
-      .orderBy("cluster_id")
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget bins by their
+    * starting offset in the corpus-order token stream — the deterministic
+    * "pack documents into pretraining sequences" layout step. The global
+    * running sum is plans.GlobalRank.withRunningSums (two-pass
+    * range-partitioned prefix sums — partition-parallel, never the
+    * single-task `Window.orderBy` cumsum). */
+  def docPack(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    graft.plans.GlobalRank
+      .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
+      .withColumn("bin_id",
+        ((col("cum") - col("n_tokens")) / budget).cast("long") + 1)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin_id")
   }
 
   /** Quality gate over documents through the real text.TextQuality
@@ -676,7 +714,40 @@ object LlmData extends QueryPack {
     "lang_profile" -> langProfile,
     "decontam_overlap" -> decontamOverlap,
     "gopher_repetition" -> gopherRepetition,
-    "embed_kmeans" -> embedKmeans)
+    "embed_kmeans" -> embedKmeans,
+    "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
+    "doc_pack" -> ((s, d) => docPack(s, d)))
+
+  /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
+    * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
+    * assignment `a3(vec_id, v, cid, d2)`. */
+  private val kmeansCtes: String = {
+    def assignCte(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, v, cid, d2
+         |  FROM (SELECT e.vec_id, e.v, c.cid,
+         |          e.x2 + list_dot_product(c.cv, c.cv)
+         |            - 2 * list_dot_product(e.v, c.cv) AS d2
+         |        FROM e, $c c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+    def updateCte(u: String, a: String, cPrev: String, c: String) =
+      s"""$u AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+         |  FROM $a, unnest(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY cid, i),
+         | ${c}raw AS (SELECT cid, list(m ORDER BY i) AS cv FROM $u GROUP BY cid),
+         | $c AS (SELECT $cPrev.cid, coalesce(${c}raw.cv, $cPrev.cv) AS cv
+         |   FROM $cPrev LEFT JOIN ${c}raw USING (cid))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS x2
+       |  FROM embeddings),
+       | c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       |   FROM e WHERE vec_id % 97 = 0),
+       | ${assignCte("a1", "c0")},
+       | ${updateCte("u1", "a1", "c0", "c1")},
+       | ${assignCte("a2", "c1")},
+       | ${updateCte("u2", "a2", "c1", "c2")},
+       | ${assignCte("a3", "c2")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -922,36 +993,29 @@ object LlmData extends QueryPack {
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         | round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    "embed_kmeans" -> {
-      def assignCte(a: String, c: String) =
-        s"""$a AS (SELECT vec_id, v, cid, d2
-           |  FROM (SELECT e.vec_id, e.v, c.cid,
-           |          e.x2 + list_dot_product(c.cv, c.cv)
-           |            - 2 * list_dot_product(e.v, c.cv) AS d2
-           |        FROM e, $c c)
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY round(d2, 6), cid) = 1)""".stripMargin
-      def updateCte(u: String, a: String, cPrev: String, c: String) =
-        s"""$u AS (SELECT cid, i, round(avg(v[i]), 6) AS m
-           |  FROM $a, unnest(generate_series(1, len(v))) AS t(i)
-           |  GROUP BY cid, i),
-           | ${c}raw AS (SELECT cid, list(m ORDER BY i) AS cv FROM $u GROUP BY cid),
-           | $c AS (SELECT $cPrev.cid, coalesce(${c}raw.cv, $cPrev.cv) AS cv
-           |   FROM $cPrev LEFT JOIN ${c}raw USING (cid))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS x2
-         |  FROM embeddings),
-         | c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-         |   FROM e WHERE vec_id % 97 = 0),
-         | ${assignCte("a1", "c0")},
-         | ${updateCte("u1", "a1", "c0", "c1")},
-         | ${assignCte("a2", "c1")},
-         | ${updateCte("u2", "a2", "c1", "c2")},
-         | ${assignCte("a3", "c2")}
+    "embed_kmeans" ->
+      s"""$kmeansCtes
          |SELECT cid AS cluster_id, count(*)::BIGINT AS n,
          | round(avg(sqrt(greatest(d2, 0))), 4) AS avg_dist
-         |FROM a3 GROUP BY cid ORDER BY cluster_id""".stripMargin
-    },
+         |FROM a3 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    "kmeans_balance" ->
+      s"""$kmeansCtes,
+         | r AS (SELECT cid, vec_id, d2,
+         |   row_number() OVER (PARTITION BY cid
+         |     ORDER BY round(d2, 6), vec_id) AS rnk FROM a3)
+         |SELECT cid AS cluster_id, rnk::INTEGER AS rnk, vec_id,
+         | round(sqrt(greatest(d2, 0)), 4) AS dist
+         |FROM r WHERE rnk <= 3 ORDER BY cluster_id, rnk""".stripMargin,
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |   FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |   sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT ((cum - n_tokens) // 256 + 1)::BIGINT AS bin_id,
+        | count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin_id""".stripMargin,
     "decontam_overlap" ->
       s"""WITH $shinglesSql,
         | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),

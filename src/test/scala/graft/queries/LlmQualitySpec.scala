@@ -60,6 +60,35 @@ class LlmQualitySpec extends SparkSpec {
     }
   }
 
+  it should "sample the nearest members per cluster in rank order" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val rows = LlmData.kmeansBalance(spark, dir, perCluster = 3).collect()
+    rows should not be empty
+    rows.groupBy(_.getLong(0)).foreach { case (_, members) =>
+      members.map(_.getInt(1)).sorted shouldBe (1 to members.length).toArray
+      members.length should be <= 3
+      // ranks follow distance order within the cluster
+      members.sortBy(_.getInt(1)).map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => a should be <= b + 1e-9
+        case _           =>
+      }
+    }
+  }
+
+  behavior of "docPack"
+
+  it should "pack every doc into contiguous non-overlapping token bins" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val total = graft.Tables.documents(spark, dir).count()
+    val rows = LlmData.docPack(spark, dir).collect().sortBy(_.getLong(0))
+    rows.map(_.getLong(1)).sum shouldBe total // every doc in exactly one bin
+    // bins cover disjoint contiguous doc-id ranges in order
+    rows.sliding(2).foreach {
+      case Array(a, b) => a.getLong(4) should be < b.getLong(3)
+      case _           =>
+    }
+  }
+
   behavior of "piiScrub"
 
   it should "remove every digit run and account for all rows" in {
