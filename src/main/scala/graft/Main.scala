@@ -13,8 +13,11 @@ package graft
   * decides), `--monitor` runs monitoring mode instead of training (the
   * reference's `experiment.type = monitoring` entry point): PSI per
   * numerical column and VSI per categorical column between
-  * `data.monitorBaseSource` and `data.source`. Prints one JSON line with
-  * the run's metrics.
+  * `data.monitorBaseSource` and `data.source`. `--publish` saves the
+  * combined serving pipeline per page after the training run;
+  * `--predict` (the reference's `experiment.type = predict`) skips
+  * training and scores the config's data source with the previously
+  * published pipelines. Prints one JSON line with the run's metrics.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -38,10 +41,16 @@ object Main {
           val current = io.SourceReader.read(spark, conf.data, conf.columns)
           PipelineRunner.monitor(spark, conf, base, current,
             savepointing = args.contains("--savepoint"))
-        } else
-          PipelineRunner.run(spark, conf,
+        } else if (args.contains("--predict"))
+          PipelineRunner.predict(spark, conf,
+            savepointing = args.contains("--savepoint"))
+        else {
+          val result = PipelineRunner.run(spark, conf,
             savepointing = args.contains("--savepoint"),
-            resume = args.contains("--resume")).metrics
+            resume = args.contains("--resume"))
+          if (args.contains("--publish")) PipelineRunner.publish(conf, result)
+          result.metrics
+        }
       val json = metrics.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(json)

@@ -41,7 +41,8 @@ object PipelineRunner extends Logging {
   final case class RunResult(
       metrics: Map[String, Double],
       pages: Seq[PageResult],
-      savepoints: Savepoints) {
+      savepoints: Savepoints,
+      input: DataFrame) {
     /** Page-level union per dataset (ref: MetricsEvaluator.scala:49-72). */
     def scoredUnion(dataset: String): DataFrame =
       pages.flatMap(_.scored.get(dataset)).reduce(_ unionByName _)
@@ -143,7 +144,7 @@ object PipelineRunner extends Logging {
     // 7. metrics (ref: PipelineSteps.scala:247-272)
     val metrics = evaluate(conf, pageResults)
     if (savepointing) sp.saveMetrics(metrics)
-    RunResult(metrics, pageResults, sp)
+    RunResult(metrics, pageResults, sp, input)
   }
 
   /** Monitoring mode — the reference's 4th entry point
@@ -186,11 +187,67 @@ object PipelineRunner extends Logging {
       else if (df.columns.contains("probability")) "probability"
       else "rawPrediction")), 2)
 
+  /** Publish the combined serving pipeline of every page to the project's
+    * savepoint tree (`publish/page<k>/pipeline`) — the artifact
+    * [[predict]] loads. Returns the per-page paths. */
+  def publish(conf: GraftConf, result: RunResult,
+              hotlead: Option[graft.publish.HotleadTransformer] = None): Seq[String] =
+    result.pages.map { pr =>
+      // the combined pipeline starts from RAW input — schema-propagate from
+      // the run's input, not the scored output (which is pruned to
+      // keepCols + features and no longer has the preprocessing columns)
+      val model = graft.publish.Publish.combined(pr.prep, pr.chain, result.input, hotlead)
+      val path = result.savepoints.publishPath(pr.page)
+      graft.publish.Publish.save(model, path)
+      path
+    }
+
+  /** Predict-only mode — the reference's `experiment.type = predict` (user
+    * guide "Running a predict job on new dataset"): no training; load the
+    * PUBLISHED pipeline per page, score the config's (new) data source,
+    * apply the post-predict filter, savepoint, and report the standard
+    * metrics against the new data's labels. */
+  def predict(spark: SparkSession, conf: GraftConf,
+              savepointing: Boolean = false): Map[String, Double] = {
+    val sp = new Savepoints(conf.project)
+    val input = SourceReader.read(spark, conf.data, conf.columns)
+    val numPages = conf.numPages.max(1)
+    val scored = (1 to numPages).map { k =>
+      val df = conf.columns.page match {
+        case Some(pg) if numPages > 1 =>
+          if (k == numPages) input.filter(col(pg) >= k) else input.filter(col(pg) === k)
+        case _ => input
+      }
+      val model = PipelineModel.load(sp.publishPath(k))
+      val out = model.transform(df)
+      val filtered = conf.postPredictFilter.map(out.filter).getOrElse(out)
+      if (savepointing) sp.save(filtered.drop("features"), "predictions", k, "predict")
+      k -> filtered
+    }
+    val m = Map.newBuilder[String, Double]
+    scored.foreach { case (k, df) =>
+      val suffix = if (numPages > 1) s"_page$k" else ""
+      evaluateOne(conf, "predict", suffix, df, m)
+    }
+    val out = m.result()
+    if (savepointing) sp.saveMetrics(out, "predict_metrics")
+    out
+  }
+
   private def evaluate(conf: GraftConf, pages: Seq[PageResult]): Map[String, Double] = {
     val m = Map.newBuilder[String, Double]
     pages.foreach { pr =>
       pr.scored.foreach { case (name, df) =>
         val suffix = if (pages.length > 1) s"_page${pr.page}" else ""
+        evaluateOne(conf, name, suffix, df, m)
+      }
+    }
+    m.result()
+  }
+
+  private def evaluateOne(conf: GraftConf, name: String, suffix: String,
+                          df: DataFrame,
+                          m: scala.collection.mutable.Builder[(String, Double), Map[String, Double]]): Unit = {
         if (conf.training.buildType == "binary") {
           val scored = df.select(col("label").cast("int").as("y"),
             scoreCol(df).as("score")).cache()
@@ -219,8 +276,5 @@ object PipelineRunner extends Logging {
           m += s"weightedRecall_$name$suffix" -> row.getDouble(2)
           m += s"weightedF1_$name$suffix" -> row.getDouble(3)
         }
-      }
-    }
-    m.result()
   }
 }

@@ -25,6 +25,12 @@ final class Savepoints(project: ProjectConf) {
   def exists(step: String, page: Int, dataset: String): Boolean =
     new java.io.File(path(step, page, dataset)).exists()
 
+  /** Where the published (combined raw-input→score) pipeline for page `k`
+    * lives — the artifact `predict` jobs load
+    * (ref: Publish.scala:60-205 + the user guide's publish/predict flow). */
+  def publishPath(page: Int): String =
+    s"${project.root}/${project.name}/${project.retrainId}/publish/page$page/pipeline"
+
   /** Persist the resolved config snapshot next to the savepoints
     * (ref: PipelineSteps.scala:37-48). */
   def saveConfigSnapshot(json: String): Unit = {

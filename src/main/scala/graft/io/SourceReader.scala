@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object SourceReader {
 
-  /** Read `<format>://<path>` into a DataFrame. `views://` skips the load —
+  /** Read `<format>://<path>` into a DataFrame (columnar formats — parquet,
+    * orc — keep predicate pushdown + column pruning). `views://` skips the load —
     * the SQL chain alone defines the input (caller must have registered the
     * views, e.g. via Tables.registerAll). `jdbc://<jdbc-url>` consumes
     * `firstQuery` as a database-side subquery — `( q ) first_table` — so the
@@ -32,6 +33,7 @@ object SourceReader {
     }
     scheme match {
       case "parquet" => Some(spark.read.parquet(path))
+      case "orc"     => Some(spark.read.orc(path))
       case "csv" =>
         Some(spark.read.option("header", "true").option("inferSchema", "true").csv(path))
       case "tsv" =>

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics operators a production pipeline runs constantly:
+  * semi-structured (JSON) extraction, latest-wins key compaction, funnel
+  * conversion, and key-skew profiling.
+  *
+  * Scale notes (100 TB): every query is a single-shuffle aggregate over the
+  * fact table — no windows over unkeyed partitions, no driver round-trips.
+  * `latest_by_key` in particular replaces the row_number()-window idiom
+  * (full sort per key) with a partial-aggregating `max(struct(...))`: the
+  * map side reduces each partition to one row per key before the shuffle,
+  * so the exchange carries |keys| rows, not |events|. JSON extraction is
+  * the codegen'd `get_json_object` path — row-local, no UDF.
+  */
+object EventOpsPack extends QueryPack {
+
+  private def withUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+
+  /** Semi-structured extraction: pull `props.$.k` (JSON) and aggregate per
+    * event type. get_json_object is codegen'd and row-local; at 100 TB the
+    * JSON parse cost is the scan cost — no shuffle beyond the final agg. */
+  def jsonExtractAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Latest-wins compaction: one row per key holding the most recent
+    * event's attributes — the batch form of a streaming upsert/CDC
+    * materialization. `max(struct(us, event_id, ...))` orders
+    * lexicographically on (us, event_id) (event_id breaks timestamp ties
+    * deterministically), aggregates partially map-side, and never sorts:
+    * the scale path for "latest record per key" over any table size. */
+  def latestByKey(s: SparkSession, dir: String): DataFrame =
+    withUs(s, dir)
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("last_event"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 4).as("last_value"))
+      .orderBy("user_id")
+
+  /** View→purchase funnel: per-user conditional aggregates (first view,
+    * last purchase) then one global reduce — two shuffles total, the second
+    * over |users| rows. Conversion = a purchase strictly after the first
+    * view, computed identically in any engine from the same micros. */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame =
+    withUs(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("us"))).as("last_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("first_view")).as("n_viewers"),
+        count(col("last_purchase")).as("n_purchasers"),
+        count(when(col("first_view") < col("last_purchase"), lit(1)))
+          .as("n_converted"))
+
+  /** Key-skew profile: the top event-generating keys and their share of all
+    * rows — what you run BEFORE sizing a salted join (plans.SaltedJoin).
+    * counts is |keys|-sized, its total is one scalar broadcast back; no
+    * window over the full table. */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n"),
+        round(col("n") / col("total"), 6).as("share"))
+      .orderBy(desc("n"), asc("user_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract_agg" -> jsonExtractAgg,
+    "latest_by_key" -> latestByKey,
+    "funnel_conversion" -> funnelConversion,
+    "skew_profile" -> skewProfile)
+
+  val oracle: Map[String, String] = Map(
+    "json_extract_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        | round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "latest_by_key" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT user_id, event_id AS last_event, event_type AS last_type,
+        | round(value, 4) AS last_value
+        |FROM e
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | per AS (SELECT user_id,
+        |   min(us) FILTER (event_type = 'view') AS first_view,
+        |   max(us) FILTER (event_type = 'purchase') AS last_purchase
+        |  FROM e GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(first_view) AS n_viewers,
+        | count(last_purchase) AS n_purchasers,
+        | count(*) FILTER (first_view < last_purchase) AS n_converted
+        |FROM per""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        | t AS (SELECT sum(n) AS total FROM c)
+        |SELECT user_id, n, round(n / total, 6) AS share
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
+}

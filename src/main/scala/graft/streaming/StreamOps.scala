@@ -17,6 +17,10 @@ final case class SessionUpdate(
 
 final case class HotleadAlert(user_id: Long, event_id: Long, value: Double)
 
+final case class LatestRow(
+    user_id: Long, us: Long, last_event: Long, last_type: String,
+    last_value: Double)
+
 /** Structured-Streaming twins of the batch operators: the same logical
   * semantics expressed over an unbounded source (`readStream` → transform →
   * `writeStream`), with state bounded by watermarks where the operator
@@ -98,6 +102,27 @@ object StreamOps {
               case None => Iterator.empty
             }
           }
+      }
+  }
+
+  /** Latest-wins key compaction over a stream — the CDC/upsert
+    * materialization: each micro-batch emits the new latest row for every
+    * key it touched (Update mode sinks overwrite by key). Ordering matches
+    * the batch twin `EventOpsPack.latestByKey` exactly: lexicographic on
+    * (event-time micros, event_id), so replaying the stream and running the
+    * batch compaction produce identical tables. Per-key state is ONE row. */
+  def latestByKey(events: Dataset[Event]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[LatestRow]) =>
+          val incoming = evs.map(e => LatestRow(uid, e.ts.getTime * 1000,
+            e.event_id, e.event_type, e.value))
+          val best = (state.getOption.iterator ++ incoming)
+            .maxBy(r => (r.us, r.last_event))
+          state.update(best)
+          best
       }
   }
 

@@ -214,4 +214,22 @@ class PipelineRunnerSpec extends SparkSpec {
     val resumed = PipelineRunner.run(spark, broken, savepointing = true, resume = true)
     resumed.metrics.keySet should contain ("auroc_test")
   }
+
+  it should "publish per-page pipelines and score new data in predict mode" in {
+    val root = java.nio.file.Files.createTempDirectory("graft-predict").toString
+    val conf = baseConf().copy(
+      project = graft.config.ProjectConf(name = "pred", root = root))
+    val result = PipelineRunner.run(spark, conf)
+    val paths = PipelineRunner.publish(conf, result)
+    paths should have size 1
+    paths.foreach(p => new java.io.File(p).exists() shouldBe true)
+    // predict-only job on the same source (stand-in for out-of-sample data)
+    val metrics = PipelineRunner.predict(spark, conf, savepointing = true)
+    metrics.keySet should contain allOf ("auroc_predict", "weightedPrecision_predict")
+    // the published pipeline scores the full input: AUROC over train+test
+    // rows must be at least the training run's held-out AUROC
+    metrics("auroc_predict") should be > result.metrics("auroc_test")
+    new graft.io.Savepoints(conf.project)
+      .load(spark, "predictions", 1, "predict").count() should be > 0L
+  }
 }

@@ -39,6 +39,19 @@ class SourceReaderSpec extends SparkSpec {
       .count() shouldBe 1
   }
 
+  it should "read orc with pushdown intact" in {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("t.orc").toString
+    Seq((1, "alpha", 0.5), (2, "beta", 1.5), (3, "gamma", 2.5))
+      .toDF("id", "name", "score").write.orc(dir)
+    val df = SourceReader.read(spark,
+      DataConf(s"orc://$dir", customFilter = Some("score > 1.0")),
+      ColumnsConf(response = "name"))
+    df.count() shouldBe 2
+    // the filter must reach the ORC scan, not sit in a post-scan Filter only
+    df.queryExecution.executedPlan.toString should include ("PushedFilters: [IsNotNull(score), GreaterThan(score,1.0)]")
+  }
+
   it should "run the SQL view chain with numbered temp views" in {
     val p = tmp("graft-chain", "d.csv", "id,v\n1,10\n2,20\n3,30\n")
     val df = SourceReader.read(spark,

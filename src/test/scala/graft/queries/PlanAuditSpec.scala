@@ -114,6 +114,22 @@ class PlanAuditSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  it should "compact latest-by-key through aggregation, never a per-key sort window" in {
+    val p = plan(EventOpsPack.latestByKey(spark, dir))
+    p should not include "Window"
+    // partial + final aggregate pair around the shuffle: the exchange
+    // carries one row per key, not one per event
+    "Aggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  it should "extract JSON row-locally with the final agg as the only wide stage" in {
+    val p = plan(EventOpsPack.jsonExtractAgg(spark, dir))
+    p should not include "CartesianProduct"
+    // agg shuffle + output range sort only (formatted explain lists every
+    // node twice: once in the tree, once in the details section)
+    "Exchange".r.findAllIn(p).size should be <= 4
+  }
+
   it should "compute the as-of join with keyed windows only" in {
     val p = plan(Relational.asofJoin(spark, dir))
     p should not include "CartesianProduct"

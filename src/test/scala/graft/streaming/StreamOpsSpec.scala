@@ -96,6 +96,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "materialize latest-by-key upserts matching the batch compaction" in {
+    val in = MemoryStream[Event]
+    val q = StreamOps.latestByKey(in.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(5), 7, "view", 0.1),
+        Event(2, ts(9), 7, "click", 0.2), // latest for 7 so far
+        Event(3, ts(1), 8, "view", 0.3))
+      q.processAllAvailable()
+      in.addData(
+        Event(4, ts(2), 7, "view", 0.4),      // older than event 2 → ignored
+        Event(5, ts(1), 8, "purchase", 0.5))  // same ts as 3, higher id → wins
+      q.processAllAvailable()
+      // Update sink semantics: last row per key is the materialized state
+      val latest = spark.table("latest")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("us", "last_event", "last_type"))
+          .as("r"))
+        .select("user_id", "r.last_event", "r.last_type")
+        .as[(Long, Long, String)].collect().toSet
+      latest shouldBe Set((7L, 2L, "click"), (8L, 5L, "purchase"))
+    } finally q.stop()
+  }
+
   it should "enrich a stream against a static dim with a broadcast join" in {
     val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")
     val in = MemoryStream[Event]
