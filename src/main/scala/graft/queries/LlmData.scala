@@ -682,6 +682,57 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest pattern: dedup a NEW batch of
+    * documents against the already-ingested corpus without rescanning it
+    * into a full groupBy. Batch-internal dedup (min doc_id per hash) plus
+    * a left-anti join against the base corpus's hash set. At 100 TB the
+    * anti-join shuffles on the uniform 128-bit hash (no skew); the base
+    * side is the corpus's stored hash column, not its text. Here the
+    * "base" is doc_id < 250 and the "batch" doc_id >= 250 — a split of the
+    * one documents table so the oracle sees identical data. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+    val base = hashed.filter(col("doc_id") < 250).select("text_hash").distinct()
+    hashed.filter(col("doc_id") >= 250)
+      .join(base, Seq("text_hash"), "left_anti")
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+  }
+
+  /** Per-group top-k through the skew-safe two-phase operator
+    * (plans.GroupTopK): the 3 longest documents per source. The salted
+    * first phase bounds any single task's sort even when one source holds
+    * a disproportionate share of the corpus. */
+  def topkPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupTopK.topK(
+        Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+        Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+      .select("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+
+  /** Deterministic source-mix downsampling — the pretraining "mixture
+    * weights" op: each source is sampled toward a target quota
+    * (rate = quota / |source|) using the same md5-derived uniform the
+    * conditional split uses (SourceReader.deriveColumns), so membership is
+    * a pure function of doc_id: reproducible on any cluster, no RNG state,
+    * and re-runs on a grown corpus keep previously selected docs' fate
+    * stable. Per-source counts are a small broadcast; the filter is
+    * row-local. */
+  def sourceMixSample(s: SparkSession, dir: String, quota: Double = 10.0): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val rv = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") * 100.0 / 4294967296.0
+    docs.join(broadcast(counts), "source")
+      .filter(rv < lit(100.0) * lit(quota) / col("n_src"))
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -716,7 +767,10 @@ object LlmData extends QueryPack {
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
-    "doc_pack" -> ((s, d) => docPack(s, d)))
+    "doc_pack" -> ((s, d) => docPack(s, d)),
+    "dedup_incremental" -> dedupIncremental,
+    "topk_per_source" -> topkPerSource,
+    "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)))
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -750,6 +804,27 @@ object LlmData extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+        | base AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 250)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text_hash
+        |FROM h WHERE doc_id >= 250
+        | AND text_hash NOT IN (SELECT text_hash FROM base)
+        |GROUP BY text_hash ORDER BY keep_id""".stripMargin,
+    "topk_per_source" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "source_mix_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source)
+        |SELECT d.source, d.doc_id
+        |FROM documents d JOIN c ON d.source = c.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    * 100.0 / 4294967296.0 < 100.0 * 10.0 / c.n_src
+        |ORDER BY d.source, d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
