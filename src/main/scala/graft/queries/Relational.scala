@@ -118,6 +118,60 @@ object Relational extends QueryPack {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** CUBE hierarchy aggregate — all grouping-set combinations in ONE
+    * shuffle (Catalyst expands the grouping sets map-side; no per-set
+    * re-scan of the fact table). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Pivot (wide counts per key): one groupBy shuffle; the explicit value
+    * list keeps the plan static (no collect-distinct pre-pass) — required
+    * at scale, where the implicit-values variant is a full extra job. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Rolling (frame-bounded) aggregate: 3-event moving average of `value`
+    * per user — a keyed window with an explicit ROWS frame, partitioned on
+    * the high-cardinality key. */
+  def rollingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .withColumn("r_avg", round(avg("value").over(w), 6))
+      .select("event_id", "user_id", "r_avg")
+      .orderBy("event_id")
+  }
+
+  /** Exact global quantiles (p25/p50/p75) by rank definition — value at row
+    * ⌈p·n⌉ under the total order — via the two-pass GlobalRank scheme, so
+    * the exactness does NOT cost a single-partition sort. The approximate
+    * scale path stays `approxQuantile` (features.Binning equiarea); this is
+    * the exact path for when quantiles feed a contract (bin edges, SLAs). */
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+    val n = ranked.count()
+    val targets = Seq(0.25, 0.5, 0.75).map(p => p -> math.ceil(p * n).toLong)
+    val pExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (p, t)) => when(col("rn") === t, lit(p)).otherwise(acc)
+    }
+    ranked.filter(col("rn").isin(targets.map(_._2): _*))
+      .select(pExpr.as("p"), round(col("o_totalprice"), 2).as("v"))
+      .orderBy("p")
+  }
+
   /** lead() window — the reference's one window use: time-on-page from
     * cumulative session time (dal/DataReader.scala:143-156). Here: dwell
     * micros between consecutive events per user. */
@@ -309,7 +363,11 @@ object Relational extends QueryPack {
     "page_split" -> pageSplit,
     "asof_join" -> asofJoin,
     "range_join" -> rangeJoin,
-    "ntile_bins" -> ntileBins)
+    "ntile_bins" -> ntileBins,
+    "cube_agg" -> cubeAgg,
+    "pivot_agg" -> pivotAgg,
+    "rolling_avg" -> rollingAvg,
+    "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
     "rv_derivation" ->
@@ -425,5 +483,31 @@ object Relational extends QueryPack {
     "ntile_bins" ->
       """SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM (SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket FROM orders)
-        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "pivot_agg" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rolling_avg" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS r_avg
+        |FROM e ORDER BY event_id""".stripMargin,
+    "exact_quantiles" ->
+      """WITH r AS (SELECT o_totalprice,
+        |   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |   count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT p, round(o_totalprice, 2) AS v
+        |FROM r JOIN (VALUES (0.25), (0.5), (0.75)) AS q(p) ON rn = ceil(p * n)
+        |ORDER BY p""".stripMargin)
 }
