@@ -140,6 +140,24 @@ object StreamOps {
                     key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * purchase picks up the same user's clicks from the preceding
+    * `horizon`. Both sides carry watermarks and the join predicate bounds
+    * the event-time range, so Spark can evict state on BOTH sides (an
+    * unbounded stream-stream join would otherwise retain every row
+    * forever). Batch twin: `plans.RangeJoin` / the as-of join family. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       watermark: String = "1 hour",
+                       horizonMinutes: Int = 10): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(purchases.withWatermark("ts", watermark).alias("p"),
+        expr(s"""c.user_id = p.user_id
+                | AND p.ts >= c.ts
+                | AND p.ts <= c.ts + interval $horizonMinutes minutes""".stripMargin))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"),
+        col("p.user_id").as("user_id"))
+
   /** Streaming exact dedup: first occurrence per content hash wins.
     * With `eventTimeCol` set the state is watermark-bounded (dedup within
     * the lateness horizon — the standard unbounded-stream tradeoff);

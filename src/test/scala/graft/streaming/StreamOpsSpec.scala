@@ -80,6 +80,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "attribute purchases to preceding clicks within the horizon" in {
+    // offset from epoch 0: the initial watermark clamps at 0, so a row AT
+    // exactly epoch 0 would be dropped as late — a test-data pathology,
+    // not a property of the operator
+    def t(minutes: Long) = ts(100000 + minutes)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickAttribution(
+        clicks.toDF(), purchases.toDF(), horizonMinutes = 10)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, t(0), 7, "click", 1.0),
+        Event(2, t(25), 7, "click", 1.0),
+        Event(3, t(0), 8, "click", 1.0))
+      purchases.addData(
+        Event(10, t(5), 7, "purchase", 9.0),   // within 10m of click 1
+        Event(11, t(30), 7, "purchase", 9.0),  // within 10m of click 2 only
+        Event(12, t(40), 8, "purchase", 9.0))  // 40m after click 3 → none
+      q.processAllAvailable()
+      val pairs = spark.table("attrib")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      pairs shouldBe Set(10L -> 1L, 11L -> 2L)
+    } finally q.stop()
+  }
+
   it should "dedup a stream by content hash keeping the first occurrence" in {
     val in = MemoryStream[(Long, String)]
     val q = StreamOps.dedupByContent(
