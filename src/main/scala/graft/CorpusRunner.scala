@@ -1,0 +1,109 @@
+package graft
+
+import graft.config.{ConfigValidator, CorpusConf, CorpusStepConf, GraftConf}
+import graft.io.{Savepoints, SourceReader}
+import graft.text.{RegexReplacer, TextQuality}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus-cleaning orchestrator — the training-data twin of
+  * [[PipelineRunner]]: one JSON config drives read → ordered cleaning
+  * steps → cleaned-corpus savepoint + per-step row accounting.
+  *
+  * Every step is a declarative DataFrame transform of an operator that
+  * also exists (and is oracle-checked) in the query packs:
+  *
+  *  - `dedup_exact`     keep the lowest-id copy per normalized-text hash
+  *                      (LlmData.dedupExact semantics)
+  *  - `quality_gate`    TextQuality heuristics gate (quality_filter)
+  *  - `lang_filter`     keep the configured languages
+  *  - `token_bounds`    whitespace-token count within [min, max]
+  *  - `pii_scrub`       ordered-class regex redaction IN PLACE on the text
+  *                      column (pii_scrub / word_classes_replacement)
+  *  - `source_mix`      deterministic per-group quota downsampling
+  *                      (source_mix_sample semantics)
+  *
+  * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
+  * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
+  * one row per group. The per-step row counts are the only actions — each
+  * is a partial-aggregating count, the cost of the accounting contract.
+  */
+object CorpusRunner extends Logging {
+
+  final case class CorpusResult(
+      corpus: DataFrame,
+      metrics: Map[String, Double],
+      savepoints: Savepoints)
+
+  def run(spark: SparkSession, conf: GraftConf,
+          savepointing: Boolean = false): CorpusResult = {
+    val cc = conf.corpus.getOrElse(throw new IllegalArgumentException(
+      "corpus mode requires the config's corpus section"))
+    ConfigValidator.validateOrThrow(conf)
+    val sp = new Savepoints(conf.project)
+    if (savepointing) sp.saveConfigSnapshot(conf.toString)
+
+    val input = SourceReader.read(spark, conf.data, conf.columns)
+    val m = Map.newBuilder[String, Double]
+    m += "rows_input" -> input.count().toDouble
+
+    val cleaned = cc.steps.zipWithIndex.foldLeft(input) { case (df, (step, i)) =>
+      val out = applyStep(df, step, cc)
+      val n = out.count()
+      m += s"rows_after_${i + 1}_${step.op}" -> n.toDouble
+      logInfo(s"corpus step ${i + 1} ${step.op}: $n rows")
+      out
+    }
+
+    if (savepointing) sp.save(cleaned, "corpus", 0, "clean")
+    val metrics = m.result()
+    if (savepointing) sp.saveMetrics(metrics, "corpus_metrics")
+    CorpusResult(cleaned, metrics, sp)
+  }
+
+  /** One cleaning step as a pure DataFrame transform. */
+  def applyStep(df: DataFrame, step: CorpusStepConf, cc: CorpusConf): DataFrame = {
+    val text = cc.textColumn
+    val id = cc.idColumn
+    step.op match {
+      case "dedup_exact" =>
+        // keep-list = min id per hash (partial agg on the uniform 128-bit
+        // key), then a semi-join on the unique id — never a window sort
+        val keep = df
+          .groupBy(md5(lower(trim(col(text)))).as("__h"))
+          .agg(min(col(id)).as(id))
+          .select(id)
+        df.join(keep, Seq(id), "left_semi")
+      case "quality_gate" =>
+        df.filter(TextQuality.keep(text,
+          minTokens = step.minTokens, maxTokens = step.maxTokens))
+      case "lang_filter" =>
+        df.filter(col(step.langColumn)
+          .isin(step.keepLangs.map(l => l: Any): _*))
+      case "token_bounds" =>
+        df.filter(size(split(col(text), "\\s+"))
+          .between(step.minTokens, step.maxTokens))
+      case "pii_scrub" =>
+        val pairs =
+          if (step.pairs.nonEmpty) step.pairs.map(p => p(0) -> p(1))
+          else Seq("[0-9]{4,}" -> "_class_id", "[0-9]+" -> "_class_num")
+        new RegexReplacer().setInputCol(text).setOutputCol("__red")
+          .setPairs(pairs)
+          .transform(df)
+          .withColumn(text, col("__red")).drop("__red")
+      case "source_mix" =>
+        // same md5-uniform membership as LlmData.sourceMixSample: a pure
+        // function of the id — reproducible, stable under corpus growth
+        val counts = df.groupBy(step.groupColumn)
+          .agg(count(lit(1)).as("__n"))
+        val rv = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+          .cast("double") * 100.0 / 4294967296.0
+        df.join(broadcast(counts), step.groupColumn)
+          .filter(rv < lit(100.0) * lit(step.quota) / col("__n"))
+          .drop("__n")
+      case other =>
+        throw new IllegalArgumentException(s"unknown corpus op '$other'")
+    }
+  }
+}

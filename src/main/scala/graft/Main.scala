@@ -17,7 +17,9 @@ package graft
   * combined serving pipeline per page after the training run;
   * `--predict` (the reference's `experiment.type = predict`) skips
   * training and scores the config's data source with the previously
-  * published pipelines. Prints one JSON line with the run's metrics.
+  * published pipelines. `--corpus` runs the corpus-cleaning chain
+  * (config `corpus.steps`) instead of the ML pipeline, savepointing the
+  * cleaned corpus. Prints one JSON line with the run's metrics.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -41,7 +43,10 @@ object Main {
           val current = io.SourceReader.read(spark, conf.data, conf.columns)
           PipelineRunner.monitor(spark, conf, base, current,
             savepointing = args.contains("--savepoint"))
-        } else if (args.contains("--predict"))
+        } else if (args.contains("--corpus"))
+          CorpusRunner.run(spark, conf,
+            savepointing = args.contains("--savepoint")).metrics
+        else if (args.contains("--predict"))
           PipelineRunner.predict(spark, conf,
             savepointing = args.contains("--savepoint"))
         else {

@@ -124,6 +124,27 @@ object ConfigValidator {
     if (c.tuning.method == "hyperband" && c.tuning.eta < 2)
       err("tuning", s"hyperband eta must be >= 2, got ${c.tuning.eta}")
 
+    // corpus-cleaning chain
+    val corpusOps = Set("dedup_exact", "quality_gate", "lang_filter",
+      "token_bounds", "pii_scrub", "source_mix")
+    c.corpus.foreach { cc =>
+      if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
+      cc.steps.zipWithIndex.foreach { case (s, i) =>
+        if (!corpusOps(s.op)) err("corpus", s"step $i: unknown op '${s.op}'")
+        s.op match {
+          case "lang_filter" if s.keepLangs.isEmpty =>
+            err("corpus", s"step $i: 'lang_filter' requires keepLangs[]")
+          case "source_mix" if s.quota <= 0 =>
+            err("corpus", s"step $i: 'source_mix' requires quota > 0")
+          case _ => ()
+        }
+        s.pairs.zipWithIndex.foreach { case (p, j) =>
+          if (p.size != 2)
+            err("corpus", s"step $i: pairs[$j] must be [regex, replacement]")
+        }
+      }
+    }
+
     // pages
     if (c.numPages < 1)
       err("numPages", s"numPages must be >= 1, got ${c.numPages}")

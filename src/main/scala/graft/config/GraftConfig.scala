@@ -130,6 +130,26 @@ final case class TuningConf(
       * ensembles, where an iteration is a whole tree). */
     finalMaxIter: Int = 1000)
 
+/** One corpus-cleaning step — the LLM-training-data pipeline's config
+  * surface (the corpus twin of [[PreprocessStep]]). Ops compose in order;
+  * each is a pure DataFrame transform from `queries.LlmData`/`text.*`
+  * semantics. */
+final case class CorpusStepConf(
+    op: String,                     // dedup_exact | quality_gate | lang_filter |
+                                    // token_bounds | pii_scrub | source_mix
+    keepLangs: Seq[String] = Nil,   // lang_filter: languages to keep
+    langColumn: String = "lang",
+    quota: Double = 0.0,            // source_mix: target docs per group
+    groupColumn: String = "source", // source_mix: mixing group
+    minTokens: Int = 5,             // quality_gate / token_bounds
+    maxTokens: Int = 100000,
+    pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
+
+final case class CorpusConf(
+    steps: Seq[CorpusStepConf] = Nil,
+    textColumn: String = "text",
+    idColumn: String = "doc_id")
+
 final case class GraftConf(
     project: ProjectConf = ProjectConf(),
     data: DataConf,
@@ -141,6 +161,10 @@ final case class GraftConf(
     training: TrainingConf = TrainingConf(),
     tuning: TuningConf = TuningConf(),
     postPredictFilter: Option[String] = None,
+    /** Corpus-cleaning mode (`graft.Main --corpus` / `CorpusRunner.run`):
+      * when set, the data source is a document corpus and `steps` define
+      * the cleaning chain instead of the ML pipeline. */
+    corpus: Option[CorpusConf] = None,
     /** Page-level modelling: one model per page 1..numPages; the last page
       * accumulates `page >= numPages` (ref: PipelineSteps.scala:298-327). */
     numPages: Int = 1)

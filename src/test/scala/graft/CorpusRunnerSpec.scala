@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Config-driven corpus cleaning — the training-data twin of
+  * PipelineRunnerSpec's flows, over the real documents table. */
+class CorpusRunnerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def conf(stepsJson: String) = config.GraftConf.fromJson(
+    s"""{
+      |  "project": {"name": "corpus-spec", "root": "/tmp/graft-corpus-spec"},
+      |  "data": {"source": "parquet://$dir/documents.parquet"},
+      |  "columns": {"response": "lang"},
+      |  "corpus": {"steps": [$stepsJson]}
+      |}""".stripMargin)
+
+  behavior of "CorpusRunner"
+
+  it should "run the cleaning chain with per-step row accounting" in {
+    val c = conf(
+      """{"op": "lang_filter", "keepLangs": ["en", "de"]},
+        |{"op": "dedup_exact"},
+        |{"op": "token_bounds", "minTokens": 10, "maxTokens": 10000},
+        |{"op": "source_mix", "quota": 5}""".stripMargin)
+    val result = CorpusRunner.run(spark, c, savepointing = true)
+    val m = result.metrics
+    m("rows_input") shouldBe 500.0
+    // monotone non-increasing: every step only removes rows
+    val chain = Seq("rows_input", "rows_after_1_lang_filter",
+      "rows_after_2_dedup_exact", "rows_after_3_token_bounds",
+      "rows_after_4_source_mix").map(m)
+    chain.sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    // step semantics check against independent computations
+    val docs = Tables.documents(spark, dir)
+    m("rows_after_1_lang_filter") shouldBe
+      docs.filter(col("lang").isin("en", "de")).count().toDouble
+    m("rows_after_2_dedup_exact") shouldBe
+      docs.filter(col("lang").isin("en", "de"))
+        .select(md5(lower(trim(col("text"))))).distinct().count().toDouble
+    // the cleaned corpus savepoint round-trips
+    result.savepoints.load(spark, "corpus", 0, "clean")
+      .count().toDouble shouldBe m("rows_after_4_source_mix")
+  }
+
+  it should "scrub PII in place without changing the row count or schema" in {
+    val c = conf("""{"op": "pii_scrub", "pairs": [["[aeiou]", "_v"]]}""")
+    val result = CorpusRunner.run(spark, c)
+    result.metrics("rows_after_1_pii_scrub") shouldBe 500.0
+    result.corpus.columns shouldBe Tables.documents(spark, dir).columns
+    // every vowel redacted
+    result.corpus.filter(col("text").rlike("[aeiou]")).count() shouldBe 0
+  }
+
+  it should "reject invalid corpus configs with every violation listed" in {
+    val bad = conf("""{"op": "lang_filter"}, {"op": "nope"}""")
+    val ex = intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))
+    ex.getMessage should (include ("keepLangs") and include ("nope"))
+  }
+
+  it should "keep source_mix membership independent of partition layout" in {
+    // determinism contract: a doc's fate is a pure function of its id and
+    // its group's size — no RNG state, so any partitioning/cluster layout
+    // selects the same rows
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "source_mix", quota = 10)))
+    val docs = Tables.documents(spark, dir)
+    val a = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusRunner.applyStep(docs.repartition(7), cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    a should not be empty
+    b shouldBe a
+  }
+}
