@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *
   *  - `dedup_exact`     keep the lowest-id copy per normalized-text hash
   *                      (LlmData.dedupExact semantics)
+  *  - `dedup_minhash`   MinHash-LSH near-dup clusters → keep one
+  *                      representative per cluster (LlmData.minhashPairsOf
+  *                      + componentLabels)
   *  - `quality_gate`    TextQuality heuristics gate (quality_filter)
   *  - `lang_filter`     keep the configured languages
   *  - `token_bounds`    whitespace-token count within [min, max]
@@ -75,6 +78,20 @@ object CorpusRunner extends Logging {
           .agg(min(col(id)).as(id))
           .select(id)
         df.join(keep, Seq(id), "left_semi")
+      case "dedup_minhash" =>
+        // MinHash-LSH candidates → exact-Jaccard verify → connected
+        // components; drop every doc whose component label is a smaller id
+        // (keep one representative per near-dup cluster). The pair graph is
+        // orders of magnitude smaller than the corpus — see
+        // LlmData.minhashPairsOf / componentLabels for the scale notes.
+        val pairs = queries.LlmData
+          .minhashPairsOf(df.select(col(id), col(text)), id, text,
+            threshold = step.threshold)
+          .select("da", "db")
+        val labels = queries.LlmData.componentLabels(df.sparkSession, pairs)
+        val dupes = labels.filter(col("lbl") < col("doc_id"))
+          .select(col("doc_id").as(id))
+        df.join(dupes, Seq(id), "left_anti")
       case "quality_gate" =>
         df.filter(TextQuality.keep(text,
           minTokens = step.minTokens, maxTokens = step.maxTokens))

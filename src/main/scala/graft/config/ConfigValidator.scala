@@ -125,8 +125,8 @@ object ConfigValidator {
       err("tuning", s"hyperband eta must be >= 2, got ${c.tuning.eta}")
 
     // corpus-cleaning chain
-    val corpusOps = Set("dedup_exact", "quality_gate", "lang_filter",
-      "token_bounds", "pii_scrub", "source_mix")
+    val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
+      "lang_filter", "token_bounds", "pii_scrub", "source_mix")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>

@@ -143,6 +143,7 @@ final case class CorpusStepConf(
     groupColumn: String = "source", // source_mix: mixing group
     minTokens: Int = 5,             // quality_gate / token_bounds
     maxTokens: Int = 100000,
+    threshold: Double = 0.7,        // dedup_minhash: verified-Jaccard floor
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
 
 final case class CorpusConf(

@@ -28,15 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object LlmData extends QueryPack {
 
-  /** Distinct word-trigram shingles per doc. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
+  /** Distinct word-trigram shingles per doc, over any (id, text) frame —
+    * the id column is normalized to `doc_id` for the downstream joins. */
+  def shinglesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id",
         """explode(array_distinct(CASE WHEN size(toks) >= 3
           |  THEN transform(sequence(0, size(toks) - 3),
           |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
           |  ELSE array(concat_ws(' ', toks)) END)) AS s""".stripMargin)
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir), "doc_id", "text")
 
   /** DuckDB fragment matching [[shingles]] (1-based list indexing). */
   private val shinglesSql =
@@ -157,10 +161,17 @@ object LlmData extends QueryPack {
 
   /** Verified near-dup pairs (unordered) — shared by [[dedupMinhash]] and
     * [[dedupClusters]]. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, dir), "doc_id", "text")
+
+  /** The full MinHash-LSH + exact-verify pipeline over ANY (id, text)
+    * frame — what [[graft.CorpusRunner]]'s `dedup_minhash` step runs.
+    * Output columns are `da`/`db` (the id pair, `da < db`) + `jac`. */
+  def minhashPairsOf(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.7): DataFrame = {
     val seeds = 0 until 12
     val p = 2147483647L // 2^31 − 1
-    val sh = shingles(s, dir).cache()
+    val sh = shinglesOf(docs, idCol, textCol).cache()
     // one digest per shingle → 60-bit int → 12 universal-hash mins
     val withH = sh.withColumn("h1",
       expr("cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % p)
@@ -199,7 +210,7 @@ object LlmData extends QueryPack {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
-      .filter(col("jac") >= 0.7)
+      .filter(col("jac") >= threshold)
       .select("da", "db", "jac")
   }
 
@@ -221,56 +232,65 @@ object LlmData extends QueryPack {
 
   def dedupClusters(s: SparkSession, dir: String, maxDriverEdges: Long): DataFrame = {
     val pairs = minhashPairs(s, dir).select("da", "db").cache()
-    val labels =
-      if (pairs.count() <= maxDriverEdges) {
-        // driver union-find with min-root tracking
-        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
-        }
-        val rows = parent.keys.toSeq.map(d => (d, find(d)))
-        import s.implicits._
-        rows.toDF("doc_id", "lbl")
-      } else {
-        val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-          .union(pairs.select(col("db").as("a"), col("da").as("b")))
-          .cache()
-        var lbls = edges.select(col("a").as("doc_id")).distinct()
-          .withColumn("lbl", col("doc_id"))
-          .cache()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 25) {
-          val neighborMin = edges
-            .join(lbls.select(col("doc_id").as("a"), col("lbl").as("la")), "a")
-            .groupBy(col("b").as("doc_id")).agg(min("la").as("nl"))
-          val propagated = lbls.join(neighborMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          // pointer jumping: shortcut each label to its label's label
-          val next = propagated
-            .join(propagated.select(col("doc_id").as("lbl"), col("lbl").as("ll")),
-              Seq("lbl"), "left")
-            .select(col("doc_id"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
-            .cache()
-          changed = next.join(lbls.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(col("lbl") =!= col("old")).count()
-          lbls.unpersist()
-          lbls = next
-          rounds += 1
-        }
-        lbls
-      }
+    val labels = componentLabels(s, pairs, maxDriverEdges)
     labels
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc"))
       .orderBy("cluster_id")
+  }
+
+  /** Connected-component labels `(doc_id, lbl)` over an undirected pair
+    * graph (`da`/`db` columns), lbl = min id reachable. Driver union-find
+    * while the edge list fits `maxDriverEdges`; distributed min-label
+    * propagation with pointer jumping beyond it — identical output either
+    * way (see [[dedupClusters]]). Ids absent from any pair get no row. */
+  def componentLabels(s: SparkSession, pairs: DataFrame,
+                      maxDriverEdges: Long = 1L << 20): DataFrame = {
+    if (pairs.count() <= maxDriverEdges) {
+      // driver union-find with min-root tracking
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val rows = parent.keys.toSeq.map(d => (d, find(d)))
+      import s.implicits._
+      rows.toDF("doc_id", "lbl")
+    } else {
+      val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+        .union(pairs.select(col("db").as("a"), col("da").as("b")))
+        .cache()
+      var lbls = edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+        .cache()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val neighborMin = edges
+          .join(lbls.select(col("doc_id").as("a"), col("lbl").as("la")), "a")
+          .groupBy(col("b").as("doc_id")).agg(min("la").as("nl"))
+        val propagated = lbls.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        // pointer jumping: shortcut each label to its label's label
+        val next = propagated
+          .join(propagated.select(col("doc_id").as("lbl"), col("lbl").as("ll")),
+            Seq("lbl"), "left")
+          .select(col("doc_id"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+          .cache()
+        changed = next.join(lbls.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") =!= col("old")).count()
+        lbls.unpersist()
+        lbls = next
+        rounds += 1
+      }
+      lbls
+    }
   }
 
   /** 32-bit SimHash per doc from distinct-token md5s (majority vote per

@@ -59,6 +59,27 @@ class CorpusRunnerSpec extends SparkSpec {
     ex.getMessage should (include ("keepLangs") and include ("nope"))
   }
 
+  it should "reduce near-dup clusters to one representative in dedup_minhash" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "dedup_minhash")))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    val pairs = queries.LlmData.minhashPairsOf(docs, "doc_id", "text")
+      .select("da", "db").cache()
+    pairs.count() should be > 0L // the fixture does contain near-dups
+    kept.count() should be < docs.count()
+    // no two kept docs are still near-duplicates of each other
+    kept.select(col("doc_id").as("da")).join(pairs, "da")
+      .join(kept.select(col("doc_id").as("db")), "db")
+      .count() shouldBe 0
+    // every dropped doc's cluster representative (its min label) is kept
+    val labels = queries.LlmData.componentLabels(spark, pairs)
+    val reps = labels.filter(col("lbl") < col("doc_id"))
+      .select("lbl").distinct()
+    reps.join(kept.select(col("doc_id").as("lbl")), Seq("lbl"), "left_anti")
+      .count() shouldBe 0
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
