@@ -753,6 +753,86 @@ object LlmData extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** Corpus-level duplicated-span profile (C4/CCNet-style line dedup,
+    * adapted to span windows since the corpus has no line breaks): every
+    * positional `w`-word window is hashed across the WHOLE corpus; a
+    * window is "duplicated" when any other document contains the same
+    * window. Output per doc: window count, duplicated-window count, and
+    * the duplicated fraction — the signal used to drop boilerplate spans
+    * or whole near-copied docs. Two shuffles at any scale: distinct
+    * (doc, window) pairs → window-keyed doc-frequency agg → join back on
+    * the window key (uniform md5-sized keys, no skew). */
+  def dupSegments(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"""explode(CASE WHEN size(toks) >= $w
+           |  THEN transform(sequence(0, size(toks) - $w),
+           |                 i -> concat_ws(' ', slice(toks, i + 1, $w)))
+           |  ELSE array(concat_ws(' ', toks)) END) AS seg""".stripMargin)
+      .cache() // feeds both the df-count and the join back
+    val segDf = segs.distinct().groupBy("seg").agg(count(lit(1)).as("ndocs"))
+    segs.join(segDf, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_segs"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of a target unigram LM (here: the `en`
+    * slice) vs the rest-of-corpus LM, with add-one smoothing over the
+    * joint vocabulary. High-weight docs "look like" the target domain and
+    * get resampled into the training mix. One token-keyed agg builds both
+    * LMs in a single pass, one scalar-row cross join carries the totals,
+    * and the per-doc score is a token-keyed join + sum — every shuffle is
+    * keyed on the token (vocab-sized, uniform); nothing is collected. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS w")
+    val counts = toks.groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cc"))
+    val tot = counts.agg(sum("ct").as("nt"), sum("cc").as("nc"),
+      count(lit(1)).as("vsz"))
+    val wts = counts.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("vsz"))) -
+         log((col("cc") + 1).cast("double") / (col("nc") + col("vsz")))).as("lw"))
+    toks.join(wts, "w")
+      .groupBy("doc_id")
+      .agg(round(sum("lw"), 6).as("dsir_w"), count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup that only compares
+    * embeddings WITHIN a k-means cluster — the clustering bounds the
+    * pairwise work to Σ|cluster|², the published trick that makes
+    * embedding-dedup feasible at corpus scale (vs the corpus-wide
+    * all-pairs join). Reuses the deterministic Lloyd assignment
+    * ([[embedKmeans]]); a vector is pruned when a lower-id vector in the
+    * same cluster has cosine ≥ τ. The pair join shuffles on the cluster
+    * id; at 100 TB add a per-cluster size cap (split oversized clusters
+    * by a secondary LSH key) to bound the quadratic term. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val cid = kmeansAssign(s, dir).select("vec_id", "cid")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .join(cid, "vec_id")
+      .cache() // both sides of the within-cluster pair join
+    e.select(col("cid"), col("vec_id").as("da"), col("vn").as("va"))
+      .join(e.select(col("cid"), col("vec_id").as("db"), col("vn").as("vb")), "cid")
+      .filter(col("da") < col("db"))
+      .withColumn("cos_sim", round(vecDot(col("va"), col("vb")), 4))
+      .filter(col("cos_sim") >= tau)
+      .groupBy(col("db").as("pruned_id"))
+      .agg(min("da").as("keeper_id"), max("cos_sim").as("max_cos"))
+      .orderBy("pruned_id")
+  }
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -790,7 +870,10 @@ object LlmData extends QueryPack {
     "doc_pack" -> ((s, d) => docPack(s, d)),
     "dedup_incremental" -> dedupIncremental,
     "topk_per_source" -> topkPerSource,
-    "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)))
+    "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)),
+    "dup_segments" -> ((s, d) => dupSegments(s, d)),
+    "dsir_weights" -> dsirWeights,
+    "semdedup" -> ((s, d) => semDedup(s, d)))
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1141,5 +1224,41 @@ object LlmData extends QueryPack {
         | (CASE WHEN round(top_w::DOUBLE / n_words, 6) <= 0.125
         |       AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
         |  THEN 1 ELSE 0 END)::BIGINT AS keep
-        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin)
+        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    "dup_segments" ->
+      """WITH segs AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        |    THEN list_transform(generate_series(1, len(toks) - 7),
+        |                        i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | sdf AS (SELECT seg, count(*) AS ndocs
+        |   FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY seg)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_segs,
+        | sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        | round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |   AS dup_frac
+        |FROM segs s JOIN sdf USING (seg) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | counts AS (SELECT w,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |   sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cc
+        |   FROM toks GROUP BY w),
+        | tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cc)::BIGINT AS nc,
+        |   count(*)::BIGINT AS vsz FROM counts),
+        | wts AS (SELECT w, ln((ct + 1.0) / (nt + vsz)) - ln((cc + 1.0) / (nc + vsz)) AS lw
+        |   FROM counts, tot)
+        |SELECT doc_id, round(sum(lw), 6) AS dsir_w, count(*)::BIGINT AS n_toks
+        |FROM toks JOIN wts USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "semdedup" ->
+      s"""$kmeansCtes,
+        | sd AS (SELECT vec_id, cid,
+        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |   FROM a3),
+        | pr AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+        |   FROM sd a JOIN sd b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT db AS pruned_id, min(da) AS keeper_id, max(cos_sim) AS max_cos
+        |FROM pr WHERE cos_sim >= 0.3 GROUP BY db ORDER BY pruned_id""".stripMargin)
 }

@@ -173,4 +173,21 @@ object StreamOps {
       case None => hashed.dropDuplicates("text_hash")
     }
   }
+
+  /** Streaming dedup with bounded state: `dropDuplicatesWithinWatermark`
+    * dedups on the content hash ALONE and evicts each hash's state once
+    * the watermark passes its first-seen event time + delay. Unlike the
+    * `dropDuplicates("hash", ts)` variant above, a re-send with a NEW
+    * timestamp inside the horizon is still recognized as a duplicate —
+    * the semantics an ingest pipeline actually wants. State is bounded by
+    * the watermark horizon (events/hour × delay), not corpus size, which
+    * is what makes continuous dedup viable on an unbounded 100 TB/day
+    * stream; the batch twin for full-corpus exactness stays
+    * [[graft.queries.LlmData.dedupExact]]. */
+  def dedupWithinWatermark(docs: DataFrame, textCol: String,
+                           eventTimeCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("text_hash", md5(lower(trim(col(textCol)))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -89,6 +89,58 @@ class LlmQualitySpec extends SparkSpec {
     }
   }
 
+  behavior of "dupSegments"
+
+  it should "profile duplicated spans consistently with window counts" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val toks = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = LlmData.dupSegments(spark, dir).collect()
+    rows.length shouldBe toks.size // one profile row per document
+    rows.foreach { r =>
+      val (id, nSegs, nDup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      nSegs shouldBe math.max(toks(id) - 7, 1).toLong // positional windows
+      nDup should be <= nSegs
+      r.getDouble(3) shouldBe nDup.toDouble / nSegs +- 5e-7
+    }
+    // the near-dup corpus slice must register as span-duplicated
+    rows.count(_.getLong(2) > 0) should be > 0
+  }
+
+  behavior of "dsirWeights"
+
+  it should "score target-looking docs above rest-of-corpus docs on average" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val lang = graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = LlmData.dsirWeights(spark, dir).collect()
+    rows.length shouldBe lang.size
+    val (en, rest) = rows.partition(r => lang(r.getLong(0)) == "en")
+    en should not be empty
+    rest should not be empty
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(1)).sum / rs.length
+    // the LM ratio must actually separate the target slice
+    mean(en) should be > mean(rest)
+  }
+
+  behavior of "semDedup"
+
+  it should "prune only toward lower-id keepers within the cosine threshold" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val rows = LlmData.semDedup(spark, dir).collect()
+    rows should not be empty // the synthetic near-dup pairs cluster together
+    rows.foreach { r =>
+      r.getLong(1) should be < r.getLong(0) // keeper_id < pruned_id
+      r.getDouble(2) should (be >= 0.3 and be <= 1.0)
+    }
+    // pruned set and keeper set are disjoint only per-pair, but a pruned
+    // vector must never be its own keeper
+    rows.map(_.getLong(0)).toSet should not contain rows.map(_.getLong(1)).min
+  }
+
   behavior of "piiScrub"
 
   it should "remove every digit run and account for all rows" in {

@@ -123,6 +123,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "dedup re-sends with new timestamps inside the watermark horizon" in {
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.dedupWithinWatermark(
+        in.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(100000), "Hello World"),
+        (2L, ts(100001), "  hello world "), // dup, new ts → still dropped
+        (3L, ts(100002), "other"))
+      q.processAllAvailable()
+      in.addData((4L, ts(100003), "HELLO WORLD"), (5L, ts(100004), "fresh"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_wm").select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 3L, 5L)
+    } finally q.stop()
+  }
+
   it should "materialize latest-by-key upserts matching the batch compaction" in {
     val in = MemoryStream[Event]
     val q = StreamOps.latestByKey(in.toDS())
