@@ -833,6 +833,23 @@ object LlmData extends QueryPack {
       .orderBy("pruned_id")
   }
 
+  /** Deterministic global training-order shuffle: every document gets a
+    * reproducible pseudo-random position (md5 of a salted id — change the
+    * salt to re-shuffle per epoch) and a round-robin shard assignment.
+    * The naive `orderBy(rand())` is both non-reproducible and, with a
+    * window row_number, single-task; this uses the two-pass range-sort
+    * global row number (plans.GlobalRank), so the sort is
+    * partition-parallel at any scale and the shard layout is a pure
+    * function of the corpus — rerunnable on any cluster size. */
+  def corpusShuffle(s: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val key = md5(concat(lit("shuf|"), col("doc_id").cast("string")))
+    graft.plans.GlobalRank.withRowNumber(
+        Tables.documents(s, dir).select("doc_id"), Seq(key, col("doc_id")), "pos")
+      .withColumn("shard", (col("pos") - 1) % shards)
+      .select("doc_id", "pos", "shard")
+      .orderBy("pos")
+  }
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -873,7 +890,8 @@ object LlmData extends QueryPack {
     "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)),
     "dup_segments" -> ((s, d) => dupSegments(s, d)),
     "dsir_weights" -> dsirWeights,
-    "semdedup" -> ((s, d) => semDedup(s, d)))
+    "semdedup" -> ((s, d) => semDedup(s, d)),
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)))
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1260,5 +1278,11 @@ object LlmData extends QueryPack {
         |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
         |   FROM sd a JOIN sd b ON a.cid = b.cid AND a.vec_id < b.vec_id)
         |SELECT db AS pruned_id, min(da) AS keeper_id, max(cos_sim) AS max_cos
-        |FROM pr WHERE cos_sim >= 0.3 GROUP BY db ORDER BY pruned_id""".stripMargin)
+        |FROM pr WHERE cos_sim >= 0.3 GROUP BY db ORDER BY pruned_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH pos AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)),
+        |                      doc_id) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, (pos - 1) % 16 AS shard FROM pos ORDER BY pos""".stripMargin)
 }
