@@ -130,6 +130,25 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).size should be <= 4
   }
 
+  it should "key the semdedup pair join on the cluster id" in {
+    val p = plan(LlmData.semDedup(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "profile duplicated spans through hash-keyed joins only" in {
+    val p = plan(LlmData.dupSegments(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "score DSIR weights with token-keyed shuffles and a 1-row total broadcast" in {
+    val p = plan(LlmData.dsirWeights(spark, dir))
+    p should not include "CartesianProduct"
+    // the totals row rides a broadcast; the vocab join must stay keyed
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
   it should "compute the as-of join with keyed windows only" in {
     val p = plan(Relational.asofJoin(spark, dir))
     p should not include "CartesianProduct"
