@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *  - `token_bounds`    whitespace-token count within [min, max]
   *  - `pii_scrub`       ordered-class regex redaction IN PLACE on the text
   *                      column (pii_scrub / word_classes_replacement)
+  *  - `span_dedup`      drop docs whose duplicated-span fraction across
+  *                      the corpus exceeds the threshold (dup_segments)
+  *  - `dsir_sample`     keep docs whose DSIR importance weight against the
+  *                      keepLangs target slice clears the threshold
+  *                      (dsir_weights)
   *  - `source_mix`      deterministic per-group quota downsampling
   *                      (source_mix_sample semantics)
   *
@@ -109,6 +114,26 @@ object CorpusRunner extends Logging {
           .setPairs(pairs)
           .transform(df)
           .withColumn(text, col("__red")).drop("__red")
+      case "span_dedup" =>
+        // corpus-wide duplicated-span profile (LlmData.dupSegmentsOf);
+        // drop docs whose duplicated-window fraction exceeds the threshold
+        // — the C4/CCNet boilerplate gate. Anti-join on the unique id.
+        val over = queries.LlmData
+          .dupSegmentsOf(df.select(col(id), col(text)), id, text, step.window)
+          .filter(col("dup_frac") > step.threshold)
+          .select(col("doc_id").as(id))
+        df.join(over, Seq(id), "left_anti")
+      case "dsir_sample" =>
+        // DSIR importance gate (LlmData.dsirWeightsOf): the target LM is
+        // fit on the keepLangs slice; docs scoring below the threshold
+        // log-likelihood ratio are dropped. Semi-join on the unique id.
+        val keep = queries.LlmData
+          .dsirWeightsOf(df.select(col(id), col(text), col(step.langColumn)),
+            id, text,
+            col(step.langColumn).isin(step.keepLangs.map(l => l: Any): _*))
+          .filter(col("dsir_w") >= step.threshold)
+          .select(col("doc_id").as(id))
+        df.join(keep, Seq(id), "left_semi")
       case "source_mix" =>
         // same md5-uniform membership as LlmData.sourceMixSample: a pure
         // function of the id — reproducible, stable under corpus growth

@@ -126,7 +126,8 @@ object ConfigValidator {
 
     // corpus-cleaning chain
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
-      "lang_filter", "token_bounds", "pii_scrub", "source_mix")
+      "lang_filter", "token_bounds", "pii_scrub", "source_mix",
+      "span_dedup", "dsir_sample")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -136,6 +137,11 @@ object ConfigValidator {
             err("corpus", s"step $i: 'lang_filter' requires keepLangs[]")
           case "source_mix" if s.quota <= 0 =>
             err("corpus", s"step $i: 'source_mix' requires quota > 0")
+          case "span_dedup" if s.window < 2 =>
+            err("corpus", s"step $i: 'span_dedup' requires window >= 2")
+          case "dsir_sample" if s.keepLangs.isEmpty =>
+            err("corpus", s"step $i: 'dsir_sample' requires keepLangs[] " +
+              "(the target slice the importance weights are fit against)")
           case _ => ()
         }
         s.pairs.zipWithIndex.foreach { case (p, j) =>

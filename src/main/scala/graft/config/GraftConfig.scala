@@ -143,7 +143,10 @@ final case class CorpusStepConf(
     groupColumn: String = "source", // source_mix: mixing group
     minTokens: Int = 5,             // quality_gate / token_bounds
     maxTokens: Int = 100000,
-    threshold: Double = 0.7,        // dedup_minhash: verified-Jaccard floor
+    threshold: Double = 0.7,        // dedup_minhash: verified-Jaccard floor;
+                                    // span_dedup: max duplicated-span frac;
+                                    // dsir_sample: min importance weight
+    window: Int = 8,                // span_dedup: words per span window
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
 
 final case class CorpusConf(

@@ -762,9 +762,16 @@ object LlmData extends QueryPack {
     * or whole near-copied docs. Two shuffles at any scale: distinct
     * (doc, window) pairs → window-keyed doc-frequency agg → join back on
     * the window key (uniform md5-sized keys, no skew). */
-  def dupSegments(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val segs = Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
+  def dupSegments(s: SparkSession, dir: String, w: Int = 8): DataFrame =
+    dupSegmentsOf(Tables.documents(s, dir), "doc_id", "text", w)
+      .orderBy("doc_id")
+
+  /** The duplicated-span profile over ANY (id, text) frame — what
+    * [[graft.CorpusRunner]]'s `span_dedup` step gates on. */
+  def dupSegmentsOf(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    val segs = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id",
         s"""explode(CASE WHEN size(toks) >= $w
            |  THEN transform(sequence(0, size(toks) - $w),
@@ -778,7 +785,6 @@ object LlmData extends QueryPack {
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_segs"), 6))
-      .orderBy("doc_id")
   }
 
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
@@ -790,12 +796,23 @@ object LlmData extends QueryPack {
     * LMs in a single pass, one scalar-row cross join carries the totals,
     * and the per-doc score is a token-keyed join + sum — every shuffle is
     * keyed on the token (vocab-sized, uniform); nothing is collected. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS w")
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** DSIR weights over ANY (id, text) frame with a caller-chosen target
+    * indicator — what [[graft.CorpusRunner]]'s `dsir_sample` step gates
+    * on. `isTarget` must be a row-local predicate over the frame. */
+  def dsirWeightsOf(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs
+      .withColumn("__t", isTarget)
+      .selectExpr(s"$idCol AS doc_id", "__t",
+        s"explode(split($textCol, ' ')) AS w")
     val counts = toks.groupBy("w").agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cc"))
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("cc"))
     val tot = counts.agg(sum("ct").as("nt"), sum("cc").as("nc"),
       count(lit(1)).as("vsz"))
     val wts = counts.crossJoin(broadcast(tot))
@@ -805,7 +822,6 @@ object LlmData extends QueryPack {
     toks.join(wts, "w")
       .groupBy("doc_id")
       .agg(round(sum("lw"), 6).as("dsir_w"), count(lit(1)).as("n_toks"))
-      .orderBy("doc_id")
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup that only compares

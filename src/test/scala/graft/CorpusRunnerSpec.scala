@@ -80,6 +80,36 @@ class CorpusRunnerSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  it should "gate span-duplicated docs against the whole-corpus profile" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "span_dedup", threshold = 0.2)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+    val profile = queries.LlmData.dupSegmentsOf(docs, "doc_id", "text", 8)
+    val over = profile.filter(col("dup_frac") > 0.2)
+    over.count() should be > 0L // the near-dup fixture trips the gate
+    kept.count() shouldBe docs.count() - over.count()
+    // exactly the over-threshold docs are gone
+    kept.join(over.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() shouldBe 0
+  }
+
+  it should "keep only docs clearing the DSIR importance threshold" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "dsir_sample", keepLangs = Seq("en"),
+        threshold = 0.0)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    val n = kept.count()
+    n should be > 0L
+    n should be < docs.count() // the gate must actually split the corpus
+    // the kept slice skews toward the target language
+    val keptEnFrac = kept.filter(col("lang") === "en").count().toDouble / n
+    val allEnFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    keptEnFrac should be > allEnFrac
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
