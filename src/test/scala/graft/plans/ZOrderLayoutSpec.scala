@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "ZOrderLayout"
+
+  it should "interleave bits exactly like the reference Morton definition" in {
+    def morton(vals: Seq[Long], bits: Int): Long =
+      vals.zipWithIndex.map { case (v, ci) =>
+        (0 until bits).map(i => ((v >>> i) & 1L) << (i * vals.size + ci))
+          .foldLeft(0L)(_ | _)
+      }.foldLeft(0L)(_ | _)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (4095L, 4095L),
+      (123L, 456L), (4095L, 0L))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrderLayout.mortonKey(Seq(col("a"), col("b")), 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      got((a, b)) shouldBe morton(Seq(a, b), 12)
+    }
+  }
+
+  it should "clamp the grid scale to [0, 2^bits) including out-of-probe values" in {
+    val out = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("x")
+      .select(ZOrderLayout.gridScale(col("x"), 0.0, 100.0, 4).as("g"))
+      .as[Long].collect()
+    out.foreach { g => g should (be >= 0L and be <= 15L) }
+    out(1) shouldBe 0L   // lo -> first cell
+    out(3) shouldBe 15L  // hi -> last cell
+    out(0) shouldBe 0L   // below-range clamps
+    out(4) shouldBe 15L  // above-range clamps
+  }
+
+  it should "give every file a tight bounding box on BOTH dimensions" in {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val li = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+
+    def fileCoverage(path: String, col2: String): Seq[Double] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val full = li.agg(min(col2), max(col2)).head()
+      val (flo, fhi) = (full.getLong(0).toDouble, full.getLong(1).toDouble)
+      files.toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col2), max(col2)).head()
+        (r.getLong(1) - r.getLong(0)) / math.max(fhi - flo, 1.0)
+      }
+    }
+
+    val zPath = "/tmp/graft-zorder-spec/z"
+    val linPath = "/tmp/graft-zorder-spec/linear"
+    ZOrderLayout.layout(li, Seq("l_orderkey", "l_partkey"), outParts = 8)
+      .write.mode("overwrite").parquet(zPath)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linPath)
+
+    // the single-column layout cannot prune on the OTHER dimension: each
+    // file spans essentially the whole l_partkey range
+    val linCov = fileCoverage(linPath, "l_partkey")
+    linCov.sum / linCov.size should be > 0.9
+    // the Z-order layout splits both dimensions: every file covers a
+    // fraction of the partkey range, so a selective partkey filter skips
+    // most files on min/max stats alone
+    val zCov = fileCoverage(zPath, "l_partkey")
+    zCov.sum / zCov.size should be < 0.6
+    // and the curve still localizes the first dimension too (far better
+    // than random placement, which would cover ~1.0)
+    val zCovA = fileCoverage(zPath, "l_orderkey")
+    zCovA.sum / zCovA.size should be < 0.6
+  }
+}
