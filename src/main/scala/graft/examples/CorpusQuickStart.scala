@@ -1,0 +1,65 @@
+package graft.examples
+
+import graft.{CorpusRunner, GraftSession}
+import graft.config.GraftConf
+import graft.queries.LlmData
+
+/** End-to-end drive of the corpus-cleaning mode — the pretraining-data
+  * pipeline a user would run at 100 TB, on the testdata `documents`
+  * table: config parse + validate → read → exact dedup → MinHash-LSH
+  * near-dup dedup → corpus-wide duplicated-span gate → quality gate →
+  * language filter → DSIR importance gate → deterministic source-mix
+  * downsampling → cleaned-corpus savepoint, then the deterministic
+  * training-order shuffle + token-budget packing over the survivors.
+  *
+  * Run: sbt "runMain graft.examples.CorpusQuickStart /root/testdata/sf0.01"
+  */
+object CorpusQuickStart {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.local(8, "graft-corpus-quickstart")
+
+    val confJson =
+      s"""{
+        |  "project": {"name": "corpus-quickstart", "root": "/tmp/graft-corpus-demo"},
+        |  "data": {"source": "parquet://$dir/documents.parquet"},
+        |  "columns": {"response": "lang"},
+        |  "corpus": {"steps": [
+        |    {"op": "dedup_exact"},
+        |    {"op": "dedup_minhash", "threshold": 0.7},
+        |    {"op": "span_dedup", "window": 8, "threshold": 0.5},
+        |    {"op": "quality_gate", "minTokens": 10, "maxTokens": 5000},
+        |    {"op": "lang_filter", "keepLangs": ["en", "de", "fr", "es"]},
+        |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},
+        |    {"op": "source_mix", "quota": 15, "groupColumn": "source"}
+        |  ]}
+        |}""".stripMargin
+
+    val conf = GraftConf.fromJson(confJson)
+    println(s"[corpus] config OK: ${conf.project.name}")
+
+    val result = CorpusRunner.run(spark, conf, savepointing = true)
+    result.metrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(f"[corpus] $k = ${v.toLong}")
+    }
+
+    // training-order shuffle + shard assignment over the cleaned corpus
+    val cleaned = result.corpus.cache()
+    val n = cleaned.count()
+    val sharded = LlmData.corpusShuffle(spark, dir, shards = 8)
+      .join(cleaned.select("doc_id"), "doc_id")
+    println(s"[corpus] cleaned corpus: $n docs across " +
+      s"${sharded.select("shard").distinct().count()} shards")
+
+    // token-budget sequence packing of the survivors: global running token
+    // sums (two-pass range prefix sums, partition-parallel) -> budget bins
+    import org.apache.spark.sql.functions._
+    val toks = cleaned.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    val packed = graft.plans.GlobalRank
+      .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
+      .withColumn("bin_id", ((col("cum") - col("n_tokens")) / 256).cast("long") + 1)
+    println(s"[corpus] packed ${packed.count()} docs into " +
+      s"${packed.select("bin_id").distinct().count()} token-budget bins")
+    spark.stop()
+  }
+}

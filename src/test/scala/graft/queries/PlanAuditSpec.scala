@@ -149,6 +149,32 @@ class PlanAuditSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).size should be >= 2
   }
 
+  it should "inject a runtime bloom filter into the fact side of a selective join" in {
+    // At 100 TB the win isn't the join algorithm, it's never shuffling the
+    // fact rows that can't match: Spark's InjectRuntimeFilter builds a
+    // bloom filter from the selective dim side and applies it as a
+    // `might_contain` semi-filter on the fact scan. The thresholds are
+    // sized for real clusters, so pin them down to observe the rewrite at
+    // test scale — the assertion is that our join shapes remain eligible.
+    val conf = spark.conf
+    val pinned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pinned.keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      pinned.foreach { case (k, v) => conf.set(k, v) }
+      val o = graft.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val li = graft.Tables.lineitem(spark, dir)
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      p should include ("might_contain")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   it should "compute the as-of join with keyed windows only" in {
     val p = plan(Relational.asofJoin(spark, dir))
     p should not include "CartesianProduct"
