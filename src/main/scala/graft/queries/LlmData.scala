@@ -849,6 +849,29 @@ object LlmData extends QueryPack {
       .orderBy("pruned_id")
   }
 
+  /** CCNet-style perplexity scoring under a unigram LM fit on the corpus
+    * itself (add-one smoothed): ppl(doc) = exp(−mean log p(w)). CCNet
+    * buckets a crawl into head/middle/tail quality tiers by LM perplexity;
+    * the unigram LM keeps the operator closed over the corpus (no external
+    * model file) while exercising the identical dataflow — token-keyed LM
+    * build, one scalar-total broadcast, token-keyed score join. Swap the
+    * `lp` table for an external n-gram LM's scores to get the full CCNet
+    * pipeline. */
+  def unigramPpl(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+    val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val lp = cnt.crossJoin(broadcast(tot))
+      .select(col("w"),
+        log((col("c") + 1).cast("double") / (col("n") + col("v"))).as("lp"))
+    toks.join(lp, "w")
+      .groupBy("doc_id")
+      .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
+        count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global training-order shuffle: every document gets a
     * reproducible pseudo-random position (md5 of a salted id — change the
     * salt to re-shuffle per epoch) and a round-robin shard assignment.
@@ -907,7 +930,8 @@ object LlmData extends QueryPack {
     "dup_segments" -> ((s, d) => dupSegments(s, d)),
     "dsir_weights" -> dsirWeights,
     "semdedup" -> ((s, d) => semDedup(s, d)),
-    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)))
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
+    "unigram_ppl" -> unigramPpl)
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1295,6 +1319,15 @@ object LlmData extends QueryPack {
         |   FROM sd a JOIN sd b ON a.cid = b.cid AND a.vec_id < b.vec_id)
         |SELECT db AS pruned_id, min(da) AS keeper_id, max(cos_sim) AS max_cos
         |FROM pr WHERE cos_sim >= 0.3 GROUP BY db ORDER BY pruned_id""".stripMargin,
+    "unigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | cnt AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+        | tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM cnt),
+        | lp AS (SELECT w, ln((c + 1.0) / (n + v)) AS lp FROM cnt, tot)
+        |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
+        | count(*)::BIGINT AS n_toks
+        |FROM toks JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """WITH pos AS (SELECT doc_id,
         |   row_number() OVER (ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)),
