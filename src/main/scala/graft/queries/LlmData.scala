@@ -872,6 +872,22 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the
+    * corpus (tier 1 = lowest-perplexity "head" kept for training, tier 3 =
+    * "tail" dropped or down-weighted). Exact tiering via the two-pass
+    * range-sort ntile (plans.GlobalRank) — no single-partition window at
+    * any scale. */
+  def qualityTiers(s: SparkSession, dir: String): DataFrame = {
+    val ppl = unigramPpl(s, dir).select("doc_id", "ppl")
+    graft.plans.GlobalRank
+      .withNtile(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("ppl"), 4).as("min_ppl"),
+        round(max("ppl"), 4).as("max_ppl"))
+      .orderBy("tier")
+  }
+
   /** Deterministic global training-order shuffle: every document gets a
     * reproducible pseudo-random position (md5 of a salted id — change the
     * salt to re-shuffle per epoch) and a round-robin shard assignment.
@@ -931,7 +947,8 @@ object LlmData extends QueryPack {
     "dsir_weights" -> dsirWeights,
     "semdedup" -> ((s, d) => semDedup(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
-    "unigram_ppl" -> unigramPpl)
+    "unigram_ppl" -> unigramPpl,
+    "quality_tiers" -> qualityTiers)
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1328,6 +1345,19 @@ object LlmData extends QueryPack {
         |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
         | count(*)::BIGINT AS n_toks
         |FROM toks JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_tiers" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | cnt AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+        | tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM cnt),
+        | lp AS (SELECT w, ln((c + 1.0) / (n + v)) AS lp FROM cnt, tot),
+        | ppl AS (SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl
+        |   FROM toks JOIN lp USING (w) GROUP BY doc_id),
+        | tiers AS (SELECT doc_id, ppl,
+        |   ntile(3) OVER (ORDER BY ppl, doc_id) AS tier FROM ppl)
+        |SELECT tier, count(*)::BIGINT AS n_docs,
+        | round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+        |FROM tiers GROUP BY tier ORDER BY tier""".stripMargin,
     "corpus_shuffle" ->
       """WITH pos AS (SELECT doc_id,
         |   row_number() OVER (ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)),
