@@ -79,11 +79,30 @@ object EventOpsPack extends QueryPack {
       .limit(10)
   }
 
+  /** Weekly cohort retention — the standard growth-analytics matrix: users
+    * cohorted by first-seen week, counted per week offset they return.
+    * Two keyed shuffles at any scale: user-keyed min-week agg, then the
+    * (cohort, offset)-keyed distinct-user count (two-phase partial agg —
+    * the exchange carries one row per (cohort, offset, user), never the
+    * raw events). Week arithmetic is integer days since epoch over the
+    * micros-truncated UTC date, identical in any engine. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7).as("wk"))
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract_agg" -> jsonExtractAgg,
     "latest_by_key" -> latestByKey,
     "funnel_conversion" -> funnelConversion,
-    "skew_profile" -> skewProfile)
+    "skew_profile" -> skewProfile,
+    "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
     "json_extract_agg" ->
@@ -114,5 +133,15 @@ object EventOpsPack extends QueryPack {
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
         | t AS (SELECT sum(n) AS total FROM c)
         |SELECT user_id, n, round(n / total, 6) AS share
-        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+        |   (date_diff('day', DATE '1970-01-01',
+        |              CAST(ts AS TIMESTAMP)::DATE) // 7) AS wk
+        |  FROM events),
+        | cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        |SELECT cohort_wk, w.wk - cohort_wk AS offset_wk,
+        | count(DISTINCT w.user_id)::BIGINT AS n_users
+        |FROM wk w JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
