@@ -43,21 +43,17 @@ object CorpusQuickStart {
       println(f"[corpus] $k = ${v.toLong}")
     }
 
-    // training-order shuffle + shard assignment over the cleaned corpus
+    // training-order shuffle + shard assignment over the CLEANED corpus —
+    // positions are dense and shards balanced round-robin over survivors
     val cleaned = result.corpus.cache()
     val n = cleaned.count()
-    val sharded = LlmData.corpusShuffle(spark, dir, shards = 8)
-      .join(cleaned.select("doc_id"), "doc_id")
+    val sharded = LlmData.corpusShuffleOf(cleaned, "doc_id", shards = 8)
     println(s"[corpus] cleaned corpus: $n docs across " +
       s"${sharded.select("shard").distinct().count()} shards")
 
     // token-budget sequence packing of the survivors: global running token
     // sums (two-pass range prefix sums, partition-parallel) -> budget bins
-    import org.apache.spark.sql.functions._
-    val toks = cleaned.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
-    val packed = graft.plans.GlobalRank
-      .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
-      .withColumn("bin_id", ((col("cum") - col("n_tokens")) / 256).cast("long") + 1)
+    val packed = LlmData.docPackOf(cleaned, "doc_id", "text", budget = 256)
     println(s"[corpus] packed ${packed.count()} docs into " +
       s"${packed.select("bin_id").distinct().count()} token-budget bins")
     spark.stop()

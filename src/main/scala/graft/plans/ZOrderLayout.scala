@@ -57,15 +57,17 @@ object ZOrderLayout {
     * (2k doubles to the driver). */
   def layout(df: DataFrame, zCols: Seq[String], outParts: Int,
              bits: Int = 12): DataFrame = {
-    val stats = df.agg(
-      min(col(zCols.head)).cast("double").as("min0"),
-      zCols.tail.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        :+ max(col(zCols.head)).cast("double"): _*).head()
-    // stats row layout: min0, (min1, max1, min2, max2, ...), max0
-    val lo0 = stats.getDouble(0)
-    val hi0 = stats.getDouble(stats.length - 1)
-    val ranges = (lo0, hi0) +: zCols.tail.indices.map(i =>
-      (stats.getDouble(1 + 2 * i), stats.getDouble(2 + 2 * i)))
+    require(!df.columns.contains("__z"),
+      "layout() uses a scratch column named __z; rename the existing one")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = zCols.indices.map { i =>
+      require(!stats.isNullAt(2 * i),
+        s"z-column '${zCols(i)}' has no non-null values to probe " +
+          "(empty input or all-null column)")
+      (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+    }
     val gridded = zCols.zip(ranges).map { case (c, (lo, hi)) =>
       gridScale(col(c), lo, hi, bits)
     }

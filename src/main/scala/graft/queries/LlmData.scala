@@ -530,17 +530,26 @@ object LlmData extends QueryPack {
     * running sum is plans.GlobalRank.withRunningSums (two-pass
     * range-partitioned prefix sums — partition-parallel, never the
     * single-task `Window.orderBy` cumsum). */
-  def docPack(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
-    graft.plans.GlobalRank
-      .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
-      .withColumn("bin_id",
-        ((col("cum") - col("n_tokens")) / budget).cast("long") + 1)
+  def docPack(s: SparkSession, dir: String, budget: Int = 256): DataFrame =
+    docPackOf(Tables.documents(s, dir), "doc_id", "text", budget)
       .groupBy("bin_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("bin_id")
+
+  /** Per-doc token-budget bin assignment over ANY (id, text) frame —
+    * global running token sums (two-pass range prefix sums) cut into
+    * `budget`-sized bins in id order. Returns one row per doc:
+    * (doc_id, n_tokens, cum, bin_id). */
+  def docPackOf(docs: DataFrame, idCol: String, textCol: String,
+                budget: Int): DataFrame = {
+    val toks = docs
+      .selectExpr(s"$idCol AS doc_id",
+        s"size(split($textCol, ' ')) AS n_tokens")
+    graft.plans.GlobalRank
+      .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
+      .withColumn("bin_id",
+        ((col("cum") - col("n_tokens")) / budget).cast("long") + 1)
   }
 
   /** Quality gate over documents through the real text.TextQuality
@@ -810,6 +819,7 @@ object LlmData extends QueryPack {
       .withColumn("__t", isTarget)
       .selectExpr(s"$idCol AS doc_id", "__t",
         s"explode(split($textCol, ' ')) AS w")
+      .cache() // feeds both the LM build and the scoring join
     val counts = toks.groupBy("w").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("cc"))
@@ -860,6 +870,7 @@ object LlmData extends QueryPack {
   def unigramPpl(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .cache() // feeds both the LM build and the scoring join
     val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("v"))
     val lp = cnt.crossJoin(broadcast(tot))
@@ -896,13 +907,20 @@ object LlmData extends QueryPack {
     * global row number (plans.GlobalRank), so the sort is
     * partition-parallel at any scale and the shard layout is a pure
     * function of the corpus — rerunnable on any cluster size. */
-  def corpusShuffle(s: SparkSession, dir: String, shards: Int = 16): DataFrame = {
-    val key = md5(concat(lit("shuf|"), col("doc_id").cast("string")))
+  def corpusShuffle(s: SparkSession, dir: String, shards: Int = 16): DataFrame =
+    corpusShuffleOf(Tables.documents(s, dir), "doc_id", shards)
+      .orderBy("pos")
+
+  /** The shuffle/shard assignment over ANY id-keyed frame — run it on the
+    * CLEANED corpus (positions dense, shards balanced), not on a superset
+    * that later gets filtered. */
+  def corpusShuffleOf(docs: DataFrame, idCol: String,
+                      shards: Int): DataFrame = {
+    val key = md5(concat(lit("shuf|"), col(idCol).cast("string")))
     graft.plans.GlobalRank.withRowNumber(
-        Tables.documents(s, dir).select("doc_id"), Seq(key, col("doc_id")), "pos")
+        docs.selectExpr(s"$idCol AS doc_id"), Seq(key, col("doc_id")), "pos")
       .withColumn("shard", (col("pos") - 1) % shards)
       .select("doc_id", "pos", "shard")
-      .orderBy("pos")
   }
 
   /** Corpus profile per (lang, source). */
