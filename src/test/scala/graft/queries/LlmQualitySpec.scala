@@ -141,6 +141,27 @@ class LlmQualitySpec extends SparkSpec {
     rows.map(_.getLong(0)).toSet should not contain rows.map(_.getLong(1)).min
   }
 
+  behavior of "corpusShuffleOf"
+
+  it should "assign dense positions and balanced shards over a filtered frame" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.functions.col
+    // a cleaned (filtered) corpus — the assignment must be computed over
+    // the survivors, not inherited from the full corpus
+    val sub = graft.Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+    val out = LlmData.corpusShuffleOf(sub, "doc_id", shards = 4).collect()
+    out.length.toLong shouldBe sub.count()
+    // dense 1..n positions, no gaps
+    out.map(_.getLong(1)).sorted shouldBe (1L to out.length).toArray
+    // round-robin shards differ by at most one in size
+    val sizes = out.groupBy(_.getLong(2)).values.map(_.size)
+    sizes.max - sizes.min should be <= 1
+    // reproducible: same frame, same assignment
+    val again = LlmData.corpusShuffleOf(sub, "doc_id", shards = 4).collect()
+    again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
   behavior of "piiScrub"
 
   it should "remove every digit run and account for all rows" in {
