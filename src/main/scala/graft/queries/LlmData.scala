@@ -859,6 +859,31 @@ object LlmData extends QueryPack {
       .orderBy("pruned_id")
   }
 
+  /** Corpus snapshot diff — the ingestion-ops accounting between two
+    * corpus versions: per-status doc counts (added / removed / unchanged
+    * by content hash) from ONE full outer join on the unique id. Both
+    * "versions" are deterministic slices of the one documents table so
+    * the oracle replays identical data. At 100 TB this is the id-keyed
+    * shuffle join both sides already store sorted/bucketed for. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val v1 = hashed.filter(col("doc_id") < 400)
+      .withColumnRenamed("h", "h1")
+    val v2 = hashed.filter(col("doc_id") >= 100)
+      .withColumnRenamed("h", "h2")
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("status")
+  }
+
   /** CCNet-style perplexity scoring under a unigram LM fit on the corpus
     * itself (add-one smoothed): ppl(doc) = exp(−mean log p(w)). CCNet
     * buckets a crawl into head/middle/tail quality tiers by LM perplexity;
@@ -966,7 +991,8 @@ object LlmData extends QueryPack {
     "semdedup" -> ((s, d) => semDedup(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "unigram_ppl" -> unigramPpl,
-    "quality_tiers" -> qualityTiers)
+    "quality_tiers" -> qualityTiers,
+    "corpus_diff" -> corpusDiff)
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1363,6 +1389,19 @@ object LlmData extends QueryPack {
         |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
         | count(*)::BIGINT AS n_toks
         |FROM toks JOIN lp USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_diff" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        | v1 AS (SELECT doc_id, h AS h1 FROM h WHERE doc_id < 400),
+        | v2 AS (SELECT doc_id, h AS h2 FROM h WHERE doc_id >= 100),
+        | d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |   CASE WHEN h1 IS NULL THEN 'added'
+        |        WHEN h2 IS NULL THEN 'removed'
+        |        WHEN h1 <> h2 THEN 'changed'
+        |        ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*)::BIGINT AS n_docs,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "quality_tiers" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |   FROM documents),
