@@ -25,6 +25,32 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
+  it should "be monotone along each axis with the other held fixed" in {
+    // the property that makes min/max range pruning sound: moving along
+    // one dimension never moves the Morton key backwards when the other
+    // coordinates are fixed. 500 seeded random triples in one job.
+    val rnd = new scala.util.Random(42)
+    val triples = Seq.fill(500)(
+      (rnd.nextLong(4096), rnd.nextLong(4096), rnd.nextLong(4096)))
+    val rows = triples.zipWithIndex.flatMap { case ((a1, a2, b), i) =>
+      Seq((i, 0, a1, b), (i, 1, a2, b), (i, 2, b, a1), (i, 3, b, a2))
+    }
+    val z = rows.toDF("case_id", "slot", "a", "b")
+      .select(col("case_id"), col("slot"),
+        ZOrderLayout.mortonKey(Seq(col("a"), col("b")), 12).as("z"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    triples.zipWithIndex.foreach { case ((a1, a2, _), i) =>
+      withClue(s"case $i ($a1, $a2)") {
+        // axis a monotone (slots 0,1), axis b monotone (slots 2,3)
+        java.lang.Long.compare(a1, a2).sign shouldBe
+          java.lang.Long.compare(z((i, 0)), z((i, 1))).sign
+        java.lang.Long.compare(a1, a2).sign shouldBe
+          java.lang.Long.compare(z((i, 2)), z((i, 3))).sign
+      }
+    }
+  }
+
   it should "clamp the grid scale to [0, 2^bits) including out-of-probe values" in {
     val out = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("x")
       .select(ZOrderLayout.gridScale(col("x"), 0.0, 100.0, 4).as("g"))
