@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *  - `dsir_sample`     keep docs whose DSIR importance weight against the
   *                      keepLangs target slice clears the threshold
   *                      (dsir_weights)
+  *  - `ppl_gate`        keep the lowest-perplexity `threshold` fraction
+  *                      under the corpus-fit unigram LM (unigram_ppl /
+  *                      quality_tiers semantics — the CCNet head gate)
   *  - `source_mix`      deterministic per-group quota downsampling
   *                      (source_mix_sample semantics)
   *
@@ -132,6 +135,20 @@ object CorpusRunner extends Logging {
             id, text,
             col(step.langColumn).isin(step.keepLangs.map(l => l: Any): _*))
           .filter(col("dsir_w") >= step.threshold)
+          .select(col("doc_id").as(id))
+        df.join(keep, Seq(id), "left_semi")
+      case "ppl_gate" =>
+        // CCNet-style head/middle/tail gate: rank every doc by perplexity
+        // under the corpus-fit unigram LM and keep the lowest `threshold`
+        // fraction (the "head"). Exact corpus-relative rank via the
+        // two-pass range-sort ntile — no single-partition window.
+        val ppl = queries.LlmData
+          .unigramPplOf(df.select(col(id), col(text)), id, text)
+        val pct = graft.plans.GlobalRank
+          .withNtile(ppl, Seq(col("ppl"), col("doc_id")), 100, "pct")
+        val keep = pct
+          .filter(col("pct") <=
+            math.max(1, math.round(step.threshold * 100).toInt))
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
       case "source_mix" =>

@@ -127,7 +127,7 @@ object ConfigValidator {
     // corpus-cleaning chain
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix",
-      "span_dedup", "dsir_sample")
+      "span_dedup", "dsir_sample", "ppl_gate")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -142,6 +142,9 @@ object ConfigValidator {
           case "dsir_sample" if s.keepLangs.isEmpty =>
             err("corpus", s"step $i: 'dsir_sample' requires keepLangs[] " +
               "(the target slice the importance weights are fit against)")
+          case "ppl_gate" if s.threshold <= 0 || s.threshold > 1 =>
+            err("corpus", s"step $i: 'ppl_gate' requires threshold in " +
+              "(0, 1] (the fraction of lowest-perplexity docs to keep)")
           case _ => ()
         }
         s.pairs.zipWithIndex.foreach { case (p, j) =>

@@ -145,7 +145,8 @@ final case class CorpusStepConf(
     maxTokens: Int = 100000,
     threshold: Double = 0.7,        // dedup_minhash: verified-Jaccard floor;
                                     // span_dedup: max duplicated-span frac;
-                                    // dsir_sample: min importance weight
+                                    // dsir_sample: min importance weight;
+                                    // ppl_gate: lowest-ppl fraction kept
     window: Int = 8,                // span_dedup: words per span window
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
 

@@ -29,6 +29,7 @@ object CorpusQuickStart {
         |    {"op": "dedup_minhash", "threshold": 0.7},
         |    {"op": "span_dedup", "window": 8, "threshold": 0.5},
         |    {"op": "quality_gate", "minTokens": 10, "maxTokens": 5000},
+        |    {"op": "ppl_gate", "threshold": 0.9},
         |    {"op": "lang_filter", "keepLangs": ["en", "de", "fr", "es"]},
         |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},
         |    {"op": "source_mix", "quota": 15, "groupColumn": "source"}

@@ -892,9 +892,16 @@ object LlmData extends QueryPack {
     * build, one scalar-total broadcast, token-keyed score join. Swap the
     * `lp` table for an external n-gram LM's scores to get the full CCNet
     * pipeline. */
-  def unigramPpl(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+  def unigramPpl(s: SparkSession, dir: String): DataFrame =
+    unigramPplOf(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The perplexity score over ANY (id, text) frame — what
+    * [[graft.CorpusRunner]]'s `ppl_gate` step ranks on. */
+  def unigramPplOf(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = docs
+      .selectExpr(s"$idCol AS doc_id", s"explode(split($textCol, ' ')) AS w")
       .cache() // feeds both the LM build and the scoring join
     val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("v"))
@@ -905,7 +912,6 @@ object LlmData extends QueryPack {
       .groupBy("doc_id")
       .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
         count(lit(1)).as("n_toks"))
-      .orderBy("doc_id")
   }
 
   /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the

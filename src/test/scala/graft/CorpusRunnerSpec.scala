@@ -110,6 +110,23 @@ class CorpusRunnerSpec extends SparkSpec {
     keptEnFrac should be > allEnFrac
   }
 
+  it should "keep the lowest-perplexity fraction through ppl_gate" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "ppl_gate", threshold = 0.4)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    val n = docs.count()
+    // equi-depth percentiles: 40% within one bucket's rounding
+    kept.count().toDouble shouldBe (0.4 * n) +- (n / 100.0 + 1)
+    // the kept docs are exactly the lowest-perplexity ranks
+    val ppl = queries.LlmData.unigramPplOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptMax = kept.collect().map(r => ppl(r.getLong(0))).max
+    val droppedMin = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect().map(r => ppl(r.getLong(0))).min
+    keptMax should be <= droppedMin
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
