@@ -920,7 +920,8 @@ object LlmData extends QueryPack {
     * range-sort ntile (plans.GlobalRank) — no single-partition window at
     * any scale. */
   def qualityTiers(s: SparkSession, dir: String): DataFrame = {
-    val ppl = unigramPpl(s, dir).select("doc_id", "ppl")
+    val ppl = unigramPplOf(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "ppl")
     graft.plans.GlobalRank
       .withNtile(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
       .groupBy("tier")
