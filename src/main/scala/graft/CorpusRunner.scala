@@ -47,25 +47,50 @@ object CorpusRunner extends Logging {
       metrics: Map[String, Double],
       savepoints: Savepoints)
 
+  /** @param savepointing write the per-step cleaned frames as parquet
+    *                      savepoints (plus the final corpus + metrics)
+    * @param resume       restart after the LAST step whose savepoint
+    *                     exists — the compute-or-load-per-step contract a
+    *                     multi-day 100 TB cleaning run needs (same shape
+    *                     as [[PipelineRunner.run]]'s resume) */
   def run(spark: SparkSession, conf: GraftConf,
-          savepointing: Boolean = false): CorpusResult = {
+          savepointing: Boolean = false,
+          resume: Boolean = false): CorpusResult = {
     val cc = conf.corpus.getOrElse(throw new IllegalArgumentException(
       "corpus mode requires the config's corpus section"))
     ConfigValidator.validateOrThrow(conf)
     val sp = new Savepoints(conf.project)
     if (savepointing) sp.saveConfigSnapshot(conf.toString)
+    def stepKey(i: Int) = s"corpus_step${i + 1}_${cc.steps(i).op}"
 
-    val input = SourceReader.read(spark, conf.data, conf.columns)
     val m = Map.newBuilder[String, Double]
-    m += "rows_input" -> input.count().toDouble
-
-    val cleaned = cc.steps.zipWithIndex.foldLeft(input) { case (df, (step, i)) =>
-      val out = applyStep(df, step, cc)
-      val n = out.count()
-      m += s"rows_after_${i + 1}_${step.op}" -> n.toDouble
-      logInfo(s"corpus step ${i + 1} ${step.op}: $n rows")
-      out
+    // resume: skip every step up to the last savepointed one
+    val resumeAt: Option[Int] =
+      if (resume) cc.steps.indices.reverse.find(i => sp.exists(stepKey(i), 0, "clean"))
+      else None
+    val (startDf, startIdx) = resumeAt match {
+      case Some(i) =>
+        logInfo(s"resuming: step ${i + 1} ${cc.steps(i).op} loaded from savepoint")
+        m += s"resumed_after_step" -> (i + 1).toDouble
+        (sp.load(spark, stepKey(i), 0, "clean"), i + 1)
+      case None =>
+        val input = SourceReader.read(spark, conf.data, conf.columns)
+        m += "rows_input" -> input.count().toDouble
+        (input, 0)
     }
+
+    val cleaned = cc.steps.zipWithIndex.drop(startIdx)
+      .foldLeft(startDf) { case (df, (step, i)) =>
+        val t0 = System.nanoTime()
+        val out = applyStep(df, step, cc)
+        val n = out.count()
+        if (savepointing) sp.save(out, stepKey(i), 0, "clean")
+        m += s"rows_after_${i + 1}_${step.op}" -> n.toDouble
+        m += s"secs_${i + 1}_${step.op}" ->
+          math.round((System.nanoTime() - t0) / 1e7) / 100.0
+        logInfo(s"corpus step ${i + 1} ${step.op}: $n rows")
+        out
+      }
 
     if (savepointing) sp.save(cleaned, "corpus", 0, "clean")
     val metrics = m.result()

@@ -45,7 +45,8 @@ object Main {
             savepointing = args.contains("--savepoint"))
         } else if (args.contains("--corpus"))
           CorpusRunner.run(spark, conf,
-            savepointing = args.contains("--savepoint")).metrics
+            savepointing = args.contains("--savepoint"),
+            resume = args.contains("--resume")).metrics
         else if (args.contains("--predict"))
           PipelineRunner.predict(spark, conf,
             savepointing = args.contains("--savepoint"))

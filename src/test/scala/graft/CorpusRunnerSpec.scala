@@ -44,6 +44,30 @@ class CorpusRunnerSpec extends SparkSpec {
       .count().toDouble shouldBe m("rows_after_4_source_mix")
   }
 
+  it should "resume after the last savepointed step and reproduce the same corpus" in {
+    val c = conf(
+      """{"op": "lang_filter", "keepLangs": ["en", "de"]},
+        |{"op": "dedup_exact"},
+        |{"op": "token_bounds", "minTokens": 10, "maxTokens": 10000}""".stripMargin)
+    // full run with per-step savepoints
+    val full = CorpusRunner.run(spark, c, savepointing = true)
+    val expected = full.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    // wipe the LAST step's savepoint: resume must restart from step 2
+    val lastPath = new java.io.File(
+      full.savepoints.path("corpus_step3_token_bounds", 0, "clean"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(lastPath)
+    val resumed = CorpusRunner.run(spark, c, resume = true)
+    resumed.metrics("resumed_after_step") shouldBe 2.0
+    // the skipped steps leave no row metric; the re-run step does
+    resumed.metrics should not contain key ("rows_after_1_lang_filter")
+    resumed.metrics should contain key ("rows_after_3_token_bounds")
+    resumed.corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet shouldBe expected
+  }
+
   it should "scrub PII in place without changing the row count or schema" in {
     val c = conf("""{"op": "pii_scrub", "pairs": [["[aeiou]", "_v"]]}""")
     val result = CorpusRunner.run(spark, c)
