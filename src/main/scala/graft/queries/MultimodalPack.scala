@@ -58,7 +58,19 @@ object MultimodalPack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frames" -> mediaFrames,
-    "media_meta" -> mediaMeta)
+    "media_meta" -> mediaMeta,
+    "media_dedup" -> mediaDedup)
+
+  /** Blob-level exact dedup: hash-groupBy on the binary content (the same
+    * shuffle-on-uniform-hash shape as LlmData.dedupExact) — how a media
+    * lake drops byte-identical assets regardless of their metadata. The
+    * md5 runs over the raw blob bytes; no decode needed. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaFrom(s, dir).toDF()
+      .groupBy(md5(col("content")).as("blob_md5"), col("kind"))
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "kind", "n_copies", "blob_md5")
+      .orderBy("keep_id")
 
   val oracle: Map[String, String] = Map(
     "media_frames" ->
@@ -84,5 +96,13 @@ object MultimodalPack extends QueryPack {
         |   n_chars * 10 AS duration_ms FROM documents)
         |SELECT kind, format, count(*) AS n,
         | round(avg(duration_ms), 2) AS avg_duration_ms
-        |FROM m GROUP BY kind, format ORDER BY kind""".stripMargin)
+        |FROM m GROUP BY kind, format ORDER BY kind""".stripMargin,
+    "media_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |        ELSE 'video' END AS kind,
+        |   md5(text) AS blob_md5 FROM documents)
+        |SELECT min(media_id) AS keep_id, kind, count(*)::BIGINT AS n_copies,
+        | blob_md5
+        |FROM m GROUP BY blob_md5, kind ORDER BY keep_id""".stripMargin)
 }

@@ -143,6 +143,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "compose the ingest chain: watermark dedup then a row-local quality gate" in {
+    import org.apache.spark.sql.functions.{col, split}
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+      watermark = "10 minutes")
+    // the same row-local gate the batch corpus chain applies (token_bounds)
+    val gated = deduped.filter(
+      org.apache.spark.sql.functions.size(split(col("text"), "\\s+"))
+        .between(2, 100))
+    val q = gated.writeStream.format("memory").queryName("ingest_chain")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(100000), "good doc here"),
+        (2L, ts(100001), "good doc here"), // dup of 1 -> dropped
+        (3L, ts(100002), "short"),         // 1 token -> gated out
+        (4L, ts(100003), "another keeper"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_chain").select("doc_id").as[Long]
+        .collect().toSet
+      kept shouldBe Set(1L, 4L)
+    } finally q.stop()
+  }
+
   it should "materialize latest-by-key upserts matching the batch compaction" in {
     val in = MemoryStream[Event]
     val q = StreamOps.latestByKey(in.toDS())
