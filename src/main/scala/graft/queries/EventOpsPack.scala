@@ -97,7 +97,57 @@ object EventOpsPack extends QueryPack {
       .orderBy("cohort_wk", "offset_wk")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the journey-model feature the reference's web-journey domain runs on
+    * (page→page transition probabilities). The lead() window partitions on
+    * user_id (high-cardinality — partition-parallel at any scale); the
+    * transition counts then collapse to |states|² rows, so the probability
+    * normalization joins a tiny frame. One keyed window + two partial
+    * aggregates; nothing global. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = withUs(s, dir)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("cur").agg(sum("n").as("tot"))
+    pairs.join(totals, "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n") / col("tot"), 6).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
+  /** Session-length profile: sessionize on a 12h inactivity gap (same rule
+    * as Relational.sessionize), then histogram sessions by event count with
+    * mean duration. Windows partition on user_id; the histogram aggregate
+    * runs over |sessions| rows. The streaming twin is
+    * streaming/StreamOps.sessionize (flatMapGroupsWithState). */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 12L * 3600 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    withUs(s, dir)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_s"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("dur_us"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("dur_us"), 2).as("avg_dur_us"))
+      .orderBy("n_events")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_transitions" -> markovTransitions,
+    "session_stats" -> sessionStats,
     "json_extract_agg" -> jsonExtractAgg,
     "latest_by_key" -> latestByKey,
     "funnel_conversion" -> funnelConversion,
@@ -105,6 +155,34 @@ object EventOpsPack extends QueryPack {
     "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | seq AS (SELECT event_type AS cur,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e),
+        | pairs AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        | tot AS (SELECT cur, sum(n)::BIGINT AS tot FROM pairs GROUP BY cur)
+        |SELECT cur, nxt, n, round(n::DOUBLE / tot, 6) AS p
+        |FROM pairs JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin,
+    "session_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | m AS (SELECT user_id, event_id, us,
+        |   CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sess AS (SELECT user_id, us,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM m),
+        | per AS (SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+        |   max(us) - min(us) AS dur_us
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT n_events, count(*)::BIGINT AS n_sessions,
+        | round(avg(dur_us), 2) AS avg_dur_us
+        |FROM per GROUP BY n_events ORDER BY n_events""".stripMargin,
     "json_extract_agg" ->
       """SELECT event_type, count(*) AS n,
         | sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -345,7 +345,50 @@ object Relational extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** RFM customer-value tiers — recency/frequency/monetary quartiles, the
+    * standard marketing segmentation. Each quartile is an EXACT global
+    * ntile over |customers| rows via the two-pass range-sort in
+    * plans.GlobalRank (no single-partition window); the base aggregate is
+    * one keyed shuffle over orders with map-side partials. At 100 TB the
+    * three rankings each shuffle only the |customers|-sized RFM frame. */
+  def rfmTiers(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GlobalRank
+    // monetary in integer cents: double sums land within ~1e-4 cents of
+    // the true integer, so the rounded value is engine-independent (a raw
+    // double sum would hash-mismatch the oracle at 2-decimal boundaries).
+    val rfm = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("recency"),
+        count(lit(1)).as("freq"),
+        round(sum("o_totalprice") * 100).cast("long").as("cents"))
+    val tiered = Seq(
+      ("recency", "r_tier"), ("freq", "f_tier"), ("cents", "m_tier"))
+      .foldLeft(rfm) { case (df, (c, out)) =>
+        GlobalRank.withNtile(df, Seq(col(c), col("o_custkey")), 4, out)
+      }
+    tiered.groupBy("r_tier", "f_tier", "m_tier")
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg("cents")).cast("long").as("avg_cents"))
+      .orderBy("r_tier", "f_tier", "m_tier")
+  }
+
+  /** Exact per-group percentiles (p50/p95) — `percentile` is Spark's exact
+    * linear-interpolation aggregate (same definition as SQL
+    * PERCENTILE_CONT / DuckDB quantile_cont). Grouped by a low-cardinality
+    * key, it is one partial-aggregating shuffle; the scale path for
+    * un-grouped or high-cardinality cases is percentile_approx (bounded
+    * sketch memory), which `exact_quantiles` contrasts. */
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_tiers" -> rfmTiers,
+    "group_percentiles" -> groupPercentiles,
     "rv_derivation" -> rvDerivation,
     "conditional_split" -> conditionalSplit,
     "binning_equidistant" -> binningEquidistant,
@@ -370,6 +413,24 @@ object Relational extends QueryPack {
     "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
+    "rfm_tiers" ->
+      """WITH rfm AS (SELECT o_custkey, max(o_orderdate) AS recency,
+        |   count(*)::BIGINT AS freq,
+        |   round(sum(o_totalprice) * 100)::BIGINT AS cents
+        |  FROM orders GROUP BY o_custkey),
+        | t AS (SELECT o_custkey, cents,
+        |   CAST(ntile(4) OVER (ORDER BY recency, o_custkey) AS BIGINT) AS r_tier,
+        |   CAST(ntile(4) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_tier,
+        |   CAST(ntile(4) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS m_tier
+        |  FROM rfm)
+        |SELECT r_tier, f_tier, m_tier, count(*)::BIGINT AS n_cust,
+        | round(avg(cents))::BIGINT AS avg_cents
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "group_percentiles" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rv_derivation" ->
       """SELECT c_custkey,
         | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
