@@ -524,6 +524,55 @@ object LlmData extends QueryPack {
     assign()
   }
 
+  /** Product quantization (PQ) — the memory side of billion-scale ANN
+    * (IVF-PQ): each vector is split into `m` subspaces and every subspace
+    * is encoded as its nearest codeword id, compressing a 64-double vector
+    * to `m` small ints. Output: per-vector code + total reconstruction
+    * error (the quantity a PQ codebook is trained to minimize; ADC search
+    * ranks by exactly these subspace distances).
+    *
+    * Scale design: the codebooks (m × k subvectors) are driver-side
+    * literals like the k-means centroids — encoding is ROW-LOCAL (one
+    * argmin expression per subspace per row, no shuffle, no join), so the
+    * encode pass is a map-only scan at any corpus size. Codebook size is
+    * FIXED (first k vectors), independent of SF — at 100 TB you'd train
+    * it on a driver-collected sample exactly like this. Ties break on
+    * (round(d2, 6), codeword id), the same cross-engine-stable rule as
+    * k-means. */
+  def embedPq(s: SparkSession, dir: String, m: Int = 4, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = 64
+    val sub = dim / m
+    // codebook: subvectors of the first k vectors (deterministic, SF-stable)
+    val cb: Map[Int, Seq[(Long, Array[Double])]] = e.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .flatMap { case (id, v) =>
+        (0 until m).map(j => j -> (id, v.slice(j * sub, (j + 1) * sub)))
+      }
+      .groupBy(_._1).map { case (j, rows) => j -> rows.map(_._2).toSeq }
+    val withBest = (0 until m).foldLeft(e) { (df, j) =>
+      val cbArr = array(cb(j).map { case (cid, cv) =>
+        struct(lit(cid).as("cid"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
+      }: _*)
+      val sv = slice(col("v"), j * sub + 1, sub)
+      def d2(c: org.apache.spark.sql.Column) =
+        vecDot(sv, sv) + c("c2") - lit(2.0) * vecDot(sv, c("cv"))
+      df.withColumn(s"best$j", array_min(transform(cbArr, c =>
+        struct(round(d2(c), 6).as("rd2"), c("cid").as("cid"), d2(c).as("d2")))))
+    }
+    withBest.select(
+      col("vec_id") +:
+        (0 until m).map(j => col(s"best$j.cid").as(s"c$j")) :+
+        round((0 until m).map(j => col(s"best$j.d2")).reduce(_ + _), 4)
+          .as("err"): _*)
+      .orderBy("vec_id")
+  }
+
   /** Sequence packing: assign docs to fixed token-budget bins by their
     * starting offset in the corpus-order token stream — the deterministic
     * "pack documents into pretraining sequences" layout step. The global
@@ -988,6 +1037,7 @@ object LlmData extends QueryPack {
     "decontam_overlap" -> decontamOverlap,
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
+    "embed_pq" -> ((s, d) => embedPq(s, d)),
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
     "doc_pack" -> ((s, d) => docPack(s, d)),
     "dedup_incremental" -> dedupIncremental,
@@ -1351,6 +1401,31 @@ object LlmData extends QueryPack {
         |       AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
         |  THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    "embed_pq" -> {
+      // one assignment CTE per subspace: slice both sides, nearest codeword
+      // by (round(d2, 6), cid) — identical tie rule to the Spark argmin
+      val sub = 16
+      val perSub = (0 until 4).map { j =>
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        s"""a$j AS (SELECT vec_id, cid, d2 FROM (
+           |   SELECT s.vec_id, c.cid,
+           |     list_dot_product(s.sv, s.sv) + list_dot_product(c.sc, c.sc)
+           |       - 2 * list_dot_product(s.sv, c.sc) AS d2
+           |   FROM (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM e) s,
+           |        (SELECT cid, list_slice(v, $lo, $hi) AS sc FROM cb) c)
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cb AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+         | $perSub
+         |SELECT e.vec_id, a0.cid AS c0, a1.cid AS c1, a2.cid AS c2, a3.cid AS c3,
+         | round(a0.d2 + a1.d2 + a2.d2 + a3.d2, 4) AS err
+         |FROM e JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+         | JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     "dup_segments" ->
       """WITH segs AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
         |    THEN list_transform(generate_series(1, len(toks) - 7),

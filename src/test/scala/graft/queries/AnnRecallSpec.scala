@@ -38,4 +38,47 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF recall@3 (nprobe=3) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
     recall should be >= 0.5
   }
+
+  it should "recall exact L2 neighbors inside a 10% PQ-ADC shortlist" in {
+    // ADC = how IVF-PQ scores at scale: per query, an m×k distance table to
+    // the codebook, then distance to a db vector is the sum of table
+    // lookups at its code. At k=8 codewords the quantized ranking is a
+    // SHORTLIST generator, not a final ranking (production IVF-PQ re-ranks
+    // the shortlist with exact distances) — so the asserted property is
+    // shortlist recall: the exact top-3 must sit inside the ADC top-10%.
+    // Table + ranking replayed here driver-side (the distributed part —
+    // the encode pass — is the oracle-checked embed_pq).
+    val m = 4; val sub = 16; val k = 8
+    val vecs: Map[Long, Array[Double]] = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes: Map[Long, Array[Long]] = LlmData.embedPq(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cb: Array[Array[Array[Double]]] = // [subspace][codeword] -> subvector
+      Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        vecs(c.toLong).slice(j * sub, (j + 1) * sub)))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val qids = vecs.keys.filter(_ < k).toSeq.sorted
+    val exact = qids.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(vecs(q), v), id) }
+        .take(3).map { case (id, _) => (q, id) }
+    }.toSet
+    val shortlist = (vecs.size / 10).max(10)
+    val adc = qids.flatMap { q =>
+      val lut = Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        l2(vecs(q).slice(j * sub, (j + 1) * sub), cb(j)(c))))
+      codes.toSeq.filter(_._1 != q)
+        .sortBy { case (id, code) =>
+          ((0 until m).map(j => lut(j)(code(j).toInt)).sum, id)
+        }
+        .take(shortlist).map { case (id, _) => (q, id) }
+    }.toSet
+    val recall = (exact intersect adc).size.toDouble / exact.size
+    info(f"PQ-ADC shortlist recall@3 (m=4, k=8, C=$shortlist) = $recall%.3f " +
+      f"(${(exact intersect adc).size}/${exact.size})")
+    recall should be >= 0.7
+  }
 }
