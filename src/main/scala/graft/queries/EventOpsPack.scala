@@ -145,9 +145,44 @@ object EventOpsPack extends QueryPack {
       .orderBy("n_events")
   }
 
+  /** INTERSECT set op: users who both clicked and purchased. Spark plans
+    * INTERSECT DISTINCT as a left-semi join over pre-aggregated distinct
+    * keys — two partial-agg shuffles of |users| rows each, never the raw
+    * events. (Completes the set-op family: union — many sites, except —
+    * except_op, intersect — here.) */
+  def intersectOp(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(
+        e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** SCD2 state-interval construction — the warehouse op that turns an
+    * event stream into validity ranges: collapse consecutive identical
+    * states per user (run-length compression via lag), then close each
+    * surviving state with the next change's timestamp (lead). Both windows
+    * partition on user_id — fully partition-parallel; open intervals carry
+    * -1 (engine-neutral, avoids NULL-rendering drift). This is also the
+    * batch twin of a streaming state-change log compaction. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val changes = withUs(s, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    changes
+      .withColumn("to_us", coalesce(lead(col("us"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("from_us"), col("to_us"))
+      .orderBy("user_id", "from_us", "state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> markovTransitions,
     "session_stats" -> sessionStats,
+    "intersect_op" -> intersectOp,
+    "scd2_intervals" -> scd2Intervals,
     "json_extract_agg" -> jsonExtractAgg,
     "latest_by_key" -> latestByKey,
     "funnel_conversion" -> funnelConversion,
@@ -155,6 +190,22 @@ object EventOpsPack extends QueryPack {
     "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "intersect_op" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | ch AS (SELECT user_id, event_id, event_type, us,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |     AS prev_state
+        |  FROM e QUALIFY prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_type AS state, us AS from_us,
+        | coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+        |          -1) AS to_us
+        |FROM ch ORDER BY user_id, from_us, state""".stripMargin,
     "markov_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

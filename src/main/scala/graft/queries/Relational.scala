@@ -386,9 +386,22 @@ object Relational extends QueryPack {
         round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
       .orderBy("o_orderpriority")
 
+  /** Anti-join: customers with no orders. LEFT ANTI is the scale-correct
+    * "NOT IN" — a keyed hash join that streams the probe side (vs a
+    * NOT-IN subquery, which null-handling turns into a nested loop).
+    * Both sides shuffle once on the key; AQE may broadcast the smaller. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
+    "anti_join" -> antiJoin,
     "rv_derivation" -> rvDerivation,
     "conditional_split" -> conditionalSplit,
     "binning_equidistant" -> binningEquidistant,
@@ -413,6 +426,11 @@ object Relational extends QueryPack {
     "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
+    "anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "rfm_tiers" ->
       """WITH rfm AS (SELECT o_custkey, max(o_orderdate) AS recency,
         |   count(*)::BIGINT AS freq,
