@@ -125,6 +125,11 @@ object CorpusRunner extends Logging {
         val dupes = labels.filter(col("lbl") < col("doc_id"))
           .select(col("doc_id").as(id))
         df.join(dupes, Seq(id), "left_anti")
+      case "normalize" =>
+        // canonicalize text BEFORE hashing/dedup: lowercase, collapse
+        // whitespace runs, trim — row-local codegen'd expressions
+        df.withColumn(text,
+          trim(regexp_replace(lower(col(text)), "\\s+", " ")))
       case "quality_gate" =>
         df.filter(TextQuality.keep(text,
           minTokens = step.minTokens, maxTokens = step.maxTokens))

@@ -127,7 +127,7 @@ object ConfigValidator {
     // corpus-cleaning chain
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix",
-      "span_dedup", "dsir_sample", "ppl_gate")
+      "span_dedup", "dsir_sample", "ppl_gate", "normalize")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>

@@ -136,7 +136,8 @@ final case class TuningConf(
   * semantics. */
 final case class CorpusStepConf(
     op: String,                     // dedup_exact | quality_gate | lang_filter |
-                                    // token_bounds | pii_scrub | source_mix
+                                    // token_bounds | pii_scrub | source_mix |
+                                    // normalize | span_dedup | dsir_sample | ...
     keepLangs: Seq[String] = Nil,   // lang_filter: languages to keep
     langColumn: String = "lang",
     quota: Double = 0.0,            // source_mix: target docs per group

@@ -524,6 +524,39 @@ object LlmData extends QueryPack {
     assign()
   }
 
+  /** SCD1 MERGE (upsert): fold a changes snapshot into a base snapshot,
+    * changes winning per key — the warehouse MERGE INTO expressed as the
+    * scale-correct union + left-anti pattern: each side shuffles ONCE on
+    * the key (or broadcasts when the changes side is small), versus a
+    * full-outer-join MERGE that shuffles both sides and then filters.
+    * Same v1/v2 convention as [[corpusDiff]] (base = doc_id < 400,
+    * changes = doc_id >= 100). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val base = docs.filter(col("doc_id") < 400)
+    val changes = docs.filter(col("doc_id") >= 100)
+    changes.withColumn("origin", lit("changes"))
+      .unionByName(
+        base.join(changes, Seq("doc_id"), "left_anti")
+          .withColumn("origin", lit("base")))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus text normalization — the cleanup gate every web-scale corpus
+    * runs before hashing/dedup (lowercase, collapse whitespace runs, trim):
+    * emits the normalized-content hash + length so downstream exact dedup
+    * keys on canonical bytes. Row-local codegen'd string expressions — a
+    * map-only scan at any corpus size; the profile agg is one partial-agg
+    * shuffle over |langs| rows. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"), md5(col("norm")).as("norm_hash"),
+        length(col("norm")).as("n_chars_norm"),
+        (length(col("text")) - length(col("norm"))).as("chars_removed"))
+      .orderBy("doc_id")
+
   /** Product quantization (PQ) — the memory side of billion-scale ANN
     * (IVF-PQ): each vector is split into `m` subspaces and every subspace
     * is encoded as its nearest codeword id, compressing a 64-double vector
@@ -1038,6 +1071,8 @@ object LlmData extends QueryPack {
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
     "embed_pq" -> ((s, d) => embedPq(s, d)),
+    "merge_upsert" -> mergeUpsert,
+    "text_normalize" -> textNormalize,
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
     "doc_pack" -> ((s, d) => docPack(s, d)),
     "dedup_incremental" -> dedupIncremental,
@@ -1401,6 +1436,22 @@ object LlmData extends QueryPack {
         |       AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
         |  THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        | ch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100)
+        |SELECT doc_id, n_chars, 'changes' AS origin FROM ch
+        |UNION ALL
+        |SELECT b.doc_id, b.n_chars, 'base' AS origin FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = b.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_hash,
+        | length(norm)::INT AS n_chars_norm,
+        | (length(text) - length(norm))::INT AS chars_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "embed_pq" -> {
       // one assignment CTE per subspace: slice both sides, nearest codeword
       // by (round(d2, 6), cid) — identical tie rule to the Spark argmin

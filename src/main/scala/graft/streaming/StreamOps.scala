@@ -17,6 +17,11 @@ final case class SessionUpdate(
 
 final case class HotleadAlert(user_id: Long, event_id: Long, value: Double)
 
+final case class StateChangeMemo(lastState: String, lastUs: Long)
+
+final case class StateChange(
+    user_id: Long, state: String, from_us: Long, event_id: Long)
+
 final case class LatestRow(
     user_id: Long, us: Long, last_event: Long, last_type: String,
     last_value: Double)
@@ -123,6 +128,35 @@ object StreamOps {
             .maxBy(r => (r.us, r.last_event))
           state.update(best)
           best
+      }
+  }
+
+  /** Streaming state-change compression — the live twin of
+    * `EventOpsPack.scd2Intervals`' first stage: per user, emit only events
+    * whose event_type differs from the last seen state, collapsing runs of
+    * identical states as they arrive. Per-user state is ONE small struct
+    * (last state + last-seen order key), so state size is |users|, not
+    * |events|; an SCD2 sink closes the previous validity interval on each
+    * emitted change. Ordering matches the batch twin: (event-time micros,
+    * event_id). */
+  def stateChanges(events: Dataset[Event]): Dataset[StateChange] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[StateChangeMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var memo = state.getOption.getOrElse(StateChangeMemo("", Long.MinValue))
+          val out = Seq.newBuilder[StateChange]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (memo.lastUs == Long.MinValue || e.event_type != memo.lastState) {
+              out += StateChange(uid, e.event_type, us, e.event_id)
+              memo = StateChangeMemo(e.event_type, us)
+            } else memo = memo.copy(lastUs = us)
+          }
+          state.update(memo)
+          out.result().iterator
       }
   }
 

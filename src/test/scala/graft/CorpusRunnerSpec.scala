@@ -77,6 +77,16 @@ class CorpusRunnerSpec extends SparkSpec {
     result.corpus.filter(col("text").rlike("[aeiou]")).count() shouldBe 0
   }
 
+  it should "canonicalize text in place through the normalize step" in {
+    val c = conf("""{"op": "normalize"}""")
+    val result = CorpusRunner.run(spark, c)
+    result.metrics("rows_after_1_normalize") shouldBe 500.0
+    result.corpus.columns shouldBe Tables.documents(spark, dir).columns
+    // canonical: no upper case, no double spaces, no leading/trailing space
+    result.corpus.filter(col("text").rlike("[A-Z]|\\s\\s|^\\s|\\s$"))
+      .count() shouldBe 0
+  }
+
   it should "reject invalid corpus configs with every violation listed" in {
     val bad = conf("""{"op": "lang_filter"}, {"op": "nope"}""")
     val ex = intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))

@@ -59,6 +59,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "compress state runs across micro-batches like the batch SCD2 twin" in {
+    val in = MemoryStream[Event]
+    val q = StreamOps.stateChanges(in.toDS())
+      .writeStream.format("memory").queryName("state_changes")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "view", 1.0),
+        Event(2, ts(1), 7, "view", 1.0),   // same state → suppressed
+        Event(3, ts(2), 7, "click", 1.0))  // change → emitted
+      q.processAllAvailable()
+      in.addData(
+        Event(4, ts(3), 7, "click", 1.0),  // run continues ACROSS batches
+        Event(5, ts(4), 7, "view", 1.0),   // change → emitted
+        Event(6, ts(0), 9, "view", 1.0))   // other user's first state
+      q.processAllAvailable()
+      val changes = spark.table("state_changes")
+        .as[StateChange].collect().map(c => (c.user_id, c.state, c.event_id)).toSet
+      changes shouldBe Set(
+        (7L, "view", 1L), (7L, "click", 3L), (7L, "view", 5L),
+        (9L, "view", 6L))
+    } finally q.stop()
+  }
+
   it should "alert each user at most once on the first qualifying event" in {
     val in = MemoryStream[Event]
     val q = StreamOps.hotleadAlerts(in.toDS(), threshold = 0.8)
