@@ -178,7 +178,48 @@ object EventOpsPack extends QueryPack {
       .orderBy("user_id", "from_us", "state")
   }
 
+  /** Calendar-spine gap-fill: daily counts per event type over the FULL
+    * date range, zero-filled — the op behind every time-series chart and
+    * rolling model feature (missing days must exist as 0s). The spine is
+    * |types|×|days| (tiny at any event volume — it scales with the
+    * calendar, not the data), so the cross join is a driver-sized frame
+    * and the left join back to real counts is the only keyed shuffle. */
+  def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val counts = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val days = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = e.select("event_type").distinct()
+    types.crossJoin(days)
+      .join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Cumulative distinct users per day WITHOUT a distinct-over-window
+    * (which no engine can bound): distinct-to-date(d) = count of users
+    * whose FIRST day ≤ d. Two keyed partial-agg shuffles reduce events to
+    * one row per day; the prefix sum over |days| rows then runs through
+    * the two-pass partition-parallel scheme in plans.GlobalRank (no
+    * single-partition window, per the global plan sweep). */
+  def cumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val newPerDay = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    graft.plans.GlobalRank
+      .withRunningSums(newPerDay, Seq(col("day")), Seq(("n_new", "cum")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum").cast("long").as("cum_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "date_spine" -> dateSpine,
+    "cumulative_distinct" -> cumulativeDistinct,
     "markov_transitions" -> markovTransitions,
     "session_stats" -> sessionStats,
     "intersect_op" -> intersectOp,
@@ -190,6 +231,28 @@ object EventOpsPack extends QueryPack {
     "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "date_spine" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS day
+        |   FROM events),
+        | b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        | days AS (SELECT unnest(generate_series(lo, hi,
+        |     INTERVAL 1 DAY))::DATE AS day FROM b),
+        | types AS (SELECT DISTINCT event_type FROM e),
+        | c AS (SELECT event_type, day, count(*)::BIGINT AS n
+        |   FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        | coalesce(c.n, 0)::BIGINT AS n
+        |FROM types t CROSS JOIN days d
+        | LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+    "cumulative_distinct" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)::DATE) AS day
+        |   FROM events GROUP BY user_id),
+        | nd AS (SELECT day, count(*)::BIGINT AS n_new FROM fd GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+        | sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+        |   AS cum_users
+        |FROM nd ORDER BY day""".stripMargin,
     "intersect_op" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
