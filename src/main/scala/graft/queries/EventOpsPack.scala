@@ -217,7 +217,28 @@ object EventOpsPack extends QueryPack {
       .orderBy("day")
   }
 
+  /** Skew-salted fact⋈dim join on the contract surface: events (big,
+    * skewed user keys — see skew_profile) joined to a per-user dim through
+    * plans.SaltedJoin with factor 8 — a hot user's rows spread over 8
+    * reducers instead of one — then aggregated by the dim attribute. The
+    * oracle replays the PLAIN join: salting must be row-identical to the
+    * unsalted join (the SaltedJoinSpec invariant, here cross-checked by
+    * DuckDB at the query level). */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val events = withUs(s, dir)
+    val dim = events.groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("f.event_type").as("first_type"))
+    graft.plans.SaltedJoin.join(events, dim, Seq("user_id"), factor = 8)
+      .groupBy("first_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("first_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_join_agg" -> saltedJoinAgg,
     "date_spine" -> dateSpine,
     "cumulative_distinct" -> cumulativeDistinct,
     "markov_transitions" -> markovTransitions,
@@ -231,6 +252,17 @@ object EventOpsPack extends QueryPack {
     "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "salted_join_agg" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | dim AS (SELECT user_id, event_type AS first_type FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) = 1)
+        |SELECT first_type, count(*)::BIGINT AS n_events,
+        | count(DISTINCT e.user_id)::BIGINT AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM e JOIN dim USING (user_id)
+        |GROUP BY first_type ORDER BY first_type""".stripMargin,
     "date_spine" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS day
         |   FROM events),

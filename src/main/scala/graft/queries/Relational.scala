@@ -398,9 +398,28 @@ object Relational extends QueryPack {
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Ranking-function family (rank / dense_rank / percent_rank) in one
+    * keyed window pass — partitioned on l_orderkey (high cardinality,
+    * partition-parallel at any scale; a low-cardinality partition key
+    * would funnel 100 TB through a handful of tasks — that shape belongs
+    * to plans.GroupTopK / GlobalRank instead). The orderkey filter pushes
+    * down to the scan BEFORE the window. */
+  def rankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(desc("l_quantity"), asc("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
+    "rank_functions" -> rankFunctions,
     "anti_join" -> antiJoin,
     "rv_derivation" -> rvDerivation,
     "conditional_split" -> conditionalSplit,
@@ -426,6 +445,15 @@ object Relational extends QueryPack {
     "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
+    "rank_functions" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk
+        |FROM lineitem WHERE l_orderkey < 500
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_quantity DESC, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
