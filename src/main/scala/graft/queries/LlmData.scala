@@ -524,6 +524,83 @@ object LlmData extends QueryPack {
     assign()
   }
 
+  /** IVF-PQ — the production billion-scale ANN shape, end to end: IVF
+    * coarse cells bound the candidate set (nprobe=3 of the same cells as
+    * [[annIvf]]), PQ asymmetric distance (ADC) ranks candidates WITHOUT
+    * touching full vectors (codes + a literal codebook — row-local lookups,
+    * no vector shuffle), and only the top-`shortlistN` survivors are
+    * re-ranked with exact cosine. At 100 TB the full-vector join is thus
+    * bounded to |probes|×shortlist rows; everything upstream of the re-rank
+    * moves (id, cell, 4 codes) rows only. All in cosine space on
+    * normalized vectors (ADC in L2-on-unit-sphere ≡ monotone in cosine). */
+  def annIvfPq(s: SparkSession, dir: String, nprobe: Int = 3,
+               shortlistN: Int = 50, topK: Int = 3): DataFrame = {
+    val m = 4; val sub = 16; val kcb = 8
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .cache() // id + unit vector: read by assignment, codes, and re-rank
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(vecDot(col("vn"), col("cv")), 6).as("d"))
+    val assigned = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select("vec_id", "cent_id", "rn")
+      .cache()
+    // PQ codebook: normalized subvectors of the first kcb vectors —
+    // driver-side literals, like the k-means centroids
+    val cbVecs: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < kcb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    def subv(v: Array[Double], j: Int): Array[Double] =
+      v.slice(j * sub, (j + 1) * sub)
+    // per-subspace lookup maps: code -> codeword subvector / squared norm
+    val cwMap = (0 until m).map(j => typedlit(cbVecs.map { case (cid, v) =>
+      cid -> subv(v, j).toSeq }.toMap))
+    val c2Map = (0 until m).map(j => typedlit(cbVecs.map { case (cid, v) =>
+      cid -> subv(v, j).foldLeft(0.0)((a, x) => a + x * x) }.toMap))
+    // encode every db vector (row-local argmin per subspace, as embedPq)
+    val codes = (0 until m).foldLeft(e) { (df, j) =>
+      val cbArr = array(cbVecs.map { case (cid, v) =>
+        val cv = subv(v, j)
+        struct(lit(cid).as("cid"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
+      }: _*)
+      val sv = slice(col("vn"), j * sub + 1, sub)
+      def d2(c: org.apache.spark.sql.Column) =
+        vecDot(sv, sv) + c("c2") - lit(2.0) * vecDot(sv, c("cv"))
+      df.withColumn(s"c$j", array_min(transform(cbArr, c =>
+        struct(round(d2(c), 6).as("rd2"), c("cid").as("cid")))).getField("cid"))
+    }.select(col("vec_id").as("c_id") +: (0 until m).map(j => col(s"c$j")): _*)
+    val lists = assigned.filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id"))
+      .join(codes, "c_id")
+    val probes = assigned.filter(col("vec_id") < 8).join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"), col("cent_id"))
+    val cand = probes.join(lists, "cent_id").filter(col("q_id") =!= col("c_id"))
+    val adc = (0 until m).map { j =>
+      val qs = slice(col("qv"), j * sub + 1, sub)
+      vecDot(qs, qs) + element_at(c2Map(j), col(s"c$j")) -
+        lit(2.0) * vecDot(qs, element_at(cwMap(j), col(s"c$j")))
+    }.reduce(_ + _)
+    val short = cand.withColumn("adc", adc)
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("adc"), 6), col("c_id"))))
+      .filter(col("srn") <= shortlistN)
+    short
+      .join(e.select(col("vec_id").as("c_id"), col("vn").as("cvn")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(vecDot(col("qv"), col("cvn")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= topK)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
   /** SCD1 MERGE (upsert): fold a changes snapshot into a base snapshot,
     * changes winning per key — the warehouse MERGE INTO expressed as the
     * scale-correct union + left-anti pattern: each side shuffles ONCE on
@@ -1071,6 +1148,7 @@ object LlmData extends QueryPack {
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
     "embed_pq" -> ((s, d) => embedPq(s, d)),
+    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "merge_upsert" -> mergeUpsert,
     "text_normalize" -> textNormalize,
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
@@ -1436,6 +1514,66 @@ object LlmData extends QueryPack {
         |       AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
         |  THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM ws JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""".stripMargin,
+    "ann_ivfpq" -> {
+      val sub = 16
+      // per-subspace code-assignment CTE (on NORMALIZED vectors)
+      val codeCtes = (0 until 4).map { j =>
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        s"""p$j AS (SELECT vec_id, cid AS c$j FROM (
+           |   SELECT s.vec_id, b.cid,
+           |     list_dot_product(s.sv, s.sv) + list_dot_product(b.sc, b.sc)
+           |       - 2 * list_dot_product(s.sv, b.sc) AS d2
+           |   FROM (SELECT vec_id, list_slice(vn, $lo, $hi) AS sv FROM en) s,
+           |        (SELECT cid, list_slice(vn, $lo, $hi) AS sc FROM cb) b)
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+      }.mkString(",\n ")
+      val adcTerms = (0 until 4).map { j =>
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        s"""(list_dot_product(list_slice(q.vn, $lo, $hi), list_slice(q.vn, $lo, $hi))
+           |   + list_dot_product(list_slice(b$j.vn, $lo, $hi), list_slice(b$j.vn, $lo, $hi))
+           |   - 2 * list_dot_product(list_slice(q.vn, $lo, $hi), list_slice(b$j.vn, $lo, $hi)))""".stripMargin
+      }.mkString(" + ")
+      val cbJoins = (0 until 4)
+        .map(j => s"JOIN cb b$j ON b$j.cid = codes.c$j").mkString(" ")
+      s"""WITH en AS (SELECT vec_id,
+         |   list_transform(embedding::DOUBLE[],
+         |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+         |  FROM embeddings),
+         | c AS (SELECT vec_id AS cent_id, vn AS cv FROM en WHERE vec_id % 97 = 0),
+         | sc AS (SELECT en.vec_id, c.cent_id,
+         |     round(list_dot_product(en.vn, c.cv), 6) AS d FROM en, c),
+         | a AS (SELECT vec_id, cent_id,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn
+         |   FROM sc),
+         | cb AS (SELECT vec_id AS cid, vn FROM en WHERE vec_id < 8),
+         | $codeCtes,
+         | codes AS (SELECT vec_id AS c_id, c0, c1, c2, c3
+         |   FROM p0 JOIN p1 USING (vec_id) JOIN p2 USING (vec_id)
+         |     JOIN p3 USING (vec_id)),
+         | lists AS (SELECT vec_id AS c_id, cent_id FROM a WHERE rn = 1),
+         | probes AS (SELECT vec_id AS q_id, cent_id FROM a
+         |   WHERE vec_id < 8 AND rn <= 3),
+         | cand AS (SELECT p.q_id, l.c_id FROM probes p JOIN lists l
+         |   USING (cent_id) WHERE p.q_id <> l.c_id),
+         | adc AS (SELECT cand.q_id, cand.c_id, $adcTerms AS adc
+         |   FROM cand JOIN codes USING (c_id)
+         |     JOIN en q ON q.vec_id = cand.q_id $cbJoins),
+         | short AS (SELECT q_id, c_id FROM (
+         |     SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |       ORDER BY round(adc, 6), c_id) AS srn FROM adc)
+         |   WHERE srn <= 50),
+         | rer AS (SELECT s.q_id, s.c_id,
+         |     round(list_dot_product(q.vn, cv.vn), 4) AS cos_sim
+         |   FROM short s JOIN en q ON q.vec_id = s.q_id
+         |     JOIN en cv ON cv.vec_id = s.c_id)
+         |SELECT q_id, rnk, c_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, c_id) AS rnk FROM rer)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
     "merge_upsert" ->
       """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
         | ch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100)

@@ -39,6 +39,18 @@ class AnnRecallSpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  it should "keep usable recall through the full IVF-PQ pipeline" in {
+    // IVF cells bound candidates, ADC shortlists them, exact cosine
+    // re-ranks — recall loss comes from cell misses + shortlist misses.
+    val exact = resultSet(
+      LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
+    val ivfpq = resultSet(LlmData.annIvfPq(spark, dir))
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ recall@3 (nprobe=3, shortlist=50) = $recall%.3f " +
+      f"(${(exact intersect ivfpq).size}/${exact.size})")
+    recall should be >= 0.4
+  }
+
   it should "recall exact L2 neighbors inside a 10% PQ-ADC shortlist" in {
     // ADC = how IVF-PQ scores at scale: per query, an m×k distance table to
     // the codebook, then distance to a db vector is the sum of table
