@@ -416,10 +416,45 @@ object Relational extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Column profiling — the describe() every ingest pipeline runs first,
+    * as one partial-agg pass per group: count / nulls / mean / sample-std
+    * / min / max. All six are algebraic aggregates (map-side combine; the
+    * exchange carries one partial state per group), so profiling 100 TB
+    * costs one scan + one |groups|-row shuffle. */
+  def numericProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 4).as("mean_price"),
+        round(stddev("l_extendedprice"), 4).as("std_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_discount"), 6).as("mean_disc"))
+      .orderBy("l_returnflag")
+
+  /** Most-frequent value per key (mode) through the two-aggregate
+    * partial-combine shape: count per (key, value) — the only shuffle that
+    * sees data-scale rows, and it fans out by value — then
+    * `max(struct(cnt, value))` per key. No window sort, skew-safe (a hot
+    * user's counting spreads across value-keyed reducers). */
+  def groupMode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      // min(struct(-cnt, value)): maximal count, ties on SMALLEST value —
+      // the (cnt DESC, value ASC) rule as one algebraic aggregate
+      .agg(min(struct((-col("cnt")).as("negcnt"),
+        col("event_type").as("v"))).as("m"))
+      .select(col("user_id"), (-col("m.negcnt")).as("n_top"),
+        col("m.v").as("top_type"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
     "rank_functions" -> rankFunctions,
+    "numeric_profile" -> numericProfile,
+    "group_mode" -> groupMode,
     "anti_join" -> antiJoin,
     "rv_derivation" -> rvDerivation,
     "conditional_split" -> conditionalSplit,
@@ -445,6 +480,21 @@ object Relational extends QueryPack {
     "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
+    "numeric_profile" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | round(avg(l_extendedprice), 4) AS mean_price,
+        | round(stddev_samp(l_extendedprice), 4) AS std_price,
+        | round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price,
+        | round(avg(l_discount), 6) AS mean_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "group_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+        |   FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, cnt AS n_top, event_type AS top_type FROM c
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY cnt DESC, event_type) = 1
+        |ORDER BY user_id""".stripMargin,
     "rank_functions" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | rank() OVER w AS rnk,
