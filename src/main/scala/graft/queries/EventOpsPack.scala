@@ -237,7 +237,31 @@ object EventOpsPack extends QueryPack {
       .orderBy("first_type")
   }
 
+  /** Exact heavy hitters: users contributing at least 1.5x the mean
+    * per-user share of an event type's rows. Two partial aggregations —
+    * (type, user) counts, then broadcast-joined per-type totals — and an
+    * integer-exact threshold (cnt * n_users * 2 >= total * 3) so the
+    * cutoff can't drift across engines on float rounding.
+    *
+    * 100 TB note: this exact form shuffles |type x user| rows once. When
+    * even that is too much (open-ended key domains), the streaming-sketch
+    * path is Misra-Gries/SpaceSaving per partition merged at the driver —
+    * approximate, but bounded memory; keep this exact op as its oracle
+    * at validation scale. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("n_users"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .filter(col("cnt") * col("n_users") * 2 >= col("total") * 3)
+      .select(col("event_type"), col("user_id"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> heavyHitters,
     "salted_join_agg" -> saltedJoinAgg,
     "date_spine" -> dateSpine,
     "cumulative_distinct" -> cumulativeDistinct,
@@ -252,6 +276,16 @@ object EventOpsPack extends QueryPack {
     "cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        |   FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, sum(cnt)::BIGINT AS total,
+        |   count(*)::BIGINT AS n_users FROM c GROUP BY 1)
+        |SELECT event_type, user_id, cnt,
+        | round(cnt::DOUBLE / total, 6) AS share
+        |FROM c JOIN t USING (event_type)
+        |WHERE cnt * n_users * 2 >= total * 3
+        |ORDER BY event_type, user_id""".stripMargin,
     "salted_join_agg" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -208,6 +208,27 @@ object StreamOps {
     }
   }
 
+  /** Declarative gap sessionization: `session_window` merges each key's
+    * events into sessions separated by more than `gap`, entirely inside
+    * Spark's windowing state store — no user state-management code, and
+    * unlike the [[sessionize]] twin the state is WATERMARK-BOUNDED:
+    * sessions whose end falls behind the watermark are finalized, emitted
+    * once (Append mode), and evicted. Prefer this when per-session
+    * aggregates suffice and the stream is unbounded; reach for
+    * `flatMapGroupsWithState` only when session state needs custom shape
+    * (running emission, cross-session counters). Batch twin:
+    * `Relational.sessionize` (same gap rule). */
+  def sessionWindowStats(events: DataFrame, gap: String = "10 minutes",
+                         watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming dedup with bounded state: `dropDuplicatesWithinWatermark`
     * dedups on the content hash ALONE and evicts each hash's state once
     * the watermark passes its first-seen event time + delay. Unlike the

@@ -83,6 +83,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "emit finalized session windows once the watermark passes them" in {
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionWindowStats(in.toDF(),
+        gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("session_windows")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 7, "view", 1.0),
+        Event(2, ts(6), 7, "click", 2.0)) // same session (5 min gap)
+      q.processAllAvailable()
+      // push the watermark far past the session end, then one more batch
+      // so the closed window is finalized and emitted
+      in.addData(Event(3, ts(60), 8, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(61), 8, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("session_windows")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      // user 7: events at 1 and 6 min merge into [1, 16) — gap extends the
+      // window end to last-event + gap
+      out shouldBe Set((7L, ts(1), ts(16), 2L, 3.0))
+    } finally q.stop()
+  }
+
   it should "alert each user at most once on the first qualifying event" in {
     val in = MemoryStream[Event]
     val q = StreamOps.hotleadAlerts(in.toDS(), threshold = 0.8)
