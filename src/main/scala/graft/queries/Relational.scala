@@ -466,7 +466,47 @@ object Relational extends QueryPack {
         col("m.v").as("top_type"))
       .orderBy("user_id")
 
+  /** Pairwise Pearson correlation / covariance per group in ONE pass:
+    * corr and covar_samp are algebraic (co-moment partials merge
+    * associatively), so the full correlation structure of k columns costs
+    * one scan + one |groups|-row shuffle regardless of table size — never
+    * collect-and-compute driver-side. */
+  def numericCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(corr("l_quantity", "l_discount"), 6).as("corr_qty_disc"),
+        round(corr("l_extendedprice", "l_discount"), 6).as("corr_price_disc"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Robust per-group outlier gate: |v − median| > 3·1.4826·MAD (the
+    * normal-consistent MAD z-score). Exact `percentile` is fine while
+    * group row-counts fit a sort buffer; the 100 TB path swaps in
+    * `approx_percentile` with identical plumbing — two aggregates and a
+    * broadcast join back, never a global sort. */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val stats = dev.groupBy("event_type")
+      .agg(first("med").as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.drop("med").join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(first("med"), 4).as("med"),
+        round(first("mad"), 4).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "numeric_corr" -> numericCorr,
+    "robust_outliers" -> robustOutliers,
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
     "rank_functions" -> rankFunctions,
@@ -498,6 +538,26 @@ object Relational extends QueryPack {
     "exact_quantiles" -> exactQuantiles)
 
   val oracle: Map[String, String] = Map(
+    "numeric_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        | round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "robust_outliers" ->
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events
+        |   GROUP BY event_type),
+        | d AS (SELECT e.event_type, e.value, m.med,
+        |   abs(e.value - m.med) AS adev FROM events e JOIN m USING (event_type)),
+        | s AS (SELECT event_type, any_value(med) AS med,
+        |   median(adev) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_type, round(any_value(s.med), 4) AS med,
+        | round(any_value(s.mad), 4) AS mad, count(*)::BIGINT AS n,
+        | sum(CASE WHEN d.adev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_outliers
+        |FROM d JOIN s USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "numeric_profile" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | round(avg(l_extendedprice), 4) AS mean_price,
