@@ -41,4 +41,25 @@ object PartitionedLayout {
     df.queryExecution.executedPlan.collectLeaves().collect {
       case s: FileSourceScanExec => s.selectedPartitions.partitionCount.toLong
     }.sum
+
+  /** Small-file compaction: rewrites `inPath` to `outPath` in
+    * ~`targetMB`-sized files. Streaming sinks and over-parallel writes
+    * leave thousands of KB-sized files per partition; at 100 TB the
+    * scan's task-scheduling and footer-reading overhead then dominates
+    * I/O. Sizing from the ACTUAL input bytes (not row counts) keeps the
+    * result stable across schema/compression changes. Returns
+    * (filesBefore, filesAfter). */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                outPath: String, targetMB: Int = 512): (Int, Int) = {
+    val df = spark.read.parquet(inPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = df.inputFiles
+    val bytes = before.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
+    df.repartition(parts).write.mode("overwrite").parquet(outPath)
+    (before.length, spark.read.parquet(outPath).inputFiles.length)
+  }
 }

@@ -25,6 +25,14 @@ class StorageLayoutSpec extends SparkSpec {
   it should "join two bucketed tables with no shuffle exchange" in {
     val facts = (1 to 1000).map(i => (i % 97L, i.toLong, i * 1.5)).toDF("k", "id", "v")
     val dims = (0L until 97L).map(k => (k, s"name_$k")).toDF("k", "name")
+    // clear catalog entries AND any orphaned managed-table location a
+    // previous JVM left behind (the catalog is in-memory, the dir is not)
+    Seq("bl_facts", "bl_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     BucketedLayout.writeBucketed(facts, "bl_facts", Seq("k"), 8)
     BucketedLayout.writeBucketed(dims, "bl_dims", Seq("k"), 8)
     try {
@@ -64,5 +72,16 @@ class StorageLayoutSpec extends SparkSpec {
     one.count() shouldBe 100L
     // one file per partition value (repartition-before-write contract)
     all.inputFiles.length shouldBe 3
+  }
+
+  it should "compact a many-small-files layout into size-targeted files" in {
+    val in = java.nio.file.Files.createTempDirectory("graft-smallfiles").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compacted").toString
+    (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(in) // 64 tiny files
+    val (before, after) = PartitionedLayout.compactTo(spark, in, out, targetMB = 512)
+    before shouldBe 64
+    after shouldBe 1 // a few KB of data → one target-sized file
+    spark.read.parquet(out).count() shouldBe 5000L
   }
 }
