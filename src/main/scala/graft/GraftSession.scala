@@ -43,6 +43,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive (no-tz) parquet timestamps read as TIMESTAMP in the UTC
+      // session rather than TIMESTAMP_NTZ — same instant DuckDB sees, and
+      // keeps unix_micros()/window() et al. applicable.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // Kryo for the RDD paths (stratified sampling, typed dataset spills);
