@@ -71,21 +71,23 @@ object GlobalRank {
     val totalAggs = sums.map { case (in, _) => sum(col(in)).as(in) }
     val totals = sorted.groupBy(col("__pid")).agg(totalAggs.head, totalAggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
-    // offset(p) = Σ totals over partitions < p, emitted as a CASE over the
-    // partition id (type-preserving; O(partitions) expression)
+    // offset(p) = Σ totals over partitions < p, emitted as one O(1)-depth
+    // map literal + element_at lookup (same form as withRowNumber) — a
+    // when-chain here would grow the expression tree with the partition
+    // count, a codegen/analysis liability at thousands of partitions
     def offsetExpr(in: String): Column = {
       val perPart = (0 until parts).map { p =>
-        p -> totals.get(p).map(_.getAs[Any](in)).getOrElse(null)
+        totals.get(p).map(_.getAs[Any](in)).getOrElse(null)
       }
-      val offsets = perPart.scanLeft(0.0) { case (acc, (_, t)) =>
+      val offsets = perPart.scanLeft(0.0) { (acc, t) =>
         acc + (t match {
           case null => 0.0
           case n: Number => n.doubleValue()
         })
       }
-      (0 until parts).foldLeft(lit(0.0)) { (acc, p) =>
-        when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-      }
+      element_at(
+        typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
+        col("__pid"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy("__mid")

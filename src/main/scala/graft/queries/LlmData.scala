@@ -51,6 +51,33 @@ object LlmData extends QueryPack {
       |    ELSE [concat_ws(' ', toks)] END) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
 
+  // ------------------------------------------------- coarse quantization
+
+  /** Number of coarse cells / k-means seeds — a CONSTANT, independent of
+    * corpus size. At 100 TB you'd raise it to 256–65536 (still a constant):
+    * what matters for scale is that the codebook broadcast is O(k) and the
+    * per-row assignment O(k·dim), never O(N). 8 keeps every cell populated
+    * at the test SFs. */
+  private val CoarseK = 8
+
+  /** Deterministic pseudo-random seed order: Knuth's multiplicative hash
+    * (id · 2654435761) mod 1000003, tie-broken by id — pure integer
+    * arithmetic, bit-identical in any engine, replayed by the oracle as
+    * `ORDER BY (vec_id * 2654435761) % 1000003, vec_id`. */
+  private def seedOrder(id: org.apache.spark.sql.Column) =
+    Seq(pmod(id * lit(2654435761L), lit(1000003L)), id)
+
+  /** The [[CoarseK]] seed rows of `e` (any frame carrying `vec_id`).
+    * Plans as TakeOrderedAndProject — per-partition top-k merged on the
+    * driver, so the seed set is O(k) at ANY corpus size. This replaces the
+    * former corpus-fraction seeding (`vec_id % 97`) whose cell count — and
+    * therefore the broadcast size and the per-row argmin work — grew O(N). */
+  private def coarseSeeds(e: DataFrame, k: Int = CoarseK): DataFrame =
+    e.orderBy(seedOrder(col("vec_id")): _*).limit(k)
+
+  /** DuckDB twin of [[coarseSeeds]]: `ORDER BY $seedOrderSql LIMIT 8`. */
+  private val seedOrderSql = "(vec_id * 2654435761) % 1000003, vec_id"
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup: hash-groupBy on normalized text, keep lowest doc_id.
@@ -384,16 +411,17 @@ object LlmData extends QueryPack {
     * closest lists, so candidate generation touches ~nprobe/k of the corpus
     * instead of all of it. Exact cosine ranks the survivors.
     *
-    * Centroids here are deterministic (every 97th vector) so the oracle can
-    * replay the assignment; at 100 TB they'd come from k-means on a sample —
-    * the plan shape (broadcast assign → equi-join on cell id → per-query
-    * top-k) is unchanged. Assignment ranks on round(dot, 6) with a
-    * centroid-id tie-break — deterministic across engines. */
+    * Centroids are a FIXED-k deterministic sample ([[coarseSeeds]]) so the
+    * oracle can replay the assignment and the cell count stays O(k) at any
+    * corpus size; at 100 TB they'd come from k-means on a sample — the plan
+    * shape (broadcast assign → equi-join on cell id → per-query top-k) is
+    * unchanged. Assignment ranks on round(dot, 6) with a centroid-id
+    * tie-break — deterministic across engines. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
       .cache() // normalized corpus, read by assignment + both join sides
-    val cents = e.filter(col("vec_id") % 97 === 0)
+    val cents = coarseSeeds(e)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
     // Assignment ranks on NARROW rows (vec_id, cent_id, d): the k-way
     // centroid fan-out must never replicate the embedding array k× through
@@ -446,9 +474,9 @@ object LlmData extends QueryPack {
   }
 
   /** Deterministic k-means over the embedding corpus (Lloyd, 3 assignment
-    * rounds, centroids seeded from every 97th vector) → per-cluster
-    * profile — the corpus-clustering step of training-data curation
-    * (cluster-balanced sampling / domain discovery).
+    * rounds, centroids seeded from the fixed-k [[coarseSeeds]] sample) →
+    * per-cluster profile — the corpus-clustering step of training-data
+    * curation (cluster-balanced sampling / domain discovery).
     *
     * Scale design: assignment is ROW-LOCAL — the k centroids ride into the
     * plan as literals (the broadcast-join limit case: no shuffle, no join,
@@ -490,9 +518,9 @@ object LlmData extends QueryPack {
       .cache() // read once per round; narrow (id, vec, norm) rows
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
-    // initial centroids: every 97th vector, components rounded like updates
-    var cents: Seq[(Long, Array[Double])] = e
-      .filter(col("vec_id") % 97 === 0)
+    // initial centroids: fixed-k deterministic sample (coarseSeeds),
+    // components rounded like updates — O(k) driver state at any SF
+    var cents: Seq[(Long, Array[Double])] = coarseSeeds(e)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(round6)))
       .sortBy(_._1).toSeq
@@ -539,7 +567,7 @@ object LlmData extends QueryPack {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
       .cache() // id + unit vector: read by assignment, codes, and re-rank
-    val cents = e.filter(col("vec_id") % 97 === 0)
+    val cents = coarseSeeds(e)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
@@ -1000,16 +1028,18 @@ object LlmData extends QueryPack {
     * all-pairs join). Reuses the deterministic Lloyd assignment
     * ([[embedKmeans]]); a vector is pruned when a lower-id vector in the
     * same cluster has cosine ≥ τ. The pair join shuffles on the cluster
-    * id; at 100 TB add a per-cluster size cap (split oversized clusters
-    * by a secondary LSH key) to bound the quadratic term. */
-  def semDedup(s: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
-    val cid = kmeansAssign(s, dir).select("vec_id", "cid")
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
-      .join(cid, "vec_id")
-      .cache() // both sides of the within-cluster pair join
-    e.select(col("cid"), col("vec_id").as("da"), col("vn").as("va"))
-      .join(e.select(col("cid"), col("vec_id").as("db"), col("vn").as("vb")), "cid")
+    * id, and clusters above `maxCluster` members are split by a
+    * deterministic secondary key (vec_id mod ⌈n/maxCluster⌉ — replayable
+    * in the oracle), so the per-group pair fan-out is bounded by
+    * ~maxCluster² regardless of how lopsided the clustering comes out —
+    * the [[neardupCapped]] treatment applied to embedding space. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.3,
+               maxCluster: Int = 40): DataFrame = {
+    val e = semDedupKeyed(s, dir, maxCluster)
+      .cache() // both sides of the within-group pair join
+    e.select(col("cid"), col("sub"), col("vec_id").as("da"), col("vn").as("va"))
+      .join(e.select(col("cid"), col("sub"), col("vec_id").as("db"),
+        col("vn").as("vb")), Seq("cid", "sub"))
       .filter(col("da") < col("db"))
       .withColumn("cos_sim", round(vecDot(col("va"), col("vb")), 4))
       .filter(col("cos_sim") >= tau)
@@ -1017,6 +1047,33 @@ object LlmData extends QueryPack {
       .agg(min("da").as("keeper_id"), max("cos_sim").as("max_cos"))
       .orderBy("pruned_id")
   }
+
+  /** [[semDedup]]'s pair-join key: (cluster, sub-split) per vector, where
+    * `sub` partitions clusters above `maxCluster` members into
+    * ⌈n/maxCluster⌉ modulo groups. The cluster-size frame is O(k) rows →
+    * broadcast join; everything else is the id-keyed joins the assignment
+    * already does. */
+  private def semDedupKeyed(s: SparkSession, dir: String,
+                            maxCluster: Int): DataFrame = {
+    val cid = kmeansAssign(s, dir).select("vec_id", "cid")
+    val sizes = cid.groupBy("cid").agg(count(lit(1)).as("__n"))
+    val nGroups = ceil(col("__n") / lit(maxCluster.toDouble)).cast("long")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .join(cid, "vec_id")
+      .join(broadcast(sizes), "cid")
+      .withColumn("sub", when(col("__n") <= maxCluster, lit(0L))
+        .otherwise(pmod(col("vec_id"), nGroups)))
+      .drop("__n")
+  }
+
+  /** Audit view of [[semDedup]]'s pair-join groups: (cid, sub, members).
+    * The spec asserts every group stays near `maxCluster`, bounding the
+    * within-group quadratic term at any corpus size. */
+  def semDedupGroups(s: SparkSession, dir: String,
+                     maxCluster: Int = 40): DataFrame =
+    semDedupKeyed(s, dir, maxCluster)
+      .groupBy("cid", "sub").agg(count(lit(1)).as("n_members"))
 
   /** Corpus snapshot diff — the ingestion-ops accounting between two
     * corpus versions: per-status doc counts (added / removed / unchanged
@@ -1187,7 +1244,7 @@ object LlmData extends QueryPack {
        |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS x2
        |  FROM embeddings),
        | c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       |   FROM e WHERE vec_id % 97 = 0),
+       |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT $CoarseK)),
        | ${assignCte("a1", "c0")},
        | ${updateCte("u1", "a1", "c0", "c1")},
        | ${assignCte("a2", "c1")},
@@ -1336,11 +1393,12 @@ object LlmData extends QueryPack {
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],
         |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
         |  FROM embeddings),
-        | c AS (SELECT vec_id AS cent_id, vn AS cv FROM e WHERE vec_id % 97 = 0),
+        | c AS (SELECT vec_id AS cent_id, vn AS cv
+        |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT $CoarseK)),
         | sc AS (SELECT e.vec_id, c.cent_id,
         |     round(list_dot_product(e.vn, c.cv), 6) AS d FROM e, c),
         | a AS (SELECT vec_id, cent_id,
@@ -1542,7 +1600,8 @@ object LlmData extends QueryPack {
          |   list_transform(embedding::DOUBLE[],
          |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
          |  FROM embeddings),
-         | c AS (SELECT vec_id AS cent_id, vn AS cv FROM en WHERE vec_id % 97 = 0),
+         | c AS (SELECT vec_id AS cent_id, vn AS cv
+         |   FROM (SELECT * FROM en ORDER BY $seedOrderSql LIMIT $CoarseK)),
          | sc AS (SELECT en.vec_id, c.cent_id,
          |     round(list_dot_product(en.vn, c.cv), 6) AS d FROM en, c),
          | a AS (SELECT vec_id, cent_id,
@@ -1643,12 +1702,16 @@ object LlmData extends QueryPack {
         |FROM toks JOIN wts USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "semdedup" ->
       s"""$kmeansCtes,
-        | sd AS (SELECT vec_id, cid,
+        | sz AS (SELECT cid, count(*) AS n FROM a3 GROUP BY cid),
+        | sd AS (SELECT a3.vec_id, a3.cid,
+        |     CASE WHEN n <= 40 THEN 0
+        |          ELSE a3.vec_id % CAST(ceil(n / 40.0) AS BIGINT) END AS sub,
         |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
-        |   FROM a3),
+        |   FROM a3 JOIN sz USING (cid)),
         | pr AS (SELECT a.vec_id AS da, b.vec_id AS db,
         |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
-        |   FROM sd a JOIN sd b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |   FROM sd a JOIN sd b ON a.cid = b.cid AND a.sub = b.sub
+        |     AND a.vec_id < b.vec_id)
         |SELECT db AS pruned_id, min(da) AS keeper_id, max(cos_sim) AS max_cos
         |FROM pr WHERE cos_sim >= 0.3 GROUP BY db ORDER BY pruned_id""".stripMargin,
     "unigram_ppl" ->

@@ -50,12 +50,17 @@ class LlmQualitySpec extends SparkSpec {
 
   it should "partition the corpus across the seeded clusters" in {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
-    val total = graft.Tables.embeddings(spark, dir).count()
+    val ids = graft.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    // the fixed-k seed set: 8 smallest under the multiplicative-hash order
+    val seeds = ids.sortBy(id => ((id * 2654435761L) % 1000003L, id))
+      .take(8).toSet
     val rows = LlmData.embedKmeans(spark, dir).collect()
     rows should not be empty
-    rows.map(_.getLong(1)).sum shouldBe total // every vector assigned once
+    rows.length should be <= 8 // cluster count is the CONSTANT k, never O(N)
+    rows.map(_.getLong(1)).sum shouldBe ids.length.toLong // every vector assigned once
     rows.foreach { r =>
-      r.getLong(0) % 97 shouldBe 0L // cluster ids are the seed ids
+      seeds should contain (r.getLong(0)) // cluster ids are the seed ids
       r.getDouble(2) should be >= 0.0
     }
   }
@@ -139,6 +144,20 @@ class LlmQualitySpec extends SparkSpec {
     // pruned set and keeper set are disjoint only per-pair, but a pruned
     // vector must never be its own keeper
     rows.map(_.getLong(0)).toSet should not contain rows.map(_.getLong(1)).min
+  }
+
+  it should "bound every pair-join group near the cluster-size cap" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val cap = 40
+    val groups = LlmData.semDedupGroups(spark, dir, maxCluster = cap).collect()
+    val total = graft.Tables.embeddings(spark, dir).count()
+    groups.map(_.getLong(2)).sum shouldBe total // every vector in one group
+    // the quadratic term is bounded: no group far above the cap (the modulo
+    // split is near-uniform, not exact, hence the 2× slack)
+    groups.foreach(_.getLong(2) should be <= cap * 2L)
+    // 500 vectors / 8 clusters ⇒ some cluster exceeds the cap, so the
+    // secondary split must actually fire
+    groups.length should be > groups.map(_.getLong(0)).distinct.length
   }
 
   behavior of "corpusShuffleOf"

@@ -89,7 +89,10 @@ class PlanAuditSpec extends SparkSpec {
 
   it should "keep IVF assignment broadcast and probe join keyed on the cell" in {
     val p = plan(LlmData.annIvf(spark, dir))
-    p should include ("BroadcastNestedLoopJoin") // tiny centroid set × corpus
+    p should include ("BroadcastNestedLoopJoin") // O(k) centroid set × corpus
+    // the broadcast side is a top-k limit — bounded at ANY corpus size, not
+    // a corpus fraction (the former vec_id % 97 seeding grew O(N))
+    p should include ("TakeOrderedAndProject")
     p should not include "SinglePartition"       // assignment window is per-vector
   }
 
