@@ -143,7 +143,19 @@ object PipelineRunner extends Logging {
 
     // 7. metrics (ref: PipelineSteps.scala:247-272)
     val metrics = evaluate(conf, pageResults)
-    if (savepointing) sp.saveMetrics(metrics)
+    if (savepointing) {
+      sp.saveMetrics(metrics)
+      // per-page confusion-matrix text, from the test split when present
+      // (ref: StandardMetricsEvaluator.scala:222-229)
+      pageResults.foreach { pr =>
+        val df = pr.scored.getOrElse("test", pr.scored.head._2)
+        val predCol =
+          if (df.columns.contains("modelPrediction")) "modelPrediction"
+          else "prediction"
+        sp.saveConfusionText(
+          StandardMetrics.confusionText(df, "label", predCol), pr.page)
+      }
+    }
     RunResult(metrics, pageResults, sp, input)
   }
 

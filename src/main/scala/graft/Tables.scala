@@ -33,10 +33,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // naive parquet micros read under inferTimestampNTZ: pin to the UTC
-      // session TimestampType so unix_micros()/window() apply
+      // naive parquet micros: reinterpret the wall-clock value as UTC
+      // regardless of the session timezone — the NTZ→TZ cast alone is only
+      // instant-preserving when spark.sql.session.timeZone=UTC (GraftSession
+      // pins it, but events() must not silently shift under other sessions)
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        raw.withColumn("ts", to_utc_timestamp(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          s.conf.get("spark.sql.session.timeZone")))
       case _ => raw
     }
   }

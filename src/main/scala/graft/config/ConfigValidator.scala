@@ -42,6 +42,8 @@ object ConfigValidator {
     if (c.sampling.samplingType == "conditional") {
       if (c.sampling.conditions.isEmpty)
         err("sampling", "conditional sampling requires conditions[]")
+      else if (c.sampling.conditions.size < 2)
+        err("sampling", "conditional sampling requires >= 2 conditions (train + test)")
     } else {
       if (c.sampling.split.isEmpty)
         err("sampling", "split[] must be non-empty")
@@ -96,6 +98,10 @@ object ConfigValidator {
       if (!binningModes(b.mode)) err("featureGeneration", s"unknown binning mode '${b.mode}'")
       if (b.mode == "intervals" && b.intervals.size < 2)
         err("featureGeneration", "intervals binning requires >= 2 boundary values")
+      if (b.mode == "intervals" && b.intervals.size >= 2 &&
+          b.intervals.sliding(2).exists { case Seq(a, x) => a >= x; case _ => false })
+        err("featureGeneration",
+          s"intervals for '${b.inputColumn}' must be strictly increasing")
       if (b.mode != "intervals" && b.buckets < 2)
         err("featureGeneration", s"binning buckets must be >= 2, got ${b.buckets}")
       if (!c.columns.numerical.contains(b.inputColumn))
@@ -107,6 +113,15 @@ object ConfigValidator {
       err("vectorization", s"unknown method '${c.vectorization.method}'")
     if (c.vectorization.slots <= 0)
       err("vectorization", s"slots must be > 0, got ${c.vectorization.slots}")
+    // per-engine dependency check (ref: VectorizationEngine.scala:255-374 —
+    // vectorization inputs must be outputs of an upstream step): text
+    // vectorization consumes tokenizer outputs, so declared text columns
+    // with no tokenizer step can never reach the feature vector
+    if (c.columns.text.nonEmpty && !c.preprocessing.exists(_.op == "tokenizer"))
+      err("vectorization",
+        s"method '${c.vectorization.method}' requires a 'tokenizer' preprocessing " +
+          "step to produce its token input (declared text columns are never " +
+          "vectorized otherwise)")
 
     // training + tuning
     if (!algorithms(c.training.algorithm))
@@ -117,6 +132,20 @@ object ConfigValidator {
       err("training", "plattScaling only applies to svm rawPrediction outputs")
     if (c.training.topK > 0 && c.training.buildType == "binary")
       err("training", "topK requires a multi-class buildType")
+    // uplift scope checks (ref: ModelTrainingEngine.validate — the uplift
+    // transformer differences ONE binary base model's probabilities)
+    c.training.uplift.foreach { t =>
+      if (t.trim.isEmpty)
+        err("training", "uplift treatment column name must be non-empty")
+      if (c.training.buildType != "binary")
+        err("training", "uplift requires buildType 'binary' " +
+          "(p(treated) − p(control) of one base model)")
+      if (c.training.algorithm == "svm" && !c.training.plattScaling)
+        err("training", "uplift with svm requires plattScaling " +
+          "(LinearSVC emits no probability to difference)")
+      if (c.columns.text.contains(t))
+        err("training", s"uplift treatment column '$t' cannot be a text column")
+    }
     if (!tuningMethods(c.tuning.method))
       err("tuning", s"unknown tuning method '${c.tuning.method}'")
     if (c.tuning.method == "cv" && c.tuning.folds < 2)

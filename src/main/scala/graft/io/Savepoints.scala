@@ -40,9 +40,8 @@ final class Savepoints(project: ProjectConf) {
     java.nio.file.Files.writeString(dir.resolve("config.json"), json)
   }
 
-  /** Metrics map → JSON file (ref: PipelineSteps.scala:263-272). */
   /** Metrics land as BOTH json and csv, like the reference's metrics sink
-    * (PipelineSteps.scala:263-272 writes a JSON file + CSV text). */
+    * (ref: PipelineSteps.scala:263-272 writes a JSON file + CSV text). */
   def saveMetrics(metrics: Map[String, Double], name: String = "metrics"): Unit = {
     val dir = java.nio.file.Paths.get(
       s"${project.root}/${project.name}/${project.retrainId}")
@@ -53,5 +52,16 @@ final class Savepoints(project: ProjectConf) {
     val csv = ("metric,value" +: sorted.map { case (k, v) => s"$k,$v" })
       .mkString("", "\n", "\n")
     java.nio.file.Files.writeString(dir.resolve(s"$name.csv"), csv)
+  }
+
+  /** Confusion-matrix text artifact per page, next to the metrics files
+    * (ref: StandardMetricsEvaluator.scala:222-229 writes the same block
+    * under `confusionMetrics/`). */
+  def saveConfusionText(lines: Seq[String], page: Int): Unit = {
+    val dir = java.nio.file.Paths.get(
+      s"${project.root}/${project.name}/${project.retrainId}/confusionMetrics")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(
+      dir.resolve(s"page$page.txt"), lines.mkString("", "\n", "\n"))
   }
 }

@@ -46,6 +46,24 @@ object StandardMetrics {
       coalesce(when(col("tp") > 0, lit(2.0) * p * r / (p + r)), lit(0.0)).as("f1"))
   }
 
+  /** The reference's confusion-matrix text block: a tab-separated
+    * Intent/TP/FP/Precision/Recall table, one line per actual label
+    * (ref: StandardMetricsEvaluator.scala:210-229, which builds exactly
+    * this header + rows and writes them via a 1-partition text write; its
+    * `.toInt` truncation of precision/recall discards the value, so they
+    * are emitted at 4 dp here). Driver state is O(labels). */
+  def confusionText(df: DataFrame, labelCol: String, predCol: String): Seq[String] = {
+    val rows = perLabel(df, labelCol, predCol)
+      .withColumn("fp", col("predTotal") - col("tp"))
+      .orderBy("class").collect()
+    "Intent\t\tTrue Positive\t\tFalse Positive\t\tPrecision\t\tRecall" +:
+      rows.toSeq.map { r =>
+        val p = r.getAs[Double]("precision")
+        val rc = r.getAs[Double]("recall")
+        f"${r.get(0)}\t\t${r.getAs[Long]("tp")}\t\t${r.getAs[Long]("fp")}\t\t$p%.4f\t\t$rc%.4f"
+      }
+  }
+
   /** Single-row summary: accuracy + support-weighted precision/recall/F1. */
   def weightedSummary(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val pl = perLabel(df, labelCol, predCol)

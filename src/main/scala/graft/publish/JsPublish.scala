@@ -220,6 +220,38 @@ object JsPublish {
     sb.toString
   }
 
+  /** Assemble per-page scorers into ONE self-contained file — the
+    * reference's deployment artifact: its PublishAssembler emits a single
+    * JS with per-page `if(c_page_count==k)` blocks
+    * (ref: publish/PublishAssembler.scala, driven by Publish.scala:41-53).
+    *
+    * Each page's [[generate]] output is embedded VERBATIM inside an IIFE
+    * (its `graftScore` becomes `graftPage<k>`, its vars page-scoped), so
+    * the single-page probability parity proven by `JsPublishSpec` carries
+    * over unchanged; the top-level `graftScore(input)` dispatches on the
+    * page column, the LAST page accumulating `page >= k` exactly like the
+    * trainer's page split. */
+  def assemble(pages: Seq[(Int, String)], pageCol: String): String = {
+    require(pages.nonEmpty, "assemble requires at least one page scorer")
+    val sb = new StringBuilder
+    sb ++= "// graft published multi-page scorer (generated)\n"
+    val ordered = pages.sortBy(_._1)
+    ordered.foreach { case (k, js) =>
+      sb ++= s"var graftPage$k = (function(){\n"
+      sb ++= js
+      sb ++= "return graftScore;\n})();\n"
+    }
+    val maxPage = ordered.last._1
+    sb ++= "function graftScore(input) {\n"
+    sb ++= s"  var page = Number(input[${jsStr(pageCol)}]);\n"
+    ordered.foreach { case (k, _) =>
+      val cond = if (k == maxPage) s"page >= $k" else s"page == $k"
+      sb ++= s"  if ($cond) return graftPage$k(input);\n"
+    }
+    sb ++= "  return null;\n}\n"
+    sb.toString
+  }
+
   /** murmur3_x86_32 over UTF-8 bytes, seed 42 — the exact hash
     * spark.ml HashingTF uses for string terms; index = non-negative mod
     * (ref JS twin: publish/vectorization/HashingTFPublisher.scala). */

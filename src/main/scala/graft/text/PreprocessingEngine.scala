@@ -20,12 +20,20 @@ object PreprocessingEngine {
     }
 
   /** Support-file loading (ref: core/preprocessing/PreprocessingStageLoader
-    * .scala): line-per-token lists and tab-separated pair files. Driver-side
-    * read — support files are small config artifacts, never data. */
+    * .scala, which reads dictionaries from local disk OR HDFS): line-per-
+    * token lists and tab-separated pair files, resolved through the Hadoop
+    * FileSystem API — bare local paths, `file:/` and `hdfs://` URIs all
+    * work, on a laptop or a cluster. Driver-side read — support files are
+    * small config artifacts, never data. */
   private def fileLines(path: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   /** `from<TAB>to` or `from,to` per line (the reference's substitution

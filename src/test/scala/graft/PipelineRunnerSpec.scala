@@ -215,6 +215,29 @@ class PipelineRunnerSpec extends SparkSpec {
     resumed.metrics.keySet should contain ("auroc_test")
   }
 
+  it should "write metrics json+csv and the confusion text artifact" in {
+    val root = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val conf = baseConf().copy(
+      project = graft.config.ProjectConf(name = "arts", root = root))
+    val result = PipelineRunner.run(spark, conf, savepointing = true)
+    val base = java.nio.file.Paths.get(s"$root/arts/${conf.project.retrainId}")
+    // metrics.csv round-trips to the exact metrics map; json carries the keys
+    val csv = java.nio.file.Files.readString(base.resolve("metrics.csv"))
+    val fromCsv = csv.trim.linesIterator.drop(1).map { l =>
+      val Array(k, v) = l.split(",", 2); k -> v.toDouble
+    }.toMap
+    fromCsv shouldBe result.metrics
+    java.nio.file.Files.readString(base.resolve("metrics.json")) should
+      include ("auroc_test")
+    // confusion text: reference-style header + one row per actual label
+    val txt = java.nio.file.Files.readString(
+      base.resolve("confusionMetrics/page1.txt"))
+    val lines = txt.trim.linesIterator.toSeq
+    lines.head should startWith ("Intent")
+    lines should have length 3 // header + the two binary classes
+    lines.tail.foreach(_.split("\t\t") should have length 5)
+  }
+
   it should "publish per-page pipelines and score new data in predict mode" in {
     val root = java.nio.file.Files.createTempDirectory("graft-predict").toString
     val conf = baseConf().copy(

@@ -25,7 +25,8 @@ class ConfigSpec extends AnyFlatSpec with Matchers {
 
   private val base = GraftConf(
     data = DataConf(source = "parquet:///tmp/x.parquet"),
-    columns = ColumnsConf(response = "y", text = Seq("t"), numerical = Seq("n")))
+    columns = ColumnsConf(response = "y", text = Seq("t"), numerical = Seq("n")),
+    preprocessing = Seq(PreprocessStep(op = "tokenizer", inputColumn = "t")))
 
   it should "accept a valid config" in {
     ConfigValidator.validate(base) shouldBe empty
@@ -85,5 +86,50 @@ class ConfigSpec extends AnyFlatSpec with Matchers {
     val bad = base.copy(training =
       TrainingConf(algorithm = "logistic_regression", plattScaling = true, topK = 3))
     ConfigValidator.validate(bad).count(_.section == "training") shouldBe 2
+  }
+
+  // per-engine scope/dependency checks, mirroring the reference's
+  // ConfigValidatorNegativeTest family
+
+  it should "require a tokenizer when text columns are declared" in {
+    val bad = base.copy(preprocessing = Seq(
+      PreprocessStep(op = "case_normalization", inputColumn = "t")))
+    val errs = ConfigValidator.validate(bad)
+    errs.map(_.section) should contain ("vectorization")
+    errs.mkString should include ("tokenizer")
+    // no text columns → numeric-only run, tokenizer not required
+    val numericOnly = bad.copy(
+      columns = bad.columns.copy(text = Nil), preprocessing = Nil)
+    ConfigValidator.validate(numericOnly) shouldBe empty
+  }
+
+  it should "enforce the uplift scope rules" in {
+    // uplift + ovr: not a single binary base model
+    val ovr = base.copy(training = TrainingConf(algorithm = "logistic_regression",
+      buildType = "ovr", uplift = Some("treat")))
+    ConfigValidator.validate(ovr).count(_.section == "training") should be >= 1
+    // uplift + svm without platt: nothing to difference
+    val svm = base.copy(training =
+      TrainingConf(algorithm = "svm", uplift = Some("treat")))
+    ConfigValidator.validate(svm).mkString should include ("plattScaling")
+    // treatment column must not be a text column
+    val txt = base.copy(training = TrainingConf(algorithm = "logistic_regression",
+      uplift = Some("t")))
+    ConfigValidator.validate(txt).mkString should include ("text column")
+    // the valid form passes
+    val ok = base.copy(training = TrainingConf(algorithm = "svm",
+      plattScaling = true, uplift = Some("treat")))
+    ConfigValidator.validate(ok) shouldBe empty
+  }
+
+  it should "reject non-increasing interval boundaries and lone conditions" in {
+    val bad = base.copy(
+      sampling = SamplingConf(samplingType = "conditional",
+        conditions = Seq("y = 'pos'")),
+      featureGeneration = FeatureGenConf(binning = Seq(
+        BinningConf("n", "intervals", intervals = Seq(5.0, 5.0, 10.0)))))
+    val errs = ConfigValidator.validate(bad)
+    errs.mkString should include ("strictly increasing")
+    errs.mkString should include (">= 2 conditions")
   }
 }

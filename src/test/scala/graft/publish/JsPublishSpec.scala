@@ -116,6 +116,44 @@ class JsPublishSpec extends SparkSpec {
     }
   }
 
+  it should "assemble a multi-page scorer with per-page dispatch" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "js-multipage-spec", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet:///root/testdata/sf0.001/documents.parquet",
+        |           "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, 1 + doc_id % 2 AS pg FROM graftView0"]},
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"], "page": "pg"},
+        |  "numPages": 2,
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "toks"}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 4096},
+        |  "training": {"algorithm": "logistic_regression", "buildType": "binary"}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    result.pages should have size 2
+    val perPage = result.pages.map(pr =>
+      pr.page -> JsPublish.generate(pr.prep, pr.chain, threshold = 0.5))
+    val assembled = JsPublish.assemble(perPage, pageCol = "pg")
+    // one artifact, per-page dispatch: page 1 exact, last page accumulates
+    assembled should include ("""if (page == 1) return graftPage1(input);""")
+    assembled should include ("""if (page >= 2) return graftPage2(input);""")
+    assembled should include ("""var page = Number(input["pg"]);""")
+    // each page's scorer is embedded VERBATIM, so the single-page
+    // probability parity (previous test) carries over to the assembly
+    perPage.foreach { case (k, js) =>
+      assembled should include (s"var graftPage$k = (function(){\n" + js)
+    }
+    // the two pages fit DIFFERENT models (different intercepts embedded)
+    val intercepts = result.pages.map(_.chain.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    }.get.intercept).distinct
+    intercepts should have size 2
+    intercepts.foreach(i => assembled should include (i.toString))
+  }
+
   it should "emit a murmur3 whose algorithm matches HashingTF term indexing" in {
     // transcription of the generated graftMurmurIndex (32-bit JS semantics)
     def mul32(a: Int, b: Int): Int = a * b // JVM int mul == JS graftMul32

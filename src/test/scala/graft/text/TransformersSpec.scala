@@ -124,6 +124,23 @@ class TextTransformersSpec extends SparkSpec {
       .select("o").as[String].head() shouldBe "call _class_phone now"
   }
 
+  it should "load support files through a Hadoop FileSystem URI" in {
+    // the loader resolves paths via the Hadoop FS API (the reference's
+    // PreprocessingStageLoader reads local OR HDFS) — a file:/ URI must
+    // work identically to a bare local path
+    import graft.config.PreprocessStep
+    val dir = java.nio.file.Files.createTempDirectory("graft-support-fs")
+    val stops = dir.resolve("stops.txt")
+    java.nio.file.Files.writeString(stops, "the\non\n")
+    val sw = PreprocessingEngine.stage(
+      PreprocessStep(op = "stopwords", inputColumn = "t",
+        file = Some(stops.toUri.toString)), "o") // file:/... URI
+      .asInstanceOf[StopWordsFilter]
+    sw.getOrDefault(sw.stopwords).toSet shouldBe Set("the", "on")
+    val out = sw.transform(Seq("the cat on mat").toDF("t"))
+    out.select("o").as[String].head() shouldBe "cat~SP~mat"
+  }
+
   it should "build a full chain from config and run as a Pipeline" in {
     import graft.config.PreprocessStep
     val steps = Seq(
