@@ -72,7 +72,7 @@ object LlmData extends QueryPack {
     * driver, so the seed set is O(k) at ANY corpus size. This replaces the
     * former corpus-fraction seeding (`vec_id % 97`) whose cell count — and
     * therefore the broadcast size and the per-row argmin work — grew O(N). */
-  private def coarseSeeds(e: DataFrame, k: Int = CoarseK): DataFrame =
+  private[queries] def coarseSeeds(e: DataFrame, k: Int = CoarseK): DataFrame =
     e.orderBy(seedOrder(col("vec_id")): _*).limit(k)
 
   /** DuckDB twin of [[coarseSeeds]]: `ORDER BY $seedOrderSql LIMIT 8`. */
@@ -509,36 +509,49 @@ object LlmData extends QueryPack {
         round(sqrt(greatest(col("d2"), lit(0.0))), 4).as("dist"))
       .orderBy("cluster_id", "rnk")
 
-  /** Final-round (vec_id, cid, d2) assignment shared by the k-means
-    * profile and the balanced sampler. */
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** The literal centroid array expression: k (cid, cv, |cv|²) structs
+    * riding into the plan as constants — the broadcast-join limit case
+    * (no shuffle, no join; row-local argmin). O(k·dim) literals. */
+  private def centArrOf(cents: Seq[(Long, Array[Double])]) =
+    array(cents.map { case (id, cv) =>
+      struct(lit(id).as("cid"),
+        array(cv.map(lit(_)): _*).as("cv"),
+        lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
+    }: _*)
+
+  /** Squared L2 distance of row vector `v` (with cached `x2`) to a
+    * centroid struct — shared by assignment and probe ranking. */
+  private def centD2(c: org.apache.spark.sql.Column) =
+    col("x2") + c("c2") - lit(2.0) * vecDot(col("v"), c("cv"))
+
+  /** Row-local best-centroid assignment of `e` (vec_id, v, x2). */
+  private def assignBest(e: DataFrame,
+                         cents: Seq[(Long, Array[Double])]): DataFrame =
+    e.withColumn("best", array_min(transform(centArrOf(cents), c =>
+        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid"), centD2(c).as("d2")))))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+  /** Deterministic 2-round Lloyd fit: returns the cached (vec_id, v, x2)
+    * frame and the refined centroids. Seeds come from [[coarseSeeds]]
+    * (O(k) driver state at any SF); each update is one hash aggregate on
+    * narrow (cluster, dim, partial-sum) rows; per-round components are
+    * rounded to 6 dp so aggregate summation order can never leak into the
+    * next round — bit-reproducible cross-engine. */
+  private def kmeansFit(s: SparkSession,
+                        dir: String): (DataFrame, Seq[(Long, Array[Double])]) = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("x2", vecDot(col("v"), col("v")))
       .cache() // read once per round; narrow (id, vec, norm) rows
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
-    // initial centroids: fixed-k deterministic sample (coarseSeeds),
-    // components rounded like updates — O(k) driver state at any SF
     var cents: Seq[(Long, Array[Double])] = coarseSeeds(e)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(round6)))
       .sortBy(_._1).toSeq
-    def assign(): DataFrame = {
-      val centArr = array(cents.map { case (id, cv) =>
-        struct(lit(id).as("cid"),
-          array(cv.map(lit(_)): _*).as("cv"),
-          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
-      }: _*)
-      def d2(c: org.apache.spark.sql.Column) =
-        col("x2") + c("c2") - lit(2.0) * vecDot(col("v"), c("cv"))
-      e.withColumn("best", array_min(transform(centArr, c =>
-          struct(round(d2(c), 6).as("rd2"), c("cid").as("cid"), d2(c).as("d2")))))
-        .select(col("vec_id"), col("v"),
-          col("best.cid").as("cid"), col("best.d2").as("d2"))
-    }
     for (_ <- 1 to 2) {
-      val updated = assign()
+      val updated = assignBest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
         .collect()
@@ -549,7 +562,48 @@ object LlmData extends QueryPack {
       // empty clusters keep their previous centroid (standard Lloyd choice)
       cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
-    assign()
+    (e, cents)
+  }
+
+  /** Final-round (vec_id, cid, d2) assignment shared by the k-means
+    * profile and the balanced sampler. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val (e, cents) = kmeansFit(s, dir)
+    assignBest(e, cents)
+  }
+
+  /** IVF with a TRAINED coarse quantizer — the production billion-scale
+    * shape end to end: the fixed-k seeds refined by the deterministic
+    * 2-round Lloyd ([[kmeansFit]]), inverted lists = the final L2
+    * assignment, probes = each query's `nprobe` nearest refined centroids
+    * (row-local ranked literal array — no shuffle), exact cosine re-rank
+    * of list members. Differs from [[annIvf]] (raw-seed cells, cosine
+    * assignment) exactly the way a trained IVF differs from a random one;
+    * both keep O(k) broadcast state and O(N·k) assignment at any SF. */
+  def annIvfTrained(s: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+    val (e, cents) = kmeansFit(s, dir)
+    val lists = assignBest(e, cents)
+      .select(col("vec_id").as("c_id"), col("cid").as("cent_id"))
+    // nprobe nearest refined centroids per query: sort the k-struct literal
+    // array by (round(d2, 6), cid) and slice — row-local, engine-replayable
+    val probes = e.filter(col("vec_id") < 8)
+      .withColumn("pr", slice(array_sort(transform(centArrOf(cents), c =>
+        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid")))), 1, nprobe))
+      .select(col("vec_id").as("q_id"), explode(col("pr")).as("p"))
+      .select(col("q_id"), col("p.cid").as("cent_id"))
+    val vn = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .cache() // read by both sides of the re-rank join
+    probes.join(lists, "cent_id").filter(col("q_id") =!= col("c_id"))
+      .join(vn.select(col("vec_id").as("q_id"), col("vn").as("qv")), "q_id")
+      .join(vn.select(col("vec_id").as("c_id"), col("vn").as("cv")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
   }
 
   /** IVF-PQ — the production billion-scale ANN shape, end to end: IVF
@@ -1206,6 +1260,7 @@ object LlmData extends QueryPack {
     "embed_kmeans" -> embedKmeans,
     "embed_pq" -> ((s, d) => embedPq(s, d)),
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "merge_upsert" -> mergeUpsert,
     "text_normalize" -> textNormalize,
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
@@ -1633,6 +1688,27 @@ object LlmData extends QueryPack {
          |    ORDER BY cos_sim DESC, c_id) AS rnk FROM rer)
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     },
+    "ann_ivf_trained" ->
+      s"""$kmeansCtes,
+        | sq AS (SELECT e.vec_id, c.cid,
+        |     e.x2 + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(e.v, c.cv) AS d2
+        |   FROM e, c2 c WHERE e.vec_id < 8),
+        | probes AS (SELECT vec_id AS q_id, cid AS cent_id FROM (
+        |     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |       ORDER BY round(d2, 6), cid) AS rn FROM sq) WHERE rn <= 3),
+        | lists AS (SELECT vec_id AS c_id, cid AS cent_id FROM a3),
+        | nrm AS (SELECT vec_id,
+        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+        | pairs AS (SELECT p.q_id, l.c_id,
+        |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+        |   FROM probes p JOIN lists l USING (cent_id)
+        |     JOIN nrm a ON a.vec_id = p.q_id JOIN nrm b ON b.vec_id = l.c_id
+        |   WHERE p.q_id <> l.c_id)
+        |SELECT q_id, rnk, c_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id) AS rnk FROM pairs)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
         | ch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100)

@@ -39,6 +39,15 @@ class AnnRecallSpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  it should "keep high recall with the Lloyd-trained IVF quantizer" in {
+    val exact = resultSet(
+      LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
+    val ivf = resultSet(LlmData.annIvfTrained(spark, dir))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"trained-IVF recall@3 (nprobe=3) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
+    recall should be >= 0.5
+  }
+
   it should "keep usable recall through the full IVF-PQ pipeline" in {
     // IVF cells bound candidates, ADC shortlists them, exact cosine
     // re-ranks — recall loss comes from cell misses + shortlist misses.

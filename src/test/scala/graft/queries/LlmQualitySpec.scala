@@ -80,6 +80,24 @@ class LlmQualitySpec extends SparkSpec {
     }
   }
 
+  behavior of "coarseSeeds"
+
+  it should "pick the same fixed-k seed set under any partitioning" in {
+    // the quantizer's scale contract: the seed selection is a pure
+    // function of the ids (hash order + top-k), NEVER of physical layout —
+    // a cluster re-shuffling the corpus must reproduce the same codebook
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, dir).select("vec_id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      LlmData.coarseSeeds(df).collect().map(_.getLong(0)).toSet
+    val base = ids(e)
+    base should have size 8
+    ids(e.repartition(7)) shouldBe base
+    ids(e.repartition(1)) shouldBe base
+    ids(e.orderBy(col("vec_id").desc)) shouldBe base
+  }
+
   behavior of "docPack"
 
   it should "pack every doc into contiguous non-overlapping token bins" in {
