@@ -1003,6 +1003,36 @@ object LlmData extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** Temperature-flattened source mixing (α-sampling — the multilingual /
+    * multi-source mixing rule of XLM-R and mC4): source s is sampled with
+    * probability ∝ n_s^α, which at α<1 upweights rare sources relative to
+    * proportional sampling. Materialized as a per-doc deterministic
+    * Bernoulli keep (same md5-of-id fraction as [[sourceMixSample]] — no
+    * RNG state, re-runnable on any cluster) with per-source keep
+    * probability min(1, budget·n_s^(α−1) / Σ n_t^α) — expected total =
+    * budget — rounded to 6 dp so both engines compare against the
+    * identical literal. Per-source counts are
+    * an O(|sources|) broadcast; the keep filter is row-local; the summary
+    * is one hash agg. */
+  def sourceTemperatureMix(s: SparkSession, dir: String, alpha: Double = 0.5,
+                           budget: Int = 200): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val tot = counts.agg(sum(pow(col("n_src"), alpha)).as("tot"))
+    val probs = counts.crossJoin(broadcast(tot))
+      .withColumn("keep_p", round(least(lit(1.0),
+        lit(budget.toDouble) * pow(col("n_src"), alpha - 1) / col("tot")), 6))
+      .select("source", "n_src", "keep_p")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(probs), "source")
+      .filter(u < col("keep_p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        max("n_src").as("n_src"), max("keep_p").as("keep_p"))
+      .orderBy("source")
+  }
+
   /** Corpus-level duplicated-span profile (C4/CCNet-style line dedup,
     * adapted to span windows since the corpus has no line breaks): every
     * positional `w`-word window is hashed across the WHOLE corpus; a
@@ -1268,6 +1298,7 @@ object LlmData extends QueryPack {
     "dedup_incremental" -> dedupIncremental,
     "topk_per_source" -> topkPerSource,
     "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)),
+    "source_temp_mix" -> ((s, d) => sourceTemperatureMix(s, d)),
     "dup_segments" -> ((s, d) => dupSegments(s, d)),
     "dsir_weights" -> dsirWeights,
     "semdedup" -> ((s, d) => semDedup(s, d)),
@@ -1329,6 +1360,19 @@ object LlmData extends QueryPack {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    * 100.0 / 4294967296.0 < 100.0 * 10.0 / c.n_src
         |ORDER BY d.source, d.doc_id""".stripMargin,
+    "source_temp_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        | t AS (SELECT sum(pow(n_src, 0.5)) AS tot FROM c),
+        | p AS (SELECT source, n_src,
+        |     round(least(1.0, 200.0 * pow(n_src, -0.5) / tot), 6) AS keep_p
+        |   FROM c, t),
+        | kept AS (SELECT d.source, d.doc_id, p.n_src, p.keep_p
+        |   FROM documents d JOIN p USING (source)
+        |   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |       / 4294967296.0 < p.keep_p)
+        |SELECT source, count(*) AS n_kept, max(n_src) AS n_src,
+        | max(keep_p) AS keep_p
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash

@@ -199,6 +199,28 @@ class LlmQualitySpec extends SparkSpec {
       out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  behavior of "sourceTemperatureMix"
+
+  it should "flatten the source distribution toward rare sources" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.sourceTemperatureMix(spark, dir).collect()
+    rows should not be empty
+    // α<1: keep probability is monotone NON-INCREASING in source size —
+    // rare sources are upweighted relative to proportional sampling
+    val bySize = rows.sortBy(_.getLong(2)) // n_src ascending
+    bySize.sliding(2).foreach {
+      case Array(a, b) => a.getDouble(3) should be >= b.getDouble(3) - 1e-9
+      case _           =>
+    }
+    rows.foreach { r =>
+      r.getDouble(3) should (be > 0.0 and be <= 1.0)
+      r.getLong(1) should be <= r.getLong(2) // kept ≤ source size
+    }
+    // the realized sample lands in the budget's neighborhood (Bernoulli)
+    val kept = rows.map(_.getLong(1)).sum
+    kept should (be > 100L and be < 400L) // budget = 200
+  }
+
   behavior of "piiScrub"
 
   it should "remove every digit run and account for all rows" in {

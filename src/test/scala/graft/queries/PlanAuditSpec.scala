@@ -96,6 +96,15 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "SinglePartition"       // assignment window is per-vector
   }
 
+  it should "keep the trained-IVF probe ranking row-local and joins keyed" in {
+    // probes rank against the literal centroid array (no shuffle, no join);
+    // everything wide is an id- or cell-keyed equi-join
+    val p = plan(LlmData.annIvfTrained(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SinglePartition"
+  }
+
   it should "prune the blob column in metadata-only multimodal plans" in {
     val p = MultimodalPack.mediaMeta(spark, dir)
       .queryExecution.optimizedPlan.toString
