@@ -34,6 +34,9 @@ import org.apache.spark.sql.functions._
   *                      quality_tiers semantics — the CCNet head gate)
   *  - `source_mix`      deterministic per-group quota downsampling
   *                      (source_mix_sample semantics)
+  *  - `temp_mix`        temperature-flattened mixing: keep probability
+  *                      min(1, quota·n^(α−1)/Σ n^α) per group
+  *                      (source_temp_mix semantics, XLM-R/mC4 α-sampling)
   *
   * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
   * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
@@ -191,6 +194,20 @@ object CorpusRunner extends Logging {
         df.join(broadcast(counts), step.groupColumn)
           .filter(rv < lit(100.0) * lit(step.quota) / col("__n"))
           .drop("__n")
+      case "temp_mix" =>
+        // temperature-flattened mixing (LlmData.sourceTemperatureMix
+        // semantics): keep probability min(1, quota·n^(α−1)/Σ n^α) per
+        // group — expected total = quota, rare groups upweighted
+        val counts = df.groupBy(step.groupColumn).agg(count(lit(1)).as("__n"))
+        val tot = counts.agg(sum(pow(col("__n"), step.alpha)).as("__tot"))
+        val probs = counts.crossJoin(broadcast(tot))
+          .withColumn("__p", round(least(lit(1.0),
+            lit(step.quota) * pow(col("__n"), step.alpha - 1) / col("__tot")), 6))
+          .select(col(step.groupColumn), col("__p"))
+        val rv = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0
+        df.join(broadcast(probs), step.groupColumn)
+          .filter(rv < col("__p")).drop("__p")
       case other =>
         throw new IllegalArgumentException(s"unknown corpus op '$other'")
     }

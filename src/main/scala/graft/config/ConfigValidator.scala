@@ -155,7 +155,7 @@ object ConfigValidator {
 
     // corpus-cleaning chain
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
-      "lang_filter", "token_bounds", "pii_scrub", "source_mix",
+      "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
@@ -166,6 +166,10 @@ object ConfigValidator {
             err("corpus", s"step $i: 'lang_filter' requires keepLangs[]")
           case "source_mix" if s.quota <= 0 =>
             err("corpus", s"step $i: 'source_mix' requires quota > 0")
+          case "temp_mix" if s.quota <= 0 =>
+            err("corpus", s"step $i: 'temp_mix' requires quota > 0 (the doc budget)")
+          case "temp_mix" if s.alpha <= 0 || s.alpha > 1 =>
+            err("corpus", s"step $i: 'temp_mix' requires alpha in (0, 1]")
           case "span_dedup" if s.window < 2 =>
             err("corpus", s"step $i: 'span_dedup' requires window >= 2")
           case "dsir_sample" if s.keepLangs.isEmpty =>

@@ -161,6 +161,19 @@ class CorpusRunnerSpec extends SparkSpec {
     keptMax should be <= droppedMin
   }
 
+  it should "flatten source shares under temp_mix within the budget" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "temp_mix", quota = 200, alpha = 0.5)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    // Bernoulli total lands in the budget's neighborhood
+    kept.count() should (be > 100L and be < 400L)
+    // deterministic: same frame, same membership, any partitioning
+    val again = CorpusRunner.applyStep(docs.repartition(5), cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
