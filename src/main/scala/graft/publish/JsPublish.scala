@@ -21,7 +21,9 @@ import org.apache.spark.ml.feature.{CountVectorizerModel, HashingTF, IDFModel, R
   * JS publishers: case_normalization, stopwords, word substitution, regex
   * replacement, sentence marker, null imputation, tokenizer,
   * count_vectorizer / tfidf / hashingtf (murmur3), assembled numericals,
-  * binary LR / SVM with optional Platt sigmoid, hotlead threshold. Porter
+  * binary LR / SVM with optional Platt sigmoid, multi-intent OVR (one
+  * coefficient block per class, per-class Platt, argmax dispatch,
+  * normalized LR probabilities), hotlead threshold. Porter
   * stemming is a published NO-OP — exactly like the reference's
   * PorterStemmingPublisher.generateJS, which returns an empty builder.
   */
@@ -74,21 +76,52 @@ object JsPublish {
         .getOrElse(1) // numeric passthrough
 
     // ---- model + calibration
-    val (kind, coefs, intercept) = chain.stages
-      .collectFirst {
-        case m: LogisticRegressionModel => ("lr", m.coefficients, m.intercept)
-        case m: LinearSVCModel => ("svm", m.coefficients, m.intercept)
-      }
-      .getOrElse(throw new UnsupportedOperationException(
-        "JS publish supports binary LogisticRegression / LinearSVC models"))
+    def coefJson(coefs: org.apache.spark.ml.linalg.Vector): String =
+      coefs.toArray.zipWithIndex.collect {
+        case (w, i) if w != 0.0 => s""""$i":$w"""
+      }.mkString("{", ",", "}")
     val platt = chain.stages.collectFirst { case p: PlattScalarModel => p }
-
-    val coefEntries = coefs.toArray.zipWithIndex.collect {
-      case (w, i) if w != 0.0 => s""""$i":$w"""
+    val ovr = chain.stages.collectFirst {
+      case m: graft.train.OneVsRestScoredModel => m
     }
-    sb ++= s"""var graftModel = {"kind":${jsStr(kind)},"intercept":$intercept,"threshold":$threshold,\n"""
-    sb ++= s""" "platt":${platt.map(p => s"""{"a":${p.a.head},"b":${p.b.head}}""").getOrElse("null")},\n"""
-    sb ++= s""" "coefficients":{${coefEntries.mkString(",")}}};\n"""
+    ovr match {
+      case Some(m) =>
+        // multi-intent OVR: one coefficient block per class, classes in
+        // indexer order (= chain.labels), per-class Platt sigmoids when
+        // fitted (ref: the publish assembler's per-class maps)
+        val base = m.models.head match {
+          case _: LogisticRegressionModel => "lr"
+          case _: LinearSVCModel => "svm"
+          case other => throw new UnsupportedOperationException(
+            s"JS publish: unsupported OVR base ${other.getClass.getSimpleName}")
+        }
+        val blocks = m.models.map {
+          case lr: LogisticRegressionModel =>
+            s"""{"intercept":${lr.intercept},"coefficients":${coefJson(lr.coefficients)}}"""
+          case svm: LinearSVCModel =>
+            s"""{"intercept":${svm.intercept},"coefficients":${coefJson(svm.coefficients)}}"""
+          case other => throw new UnsupportedOperationException(
+            s"JS publish: unsupported OVR base ${other.getClass.getSimpleName}")
+        }
+        val plattArr = platt.map(p =>
+          p.a.zip(p.b).map { case (a, b) => s"""{"a":$a,"b":$b}""" }
+            .mkString("[", ",", "]")).getOrElse("null")
+        sb ++= s"""var graftModel = {"kind":"ovr","base":${jsStr(base)},"threshold":$threshold,\n"""
+        sb ++= s""" "classes":[${chain.labels.map(jsStr).mkString(",")}],\n"""
+        sb ++= s""" "platt":$plattArr,\n"""
+        sb ++= s""" "models":[${blocks.mkString(",\n   ")}]};\n"""
+      case None =>
+        val (kind, coefs, intercept) = chain.stages
+          .collectFirst {
+            case m: LogisticRegressionModel => ("lr", m.coefficients, m.intercept)
+            case m: LinearSVCModel => ("svm", m.coefficients, m.intercept)
+          }
+          .getOrElse(throw new UnsupportedOperationException(
+            "JS publish supports binary/OVR LogisticRegression / LinearSVC models"))
+        sb ++= s"""var graftModel = {"kind":${jsStr(kind)},"intercept":$intercept,"threshold":$threshold,\n"""
+        sb ++= s""" "platt":${platt.map(p => s"""{"a":${p.a.head},"b":${p.b.head}}""").getOrElse("null")},\n"""
+        sb ++= s""" "coefficients":${coefJson(coefs)}};\n"""
+    }
 
     // ---- vocab / idf JSON blocks
     vocabs.foreach { case (col, cv) =>
@@ -205,17 +238,46 @@ object JsPublish {
     }
 
     // ---- dot product + calibration + decision
-    sb ++= "  var margin = graftModel.intercept;\n"
-    sb ++= "  for (var k in features) { var c = graftModel.coefficients[k];\n"
-    sb ++= "    if (c !== undefined) margin += c * features[k]; }\n"
-    sb ++= "  var probability;\n"
-    sb ++= "  if (graftModel.platt != null) {\n"
-    sb ++= "    probability = 1 / (1 + Math.exp(-(graftModel.platt.a * margin + graftModel.platt.b)));\n"
-    sb ++= "  } else if (graftModel.kind === \"lr\") {\n"
-    sb ++= "    probability = 1 / (1 + Math.exp(-margin));\n"
-    sb ++= "  } else { probability = margin >= 0 ? 1 : 0; }\n"
-    sb ++= "  return {margin: margin, probability: probability,\n"
-    sb ++= "          isHotLead: probability >= graftModel.threshold ? 1 : 0};\n"
+    if (ovr.isDefined) {
+      // per-class margins; probabilities = per-class Platt sigmoids when
+      // fitted, else normalized base-LR sigmoids; prediction = argmax of
+      // what the engine ranks on (probs under Platt, margins otherwise) —
+      // strict > keeps the FIRST max, matching array_position semantics
+      sb ++= "  var margins = [], probs = [];\n"
+      sb ++= "  for (var ci = 0; ci < graftModel.models.length; ci++) {\n"
+      sb ++= "    var m = graftModel.models[ci], mg = m.intercept;\n"
+      sb ++= "    for (var k in features) { var w = m.coefficients[k];\n"
+      sb ++= "      if (w !== undefined) mg += w * features[k]; }\n"
+      sb ++= "    margins.push(mg);\n"
+      sb ++= "    if (graftModel.platt != null) {\n"
+      sb ++= "      probs.push(1 / (1 + Math.exp(-(graftModel.platt[ci].a * mg + graftModel.platt[ci].b))));\n"
+      sb ++= "    } else if (graftModel.base === \"lr\") {\n"
+      sb ++= "      probs.push(1 / (1 + Math.exp(-mg)));\n"
+      sb ++= "    } else { probs.push(mg >= 0 ? 1 : 0); }\n"
+      sb ++= "  }\n"
+      sb ++= "  if (graftModel.platt == null && graftModel.base === \"lr\") {\n"
+      sb ++= "    var psum = 0;\n"
+      sb ++= "    for (var i = 0; i < probs.length; i++) psum += probs[i];\n"
+      sb ++= "    for (var j = 0; j < probs.length; j++) probs[j] /= psum;\n"
+      sb ++= "  }\n"
+      sb ++= "  var rankBy = graftModel.platt != null ? probs : margins;\n"
+      sb ++= "  var best = 0;\n"
+      sb ++= "  for (var b = 1; b < rankBy.length; b++) if (rankBy[b] > rankBy[best]) best = b;\n"
+      sb ++= "  return {margins: margins, probabilities: probs, prediction: best,\n"
+      sb ++= "          predictedResponse: graftModel.classes[best]};\n"
+    } else {
+      sb ++= "  var margin = graftModel.intercept;\n"
+      sb ++= "  for (var k in features) { var c = graftModel.coefficients[k];\n"
+      sb ++= "    if (c !== undefined) margin += c * features[k]; }\n"
+      sb ++= "  var probability;\n"
+      sb ++= "  if (graftModel.platt != null) {\n"
+      sb ++= "    probability = 1 / (1 + Math.exp(-(graftModel.platt.a * margin + graftModel.platt.b)));\n"
+      sb ++= "  } else if (graftModel.kind === \"lr\") {\n"
+      sb ++= "    probability = 1 / (1 + Math.exp(-margin));\n"
+      sb ++= "  } else { probability = margin >= 0 ? 1 : 0; }\n"
+      sb ++= "  return {margin: margin, probability: probability,\n"
+      sb ++= "          isHotLead: probability >= graftModel.threshold ? 1 : 0};\n"
+    }
     sb ++= "}\n"
     sb.toString
   }

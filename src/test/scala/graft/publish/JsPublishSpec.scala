@@ -116,6 +116,79 @@ class JsPublishSpec extends SparkSpec {
     }
   }
 
+  it should "reproduce OVR probabilities and labels through the JS algorithm" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "js-ovr-spec", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet:///root/testdata/sf0.001/documents.parquet"},
+        |  "columns": {"response": "lang", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "toks"}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 4096},
+        |  "training": {"algorithm": "logistic_regression", "buildType": "ovr"}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val pr = result.pages.head
+    val js = JsPublish.generate(pr.prep, pr.chain, threshold = 0.5)
+    js should include (""""kind":"ovr"""")
+
+    // parse the per-class blocks back out in order
+    val blockRe = """\{"intercept":([-0-9.eE]+),"coefficients":\{([^}]*)\}\}""".r
+    val models = blockRe.findAllMatchIn(js).map { m =>
+      val coefs = m.group(2).split(",").filter(_.nonEmpty).map { e =>
+        val Array(k, v) = e.split(":"); k.replace("\"", "").toInt -> v.toDouble
+      }.toMap
+      (m.group(1).toDouble, coefs)
+    }.toSeq
+    models should have size pr.chain.labels.length.toLong
+    val classesRe = """"classes":\[([^\]]*)\]""".r
+    val classes = classesRe.findFirstMatchIn(js).get.group(1)
+      .split(",").map(_.replace("\"", ""))
+    classes.toSeq shouldBe pr.chain.labels.toSeq
+    val vocabRe = """var graftVocab_v_text_vec = \{(.*?)\};""".r
+    val vocab = vocabRe.findFirstMatchIn(js).get.group(1)
+      .split(",").filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(':')
+        e.substring(1, i - 1) -> e.substring(i + 1).toInt
+      }.toMap
+
+    // replay the JS algorithm in Scala over raw rows
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id < 40").select("doc_id", "text", "n_chars").collect()
+    val simulated = raw.map { r =>
+      val feats = scala.collection.mutable.Map.empty[Int, Double]
+      r.getString(1).split("\\s|(~SP~)").filter(_.nonEmpty)
+        .foreach(t => vocab.get(t).foreach(i => feats(i) = feats.getOrElse(i, 0.0) + 1))
+      feats(vocab.size) = r.getLong(2).toDouble
+      val margins = models.map { case (b0, w) =>
+        b0 + feats.map { case (k, v) => w.getOrElse(k, 0.0) * v }.sum
+      }
+      val sig = margins.map(m => 1.0 / (1.0 + math.exp(-m)))
+      val probs = sig.map(_ / sig.sum)
+      val best = margins.indexOf(margins.max) // engine ranks LR-OVR on margins
+      r.getLong(0) -> (probs, classes(best))
+    }.toMap
+
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = pr.chain.transform(pr.prep.transform(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .filter("doc_id < 40")))
+      .select(col("doc_id"), vector_to_array(col("probability")).as("p"),
+        col("predictedResponse"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getString(2))).toMap
+
+    simulated.keys should not be empty
+    simulated.foreach { case (id, (probs, label)) =>
+      val (ep, el) = scored(id)
+      label shouldBe el
+      probs.zip(ep).foreach { case (a, b) => a shouldBe b +- 1e-9 }
+    }
+  }
+
   it should "assemble a multi-page scorer with per-page dispatch" in {
     val conf = GraftConf.fromJson(
       s"""{
