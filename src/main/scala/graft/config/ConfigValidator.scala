@@ -47,6 +47,8 @@ object ConfigValidator {
     } else {
       if (c.sampling.split.isEmpty)
         err("sampling", "split[] must be non-empty")
+      if (c.sampling.split.exists(s => s <= 0 || s >= 100))
+        err("sampling", s"every split value must be in (0, 100), got ${c.sampling.split.mkString(",")}")
       if (math.abs(c.sampling.split.sum - 100.0) > 1e-9)
         err("sampling", s"split[] must sum to 100 (got ${c.sampling.split.sum})")
     }
