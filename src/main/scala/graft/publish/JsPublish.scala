@@ -56,6 +56,16 @@ object JsPublish {
     sb ++= "// graft published scorer (generated)\n"
     sb ++= "// input: an object keyed by raw column name\n"
 
+    // uplift chains score p(treated) − p(control) by re-running the base
+    // model with the treatment slot flipped — a serve-time construct the
+    // standalone scorer cannot replay; emitting the base model here would
+    // SILENTLY publish the wrong probability. Publish the Spark-native
+    // combined pipeline for uplift deployments instead.
+    if (chain.stages.exists(_.isInstanceOf[graft.train.UpliftTransformer]))
+      throw new UnsupportedOperationException(
+        "JS publish: uplift chains are not publishable as standalone JS; " +
+          "use the Spark-native combined pipeline")
+
     // ---- split stages: string preprocessing vs vectorization
     val stages = prep.stages.toSeq
     val assembler = stages.collectFirst { case a: VectorAssembler => a }

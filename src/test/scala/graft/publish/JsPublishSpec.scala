@@ -227,6 +227,27 @@ class JsPublishSpec extends SparkSpec {
     intercepts.foreach(i => assembled should include (i.toString))
   }
 
+  it should "refuse to publish an uplift chain rather than silently emit the base model" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "js-uplift-spec", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet:///root/testdata/sf0.001/documents.parquet",
+        |           "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, CAST(doc_id % 2 AS DOUBLE) AS treat FROM graftView0"]},
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "toks"}
+        |  ],
+        |  "vectorization": {"method": "hashingtf", "slots": 1024},
+        |  "training": {"algorithm": "logistic_regression", "uplift": "treat"}
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val pr = result.pages.head
+    an [UnsupportedOperationException] should be thrownBy
+      JsPublish.generate(pr.prep, pr.chain, threshold = 0.5)
+  }
+
   it should "emit a murmur3 whose algorithm matches HashingTF term indexing" in {
     // transcription of the generated graftMurmurIndex (32-bit JS semantics)
     def mul32(a: Int, b: Int): Int = a * b // JVM int mul == JS graftMul32
