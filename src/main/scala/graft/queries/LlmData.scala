@@ -1116,7 +1116,15 @@ object LlmData extends QueryPack {
     * deterministic secondary key (vec_id mod ⌈n/maxCluster⌉ — replayable
     * in the oracle), so the per-group pair fan-out is bounded by
     * ~maxCluster² regardless of how lopsided the clustering comes out —
-    * the [[neardupCapped]] treatment applied to embedding space. */
+    * the [[neardupCapped]] treatment applied to embedding space.
+    *
+    * Split-key trade, made deliberately: an id-modulo split yields a HARD
+    * size bound (asserted by the spec) but can sever a near-dup pair
+    * across sub-groups (bounded recall loss that shrinks as maxCluster
+    * grows); an LSH-signature split (`vecSig mod g`) would co-locate
+    * similar vectors and preserve pairs, but identical-vector pile-ups
+    * share one signature, so the size bound — the thing the cap exists
+    * for — would be lost. At 100 TB prefer the guarantee. */
   def semDedup(s: SparkSession, dir: String, tau: Double = 0.3,
                maxCluster: Int = 40): DataFrame = {
     val e = semDedupKeyed(s, dir, maxCluster)
