@@ -10,6 +10,22 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  behavior of "approximate scale paths"
+
+  it should "keep approxQuantile cut points within tolerance of exact percentiles" in {
+    // Several operators document approxQuantile → Bucketizer as their
+    // 100 TB alternative to the exact range-sort (rfm_tiers, ntile_bins,
+    // equiarea binning). Turn that claim into a tested bound: at relative
+    // error 0.001 the cut points must sit within 1% of the exact ones.
+    val df = graft.Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
+    val cuts = df.stat.approxQuantile("v", Array(0.25, 0.5, 0.75), 0.001)
+    val exact = df.select(expr("percentile(v, array(0.25, 0.5, 0.75))"))
+      .head().getSeq[Double](0)
+    cuts.zip(exact).foreach { case (a, e) =>
+      math.abs(a - e) / math.abs(e) should be < 0.01
+    }
+  }
+
   behavior of "markovTransitions"
 
   it should "emit a row-stochastic matrix (outgoing probabilities sum to 1)" in {

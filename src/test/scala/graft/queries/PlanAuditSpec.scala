@@ -187,6 +187,40 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  it should "let AQE split a skewed join partition at runtime" in {
+    // Salting (salted_join_agg) is the manual skew mitigation; the modern
+    // default is AQE's OptimizeSkewedJoin splitting oversized partitions.
+    // The thresholds are sized for real clusters, so pin them down to
+    // observe the rewrite at test scale — the assertion is that our
+    // sort-merge join shape stays eligible for it.
+    import spark.implicits._
+    val conf = spark.conf
+    val pinned = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = pinned.keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      pinned.foreach { case (k, v) => conf.set(k, v) }
+      // one hot key carrying ~98% of the fact rows
+      val fact = (1 to 50000).map(i => (if (i <= 49000) 0L else (i % 50 + 1).toLong,
+        s"payload_$i")).toDF("k", "v")
+      val dim = (0 to 51).map(i => (i.toLong, s"dim_$i")).toDF("k", "d")
+      val joined = fact.join(dim, "k")
+      // execute THIS QueryExecution (count() would plan its own aggregate,
+      // and foreach/rdd builds a fresh one) so AQE finalizes the join
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      finalPlan should include ("isFinalPlan=true")
+      finalPlan should include ("skew=true")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   it should "compute the as-of join with keyed windows only" in {
     val p = plan(Relational.asofJoin(spark, dir))
     p should not include "CartesianProduct"
