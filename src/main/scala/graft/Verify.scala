@@ -12,9 +12,9 @@ object Verify {
     val spark = GraftSession.local(GraftSession.envCores, "graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +40,7 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(", ")}")
     else
-      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries dumped OK")
+      System.err.println(s"[verify] all ${selected.size} queries dumped OK")
     spark.stop()
   }
 }
