@@ -1,14 +1,22 @@
 package graft
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A failed query reports duration -1 AND lands in an
-  * "errors" object — failures must be visible, never silently fast. */
+  * "errors" object — failures must be visible, never silently fast.
+  *
+  * Noise resistance: each query is warmed once (unmeasured — codegen, JIT,
+  * parquet footers) and then timed `SPARK_GRAFT_RUNS` times (default 3);
+  * the reported number is the MEDIAN, so one GC pause or contended-machine
+  * blip cannot dominate a round's signal. The committed BENCH_LOCAL.json
+  * additionally carries per-query {median,min,max} spread.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3))
     val spark = GraftSession.local(GraftSession.envCores, "graft-bench")
     // Warm up the machinery every query pays for once (catalog, parquet
     // footer reads, codegen/janino, shuffle + window + join infrastructure)
-    // on a 5-row dim table so the first measured query isn't charged for it.
+    // on a 5-row dim table so the first query's warmup isn't charged for it.
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -25,41 +33,63 @@ object Bench {
     var errors = Map.empty[String, String]
     // local-iteration filter (unset for driver runs → full sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_ .contains(name)) }
-      .map { case (name, fn) =>
+
+    // One attempt, measured in isolation: time the action, then drop cached
+    // plans (so a later attempt neither reuses nor evicts them) and collect
+    // garbage (so this attempt's heap pressure doesn't surface as a GC
+    // pause inside the next one's wall-clock) — both UNCHARGED.
+    def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           errors += name -> e.toString.take(200); false
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      // Each query is measured in isolation: drop its cached plans so a
-      // later query neither reuses nor evicts them, and collect garbage so
-      // one query's heap pressure doesn't show up as a GC pause inside the
-      // next one's wall-clock (uncharged cleanup).
       spark.catalog.clearCache()
       System.gc()
-      name -> (if (ok) secs else -1.0)
+      if (ok) Some(secs) else None
     }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_ .contains(name)) }
+      .map { case (name, fn) =>
+        attempt(name, fn) match { // warmup; a failure here skips the runs
+          case None => name -> Seq(-1.0)
+          case Some(_) =>
+            val times = (1 to runs).flatMap(_ => attempt(name, fn))
+            if (times.isEmpty) name -> Seq(-1.0) else name -> times.sorted
+        }
+      }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts sorted, odd runs
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, ts) => jstr(k) + ":" + median(ts) }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the full line to the repo: the driver's captured tail
-    // truncates at 2000 chars, which hides a third of the per-query
-    // timings — the committed file keeps every round diffable.
+    // Also persist the full line (plus per-query spread) to the repo: the
+    // driver's captured tail truncates at 2000 chars, which hides a third
+    // of the per-query timings — the committed file keeps rounds diffable.
+    val stats = results.map { case (k, ts) =>
+      jstr(k) + s""":{"median":${median(ts)},"min":${ts.head},"max":${ts.last}}"""
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","stats":$stats}"""
     try {
-      val dir = java.nio.file.Paths.get("bench")
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(dir.resolve("BENCH_LOCAL.json"), line + "\n")
-    } catch { case _: Throwable => () } // best-effort: never fail the bench
+      val out = java.nio.file.Paths.get(
+        sys.props.get("graft.bench.out")
+          .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+          .getOrElse("/root/repo/bench/BENCH_LOCAL.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, fileLine + "\n")
+    } catch { // best-effort: never fail the bench on a write error —
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

@@ -34,11 +34,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // naive parquet micros: reinterpret the wall-clock value as UTC
-      // regardless of the session timezone — the NTZ→TZ cast alone is only
-      // instant-preserving when spark.sql.session.timeZone=UTC (GraftSession
-      // pins it, but events() must not silently shift under other sessions)
+      // regardless of the session timezone. The NTZ→TZ cast yields
+      // instant w − offset(sessionTZ); from_utc_timestamp re-adds that
+      // offset, so the wall clock lands on the UTC instant under ANY
+      // session timezone (to_utc_timestamp would SUBTRACT it again —
+      // w − 2·offset under a non-UTC session)
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", to_utc_timestamp(
+        raw.withColumn("ts", from_utc_timestamp(
           col("ts").cast(org.apache.spark.sql.types.TimestampType),
           s.conf.get("spark.sql.session.timeZone")))
       case _ => raw

@@ -23,7 +23,8 @@ import org.apache.spark.ml.feature.{CountVectorizerModel, HashingTF, IDFModel, R
   * count_vectorizer / tfidf / hashingtf (murmur3), assembled numericals,
   * binary LR / SVM with optional Platt sigmoid, multi-intent OVR (one
   * coefficient block per class, per-class Platt, argmax dispatch,
-  * normalized LR probabilities), hotlead threshold. Porter
+  * normalized LR probabilities), linear uplift (score₁ − score₀ via the
+  * treatment-coefficient shift), hotlead threshold. Porter
   * stemming is a published NO-OP — exactly like the reference's
   * PorterStemmingPublisher.generateJS, which returns an empty builder.
   */
@@ -56,15 +57,16 @@ object JsPublish {
     sb ++= "// graft published scorer (generated)\n"
     sb ++= "// input: an object keyed by raw column name\n"
 
-    // uplift chains score p(treated) − p(control) by re-running the base
-    // model with the treatment slot flipped — a serve-time construct the
-    // standalone scorer cannot replay; emitting the base model here would
-    // SILENTLY publish the wrong probability. Publish the Spark-native
-    // combined pipeline for uplift deployments instead.
-    if (chain.stages.exists(_.isInstanceOf[graft.train.UpliftTransformer]))
-      throw new UnsupportedOperationException(
-        "JS publish: uplift chains are not publishable as standalone JS; " +
-          "use the Spark-native combined pipeline")
+    // uplift chains score p(treated) − p(control). For a LINEAR base the
+    // standalone scorer replays this exactly: forcing the (last-slot)
+    // treatment feature to 0/1 shifts the margin by exactly its
+    // coefficient, so score₁ = σ(platt(margin + w_treat)) and
+    // score₀ = σ(platt(margin)) — the reference's construction
+    // (ref: publish/model/LogisticRegressionPublisher.scala:61-70,
+    // SVMPublisher.scala:79-91: `dotProduct += coefficients[shiftKey]`
+    // then `score = score_1 - score_0`). Non-linear bases have no such
+    // closed form and stay refused below.
+    val uplift = chain.stages.exists(_.isInstanceOf[graft.train.UpliftTransformer])
 
     // ---- split stages: string preprocessing vs vectorization
     val stages = prep.stages.toSeq
@@ -85,6 +87,17 @@ object JsPublish {
         .orElse(idfs.get(col).map(_.idf.size))
         .getOrElse(1) // numeric passthrough
 
+    // uplift: the treatment column is the assembler's LAST input (the
+    // VectorizationEngine treatment-last contract), one numeric slot
+    val treatCol: Option[String] =
+      if (uplift) {
+        val last = assembler.getInputCols.last
+        require(widthOf(last) == 1,
+          s"uplift treatment column '$last' must be a single numeric slot")
+        Some(last)
+      } else None
+    val shiftKey = assembler.getInputCols.map(widthOf).sum - 1
+
     // ---- model + calibration
     def coefJson(coefs: org.apache.spark.ml.linalg.Vector): String =
       coefs.toArray.zipWithIndex.collect {
@@ -94,6 +107,9 @@ object JsPublish {
     val ovr = chain.stages.collectFirst {
       case m: graft.train.OneVsRestScoredModel => m
     }
+    if (uplift && ovr.isDefined)
+      throw new UnsupportedOperationException(
+        "JS publish: uplift is a binary-model construct; OVR uplift is not publishable")
     ovr match {
       case Some(m) =>
         // multi-intent OVR: one coefficient block per class, classes in
@@ -127,8 +143,20 @@ object JsPublish {
             case m: LinearSVCModel => ("svm", m.coefficients, m.intercept)
           }
           .getOrElse(throw new UnsupportedOperationException(
-            "JS publish supports binary/OVR LogisticRegression / LinearSVC models"))
-        sb ++= s"""var graftModel = {"kind":${jsStr(kind)},"intercept":$intercept,"threshold":$threshold,\n"""
+            if (uplift)
+              "JS publish: uplift chains are publishable only for linear bases " +
+                "(LogisticRegression, Platt-calibrated LinearSVC)"
+            else
+              "JS publish supports binary/OVR LogisticRegression / LinearSVC models"))
+        // SVM uplift without Platt has no probability to difference — the
+        // Spark UpliftTransformer fails there too (LinearSVC emits no
+        // probability column); refuse rather than publish hard 0/1 deltas
+        if (uplift && kind == "svm" && platt.isEmpty)
+          throw new UnsupportedOperationException(
+            "JS publish: SVM uplift requires Platt calibration (plattScaling=true)")
+        val upliftJson =
+          if (uplift) s""""uplift":true,"shiftKey":$shiftKey,""" else ""
+        sb ++= s"""var graftModel = {"kind":${jsStr(kind)},"intercept":$intercept,$upliftJson"threshold":$threshold,\n"""
         sb ++= s""" "platt":${platt.map(p => s"""{"a":${p.a.head},"b":${p.b.head}}""").getOrElse("null")},\n"""
         sb ++= s""" "coefficients":${coefJson(coefs)}};\n"""
     }
@@ -241,6 +269,11 @@ object JsPublish {
             sb ++= s"  for (var i = 0; i < ${m.idf.size}; i++) { var k = $offset + i;\n"
             sb ++= s"    if (features[k] !== undefined) features[k] *= graftIdf_${sane(col)}[i]; }\n"
           }
+        case _ if treatCol.contains(col) =>
+          // treatment slot: NOT read from input — the scorer forces it to
+          // 0 (score₀) and 1 (score₁), mirroring UpliftTransformer's
+          // slice+concat rewrite; leaving it out of `features` IS force-0
+          sb ++= s"  // slot $offset (${col}): uplift treatment, forced by the scorer\n"
         case _ => // numeric passthrough column
           sb ++= s"  features[$offset] = Number(input[${jsStr(col)}] == null ? 0 : input[${jsStr(col)}]);\n"
       }
@@ -275,6 +308,30 @@ object JsPublish {
       sb ++= "  for (var b = 1; b < rankBy.length; b++) if (rankBy[b] > rankBy[best]) best = b;\n"
       sb ++= "  return {margins: margins, probabilities: probs, prediction: best,\n"
       sb ++= "          predictedResponse: graftModel.classes[best]};\n"
+    } else if (uplift) {
+      // uplift: margin excludes the treatment slot (score₀); adding its
+      // coefficient is exactly the forced-to-1 margin (score₁). Calibrate
+      // each margin through the same (Platt or base-LR) sigmoid the Spark
+      // UpliftTransformer applies per pass; publish Δ = score₁ − score₀
+      // (ref: LogisticRegressionPublisher.generateProbabilityString,
+      // SVMPublisher.generateProbabilityString — uplift branches)
+      sb ++= "  var margin = graftModel.intercept;\n"
+      sb ++= "  for (var k in features) { var c = graftModel.coefficients[k];\n"
+      sb ++= "    if (c !== undefined) margin += c * features[k]; }\n"
+      sb ++= "  var w = graftModel.coefficients[graftModel.shiftKey];\n"
+      sb ++= "  var margin1 = margin + (w === undefined ? 0 : w);\n"
+      sb ++= "  var score0, score1;\n"
+      sb ++= "  if (graftModel.platt != null) {\n"
+      sb ++= "    score0 = 1 / (1 + Math.exp(-(graftModel.platt.a * margin + graftModel.platt.b)));\n"
+      sb ++= "    score1 = 1 / (1 + Math.exp(-(graftModel.platt.a * margin1 + graftModel.platt.b)));\n"
+      sb ++= "  } else {\n"
+      sb ++= "    score0 = 1 / (1 + Math.exp(-margin));\n"
+      sb ++= "    score1 = 1 / (1 + Math.exp(-margin1));\n"
+      sb ++= "  }\n"
+      sb ++= "  var score = score1 - score0;\n"
+      sb ++= "  return {margin: margin, score0: score0, score1: score1,\n"
+      sb ++= "          probability: score,\n"
+      sb ++= "          isHotLead: score >= graftModel.threshold ? 1 : 0};\n"
     } else {
       sb ++= "  var margin = graftModel.intercept;\n"
       sb ++= "  for (var k in features) { var c = graftModel.coefficients[k];\n"
@@ -305,6 +362,14 @@ object JsPublish {
     * trainer's page split. */
   def assemble(pages: Seq[(Int, String)], pageCol: String): String = {
     require(pages.nonEmpty, "assemble requires at least one page scorer")
+    // the dispatch is exact-match per page with only the MAX page
+    // accumulating `>=`; a gap (e.g. pages 1 and 3) would silently score
+    // in-range traffic as null — refuse at assembly time instead
+    val keys = pages.map(_._1)
+    require(keys.distinct.size == keys.size,
+      s"assemble: duplicate page keys ${keys.mkString(",")}")
+    require(keys.sorted == (keys.min to keys.max).toSeq,
+      s"assemble: page keys must be contiguous, got ${keys.sorted.mkString(",")}")
     val sb = new StringBuilder
     sb ++= "// graft published multi-page scorer (generated)\n"
     val ordered = pages.sortBy(_._1)

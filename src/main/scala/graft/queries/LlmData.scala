@@ -61,11 +61,14 @@ object LlmData extends QueryPack {
   private val CoarseK = 8
 
   /** Deterministic pseudo-random seed order: Knuth's multiplicative hash
-    * (id · 2654435761) mod 1000003, tie-broken by id — pure integer
-    * arithmetic, bit-identical in any engine, replayed by the oracle as
-    * `ORDER BY (vec_id * 2654435761) % 1000003, vec_id`. */
+    * ((id mod 1000003) · 2654435761) mod 1000003, tie-broken by id — pure
+    * integer arithmetic, bit-identical in any engine. The id is reduced
+    * mod 1000003 BEFORE the multiply so the product stays ≤ ~2.7e15, far
+    * under 2^63: without the reduction Spark silently wraps at
+    * id ≳ 3.5e9 while DuckDB raises on BIGINT overflow — billion-row
+    * corpora would diverge between engines. */
   private def seedOrder(id: org.apache.spark.sql.Column) =
-    Seq(pmod(id * lit(2654435761L), lit(1000003L)), id)
+    Seq(pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L)), id)
 
   /** The [[CoarseK]] seed rows of `e` (any frame carrying `vec_id`).
     * Plans as TakeOrderedAndProject — per-partition top-k merged on the
@@ -76,7 +79,7 @@ object LlmData extends QueryPack {
     e.orderBy(seedOrder(col("vec_id")): _*).limit(k)
 
   /** DuckDB twin of [[coarseSeeds]]: `ORDER BY $seedOrderSql LIMIT 8`. */
-  private val seedOrderSql = "(vec_id * 2654435761) % 1000003, vec_id"
+  private val seedOrderSql = "((vec_id % 1000003) * 2654435761) % 1000003, vec_id"
 
   // ---------------------------------------------------------------- dedup
 
@@ -274,12 +277,18 @@ object LlmData extends QueryPack {
   def componentLabels(s: SparkSession, pairs: DataFrame,
                       maxDriverEdges: Long = 1L << 20): DataFrame = {
     if (pairs.count() <= maxDriverEdges) {
-      // driver union-find with min-root tracking
+      // driver union-find with min-root tracking. `find` is ITERATIVE
+      // (walk to root, then path-compress): a recursive version recurses
+      // once per parent link, and an adversarial long-chain component near
+      // maxDriverEdges would overflow the driver stack.
       val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -227,10 +227,98 @@ class JsPublishSpec extends SparkSpec {
     intercepts.foreach(i => assembled should include (i.toString))
   }
 
-  it should "refuse to publish an uplift chain rather than silently emit the base model" in {
+  // ---- uplift publish: shared replay helper ------------------------------
+  /** Train an uplift pipeline with `training`, generate the JS, replay the
+    * generated algorithm (tokenize → vocab-count → sparse dot → per-margin
+    * sigmoid → Δ) in Scala, and compare to the Spark chain's packed Δ. */
+  private def upliftParity(name: String, training: String): Unit = {
     val conf = GraftConf.fromJson(
       s"""{
-        |  "project": {"name": "js-uplift-spec", "root": "/tmp/graft-spec"},
+        |  "project": {"name": "$name", "root": "/tmp/graft-spec"},
+        |  "data": {"source": "parquet:///root/testdata/sf0.001/documents.parquet",
+        |           "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, CAST(doc_id % 2 AS DOUBLE) AS treat FROM graftView0"]},
+        |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
+        |              "primaryKey": ["doc_id"]},
+        |  "sampling": {"samplingType": "random", "split": [80, 20], "seed": 20},
+        |  "preprocessing": [
+        |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "toks"}
+        |  ],
+        |  "vectorization": {"method": "count_vectorizer", "slots": 4096},
+        |  "training": $training
+        |}""".stripMargin)
+    val result = PipelineRunner.run(spark, conf)
+    val pr = result.pages.head
+    val js = JsPublish.generate(pr.prep, pr.chain, threshold = 0.05)
+    js should include (""""uplift":true""")
+
+    // parse the parameter blocks back out of the generated source
+    val coefMap = """"coefficients":\{([^}]*)\}""".r.findFirstMatchIn(js).get
+      .group(1).split(",").filter(_.nonEmpty)
+      .map { e => val Array(k, v) = e.split(":"); k.replace("\"", "").toInt -> v.toDouble }
+      .toMap
+    val intercept = """"intercept":([-0-9.eE]+)""".r.findFirstMatchIn(js).get.group(1).toDouble
+    val shiftKey = """"shiftKey":(\d+)""".r.findFirstMatchIn(js).get.group(1).toInt
+    val platt = """"platt":\{"a":([-0-9.eE]+),"b":([-0-9.eE]+)\}""".r
+      .findFirstMatchIn(js).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+    val vocab = """var graftVocab_v_text_vec = \{(.*?)\};""".r
+      .findFirstMatchIn(js).get.group(1)
+      .split(",").filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(':')
+        e.substring(1, i - 1) -> e.substring(i + 1).toInt
+      }.toMap
+    // assembler layout: [vocab | n_chars | treat]; treat is the last slot
+    shiftKey shouldBe vocab.size + 1
+    // the treatment input must NOT be read — the scorer forces the slot
+    js should not include ("""Number(input["treat"]""")
+
+    // replay the JS algorithm in Scala over raw rows
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id < 40").select("doc_id", "text", "n_chars").collect()
+    def cal(m: Double): Double = platt match {
+      case Some((a, b)) => 1.0 / (1.0 + math.exp(-(a * m + b)))
+      case None => 1.0 / (1.0 + math.exp(-m))
+    }
+    val simulated = raw.map { r =>
+      val feats = scala.collection.mutable.Map.empty[Int, Double]
+      r.getString(1).split("\\s|(~SP~)").filter(_.nonEmpty)
+        .foreach(t => vocab.get(t).foreach(i => feats(i) = feats.getOrElse(i, 0.0) + 1))
+      feats(vocab.size) = r.getLong(2).toDouble // n_chars; treat slot forced
+      var margin = intercept
+      feats.foreach { case (k, v) => margin += coefMap.getOrElse(k, 0.0) * v }
+      val margin1 = margin + coefMap.getOrElse(shiftKey, 0.0)
+      r.getLong(0) -> (cal(margin1) - cal(margin))
+    }.toMap
+
+    // Spark-side Δ (the packed probability's positive slot) for same rows
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = pr.chain.transform(pr.prep.transform(
+        spark.sql(
+          """SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y,
+            |CAST(doc_id % 2 AS DOUBLE) AS treat
+            |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+            |WHERE doc_id < 40""".stripMargin)))
+      .select(col("doc_id"),
+        element_at(vector_to_array(col("probability")), 2).as("delta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    simulated.keys should not be empty
+    simulated.foreach { case (id, d) => d shouldBe scored(id) +- 1e-9 }
+  }
+
+  it should "replay an LR uplift chain's Δ through the JS algorithm to 1e-9" in {
+    upliftParity("js-uplift-lr-spec",
+      """{"algorithm": "logistic_regression", "uplift": "treat"}""")
+  }
+
+  it should "replay a Platt-SVM uplift chain's Δ through the JS algorithm to 1e-9" in {
+    upliftParity("js-uplift-svm-spec",
+      """{"algorithm": "svm", "plattScaling": true, "uplift": "treat"}""")
+  }
+
+  it should "still refuse genuinely non-linear uplift bases" in {
+    val conf = GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "js-uplift-rf-spec", "root": "/tmp/graft-spec"},
         |  "data": {"source": "parquet:///root/testdata/sf0.001/documents.parquet",
         |           "queries": ["SELECT *, CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS y, CAST(doc_id % 2 AS DOUBLE) AS treat FROM graftView0"]},
         |  "columns": {"response": "y", "text": ["text"], "numerical": ["n_chars"],
@@ -240,12 +328,21 @@ class JsPublishSpec extends SparkSpec {
         |    {"op": "tokenizer", "inputColumn": "text", "outputColumn": "toks"}
         |  ],
         |  "vectorization": {"method": "hashingtf", "slots": 1024},
-        |  "training": {"algorithm": "logistic_regression", "uplift": "treat"}
+        |  "training": {"algorithm": "random_forest", "uplift": "treat",
+        |               "params": {"numTrees": 3, "maxDepth": 3}}
         |}""".stripMargin)
     val result = PipelineRunner.run(spark, conf)
     val pr = result.pages.head
-    an [UnsupportedOperationException] should be thrownBy
+    val ex = the [UnsupportedOperationException] thrownBy
       JsPublish.generate(pr.prep, pr.chain, threshold = 0.5)
+    ex.getMessage should include ("linear bases")
+  }
+
+  it should "refuse to assemble a non-contiguous or duplicated page set" in {
+    an [IllegalArgumentException] should be thrownBy
+      JsPublish.assemble(Seq(1 -> "function graftScore(i){}", 3 -> "function graftScore(i){}"), "pg")
+    an [IllegalArgumentException] should be thrownBy
+      JsPublish.assemble(Seq(2 -> "function graftScore(i){}", 2 -> "function graftScore(i){}"), "pg")
   }
 
   it should "emit a murmur3 whose algorithm matches HashingTF term indexing" in {

@@ -53,7 +53,7 @@ class LlmQualitySpec extends SparkSpec {
     val ids = graft.Tables.embeddings(spark, dir)
       .select("vec_id").collect().map(_.getLong(0))
     // the fixed-k seed set: 8 smallest under the multiplicative-hash order
-    val seeds = ids.sortBy(id => ((id * 2654435761L) % 1000003L, id))
+    val seeds = ids.sortBy(id => ((id % 1000003L) * 2654435761L % 1000003L, id))
       .take(8).toSet
     val rows = LlmData.embedKmeans(spark, dir).collect()
     rows should not be empty
