@@ -25,7 +25,17 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: graft.Main <config.json> [--savepoint] [--resume] [--local[=N]]")
-    val conf = config.GraftConf.fromFile(args(0))
+    val rawJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(args(0))), java.nio.charset.StandardCharsets.UTF_8)
+    // field-level rule table first (configChecks.json), loudly — the
+    // semantic cross-section checks run again inside PipelineRunner
+    locally {
+      val fieldViolations = config.ConfigValidator.validateFields(rawJson)
+      require(fieldViolations.isEmpty,
+        s"invalid config (${fieldViolations.size} field violations):\n  " +
+          fieldViolations.mkString("\n  "))
+    }
+    val conf = config.GraftConf.fromJson(rawJson)
     val appName = s"graft-${conf.project.name}"
     val spark = args.collectFirst {
       case a if a.startsWith("--local") =>

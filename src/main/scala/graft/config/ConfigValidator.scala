@@ -205,4 +205,110 @@ object ConfigValidator {
       throw new IllegalArgumentException(
         s"invalid config (${vs.size} violations):\n  ${vs.mkString("\n  ")}")
   }
+
+  // ------------------------------------------------ declarative field rules
+
+  /** One field-level rule from `configChecks.json`
+    * (ref: resources/configChecks.json + util/conf/ConfigValidator.scala —
+    * same rule shape: path/pattern/range/canBeEmpty/datatype, optionally
+    * gated by `withConditions` on other fields' values). The rule table is
+    * DATA, so rule parity with the reference is diffable file-to-file. */
+  final case class FieldRule(
+      section: String, path: String, pattern: String, range: String,
+      canBeEmpty: Boolean, datatype: String,
+      conditions: Seq[(String, String)])
+
+  /** The rule table, loaded once from the classpath resource. */
+  lazy val fieldRules: Seq[FieldRule] = {
+    import org.json4s._
+    val text = {
+      val in = getClass.getResourceAsStream("/configChecks.json")
+      require(in != null, "configChecks.json missing from classpath")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val root = org.json4s.jackson.JsonMethods.parse(text)
+    for {
+      JObject(sections) <- Seq(root)
+      (section, body) <- sections
+      JArray(rules) <- Seq(body \ "validationList")
+      rule <- rules
+    } yield {
+      def str(k: String) = (rule \ k) match {
+        case JString(s) => s; case _ => ""
+      }
+      val conds = (rule \ "withConditions") match {
+        case JArray(cs) => cs.map(c => (
+          (c \ "path").asInstanceOf[JString].s,
+          (c \ "reqdValue").asInstanceOf[JString].s))
+        case _ => Nil
+      }
+      FieldRule(section, str("path"), str("pattern"), str("range"),
+        (rule \ "canBeEmpty") == JBool(true), str("datatype"), conds)
+    }
+  }
+
+  /** Apply the declarative rule table to a RAW config JSON text (before
+    * case-class defaulting, so absent-vs-present is observable). Returns
+    * all violations; composes with the semantic [[validate]]. */
+  def validateFields(rawJson: String): Seq[Violation] = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(rawJson)
+    def resolve(path: String): JValue =
+      path.split('.').foldLeft(root)((j, k) => j \ k)
+    def asText(j: JValue): Option[String] = j match {
+      case JString(s) => Some(s)
+      case JInt(i) => Some(i.toString)
+      case JLong(l) => Some(l.toString)
+      case JDouble(d) => Some(d.toString)
+      case JBool(b) => Some(b.toString)
+      case _ => None
+    }
+    def asNum(j: JValue): Option[Double] = j match {
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    fieldRules.flatMap { r =>
+      val active = r.conditions.forall { case (p, want) =>
+        asText(resolve(p)).contains(want)
+      }
+      val value = resolve(r.path)
+      val empty = value == JNothing || value == JNull ||
+        value == JString("") || value == JObject(Nil) || value == JArray(Nil)
+      if (!active) None
+      else if (empty) {
+        if (r.canBeEmpty) None
+        else Some(Violation(r.section, s"${r.path} must be set"))
+      } else {
+        val typeOk = r.datatype match {
+          case "string" => value.isInstanceOf[JString]
+          case "int" => value.isInstanceOf[JInt] || value.isInstanceOf[JLong]
+          case "boolean" => value.isInstanceOf[JBool]
+          case "double" => asNum(value).isDefined
+          case "object" => value.isInstanceOf[JObject]
+          case _ => true
+        }
+        if (!typeOk)
+          Some(Violation(r.section, s"${r.path} must be a ${r.datatype}"))
+        else if (r.pattern.nonEmpty &&
+                 asText(value).exists(!_.matches(r.pattern)))
+          Some(Violation(r.section,
+            s"${r.path} value '${asText(value).get}' does not match ${r.pattern}"))
+        else if (r.range.nonEmpty) {
+          val Array(lo, hi) = r.range.split('-').map(_.toDouble)
+          asNum(value) match {
+            case Some(n) if n < lo || n > hi =>
+              Some(Violation(r.section, s"${r.path} must be in [$lo, $hi], got $n"))
+            case _ => None
+          }
+        } else None
+      }
+    }
+  }
+
+  /** Field rules + semantic checks over raw JSON in one pass. */
+  def validateAll(rawJson: String): Seq[Violation] =
+    validateFields(rawJson) ++ validate(GraftConf.fromJson(rawJson))
 }

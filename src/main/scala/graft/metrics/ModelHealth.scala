@@ -78,6 +78,56 @@ object ModelHealth {
       .select(col("bucket"), col("p"), col("q"), si.as("si"))
   }
 
+  /** PSI with EXACT quantile buckets of the base — reproduces the
+    * reference's QuantileDiscretizer goldens to 1e-9 where the sketch path
+    * ([[psiDiscretizer]]) drifts across Spark sketch versions.
+    *
+    * Two reference behaviors are replayed deliberately:
+    *  1. The probability sequence is Spark 2.4's `0.0 to 1.0 by 1.0/k`
+    *     DOUBLE range — i·(1/k) with its floating-point drift (0.1·3 =
+    *     0.30000000000000004), because `ceil(q·n)` lands one rank higher
+    *     at the drifted points whenever q·n is integral. Using "clean"
+    *     probabilities changes 3 of 10 reference goldens.
+    *  2. Spark 2.4's GK query with `targetError = relativeError·count`
+    *     (< 1 at small n ⇒ NO slack) returns exactly the sorted element at
+    *     rank ceil(q·n); Spark 3+ switched to `ceil(relativeError·count)`
+    *     (= 1 ⇒ off-by-one slack) — the source of the former ±8 parity
+    *     band. Exact rank selection restores the 2.4 value.
+    *
+    * Scale path: the rank selection is [[graft.plans.GlobalRank]]'s
+    * two-pass range-sort row number — distributed and exact at any base
+    * size (only the k−1 split VALUES are collected). */
+  def psiExact(base: DataFrame, current: DataFrame, column: String,
+               k: Int): DataFrame = {
+    val b = base.select(col(column).cast("double").as("__v")).cache()
+    val n = b.count()
+    val step = 1.0 / k
+    val targetRanks = (1 until k)
+      .map(i => math.max(1L, math.ceil(i * step * n).toLong)).distinct
+    val innerSplits = graft.plans.GlobalRank
+      .withRowNumber(b, Seq(col("__v")), "__rn")
+      .filter(col("__rn").isin(targetRanks: _*))
+      .select("__v").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    // Bucketizer semantics on [-inf, s1..sm, +inf]: bucket = #{s_j <= x}
+    def bucketExpr(c: org.apache.spark.sql.Column) =
+      innerSplits.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (s, i)) => when(c >= s, i + 1).otherwise(acc)
+      }
+    def counts(df: DataFrame, out: String) =
+      df.select(bucketExpr(col(column).cast("double")).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    // reference normalization: shares are over the buckets present on BOTH
+    // sides (its window total runs on the inner-joined frame) — a bucket
+    // empty on one side drops from the other side's denominator too
+    val joined = counts(base, "nb").join(counts(current, "nc"), Seq("bucket"))
+    val tot = joined.agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), (col("nb") / col("tb")).as("p"),
+        (col("nc") / col("tc")).as("q"))
+      .select(col("bucket"), col("p"), col("q"), si.as("si"))
+  }
+
   /** Total PSI as a single-row DataFrame. */
   def psiTotal(bucketDf: DataFrame): DataFrame = bucketDf.agg(sum("si").as("psi"))
 

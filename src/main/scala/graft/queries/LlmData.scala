@@ -53,12 +53,35 @@ object LlmData extends QueryPack {
 
   // ------------------------------------------------- coarse quantization
 
-  /** Number of coarse cells / k-means seeds — a CONSTANT, independent of
-    * corpus size. At 100 TB you'd raise it to 256–65536 (still a constant):
-    * what matters for scale is that the codebook broadcast is O(k) and the
-    * per-row assignment O(k·dim), never O(N). 8 keeps every cell populated
-    * at the test SFs. */
-  private val CoarseK = 8
+  /** k-means cluster count for the CLUSTERING queries (embed_kmeans,
+    * kmeans_balance, semdedup): a model hyperparameter the user picks for
+    * their domain, deliberately NOT corpus-derived — re-running the same
+    * clustering on a grown corpus must not silently change k. */
+  private val KmeansK = 8
+
+  /** Bounds for the ANN coarse codebook. The cap keeps the broadcast
+    * O(MaxCoarseK·dim) — ≤ 65536 × 64 doubles ≈ 34 MB, a safe broadcast
+    * on any executor; the floor keeps every cell populated at tiny SFs. */
+  private[queries] val MinCoarseK = 8
+  private[queries] val MaxCoarseK = 65536
+
+  /** Corpus-adaptive IVF cell count: k = clamp(⌈√N⌉, 8, 65536) — the
+    * classic IVF sizing rule. Unlike the k-means hyperparameter above,
+    * the INDEX cell count must grow with the corpus: a constant k means
+    * every query scans a constant nprobe/k FRACTION of the corpus (at
+    * 100 TB, terabytes per query — barely better than brute force), while
+    * k≈√N keeps both the codebook broadcast and the per-query probe work
+    * O(√N). Pure integer/IEEE-sqrt arithmetic — DuckDB's
+    * `ceil(sqrt(count(*)))` computes the identical value. */
+  private[queries] def adaptiveCoarseK(n: Long): Int =
+    math.min(MaxCoarseK.toLong,
+      math.max(MinCoarseK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Probe width grows as √k (so the probed corpus FRACTION nprobe/k
+    * shrinks as the corpus grows: 3/8 at k=8, 256/65536 ≈ 0.4% at the
+    * cap) — the standard recall/selectivity trade for IVF. */
+  private[queries] def adaptiveNprobe(k: Int): Int =
+    math.max(3, math.ceil(math.sqrt(k.toDouble)).toInt)
 
   /** Deterministic pseudo-random seed order: Knuth's multiplicative hash
     * ((id mod 1000003) · 2654435761) mod 1000003, tie-broken by id — pure
@@ -70,16 +93,26 @@ object LlmData extends QueryPack {
   private def seedOrder(id: org.apache.spark.sql.Column) =
     Seq(pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000003L)), id)
 
-  /** The [[CoarseK]] seed rows of `e` (any frame carrying `vec_id`).
+  /** The k seed rows of `e` (any frame carrying `vec_id`).
     * Plans as TakeOrderedAndProject — per-partition top-k merged on the
     * driver, so the seed set is O(k) at ANY corpus size. This replaces the
     * former corpus-fraction seeding (`vec_id % 97`) whose cell count — and
     * therefore the broadcast size and the per-row argmin work — grew O(N). */
-  private[queries] def coarseSeeds(e: DataFrame, k: Int = CoarseK): DataFrame =
+  private[queries] def coarseSeeds(e: DataFrame, k: Int): DataFrame =
     e.orderBy(seedOrder(col("vec_id")): _*).limit(k)
 
-  /** DuckDB twin of [[coarseSeeds]]: `ORDER BY $seedOrderSql LIMIT 8`. */
+  /** DuckDB twin of [[coarseSeeds]]: `ORDER BY $seedOrderSql LIMIT k`. */
   private val seedOrderSql = "((vec_id % 1000003) * 2654435761) % 1000003, vec_id"
+
+  /** DuckDB twin of [[adaptiveCoarseK]]/[[adaptiveNprobe]], as a CTE the
+    * ANN oracles prepend: `LIMIT (SELECT k FROM kk)` replays the exact k
+    * the Spark side computed from its own `count()` of the same table. */
+  private val adaptiveKCte =
+    """kk AS (SELECT
+      |   greatest(8, least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k,
+      |   greatest(3, CAST(ceil(sqrt(
+      |     greatest(8, least(65536, ceil(sqrt(count(*))))))) AS BIGINT)) AS np
+      |  FROM embeddings)""".stripMargin
 
   // ---------------------------------------------------------------- dedup
 
@@ -416,21 +449,27 @@ object LlmData extends QueryPack {
   /** IVF-bucketed ANN — the coarse-quantizer scale path (IVF-flat): a small
     * centroid set partitions the corpus into inverted lists; every vector
     * joins its nearest centroid's list (one broadcast join — the centroid
-    * set is small by construction), and queries probe their `nprobe`=3
+    * set is small by construction), and queries probe their `nprobe`
     * closest lists, so candidate generation touches ~nprobe/k of the corpus
     * instead of all of it. Exact cosine ranks the survivors.
     *
-    * Centroids are a FIXED-k deterministic sample ([[coarseSeeds]]) so the
-    * oracle can replay the assignment and the cell count stays O(k) at any
-    * corpus size; at 100 TB they'd come from k-means on a sample — the plan
-    * shape (broadcast assign → equi-join on cell id → per-query top-k) is
-    * unchanged. Assignment ranks on round(dot, 6) with a centroid-id
-    * tie-break — deterministic across engines. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    * Centroids are a deterministic k-sample ([[coarseSeeds]]) so the
+    * oracle can replay the assignment; k defaults to the corpus-adaptive
+    * [[adaptiveCoarseK]] (⌈√N⌉ capped) and nprobe to [[adaptiveNprobe]]
+    * (⌈√k⌉), so probe selectivity IMPROVES as the corpus grows instead of
+    * pinning at a test-scale constant. At 100 TB centroids would come from
+    * k-means on a sample — the plan shape (broadcast assign → equi-join on
+    * cell id → per-query top-k) is unchanged. Assignment ranks on
+    * round(dot, 6) with a centroid-id tie-break — deterministic across
+    * engines. */
+  def annIvf(s: SparkSession, dir: String,
+             k: Int = -1, nprobe: Int = -1): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
       .cache() // normalized corpus, read by assignment + both join sides
-    val cents = coarseSeeds(e)
+    val kk = if (k > 0) k else adaptiveCoarseK(e.count())
+    val np = if (nprobe > 0) nprobe else adaptiveNprobe(kk)
+    val cents = coarseSeeds(e, kk)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
     // Assignment ranks on NARROW rows (vec_id, cent_id, d): the k-way
     // centroid fan-out must never replicate the embedding array k× through
@@ -443,7 +482,7 @@ object LlmData extends QueryPack {
     val byCell = row_number().over(
       Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id")))
     val assigned = scored.withColumn("rn", byCell)
-      .filter(col("rn") <= 3).select("vec_id", "cent_id", "rn")
+      .filter(col("rn") <= np).select("vec_id", "cent_id", "rn")
       .cache()
     val lists = assigned.filter(col("rn") === 1).join(e, "vec_id")
       .select(col("vec_id").as("c_id"), col("vn").as("cvn"), col("cent_id"))
@@ -547,15 +586,15 @@ object LlmData extends QueryPack {
     * narrow (cluster, dim, partial-sum) rows; per-round components are
     * rounded to 6 dp so aggregate summation order can never leak into the
     * next round — bit-reproducible cross-engine. */
-  private def kmeansFit(s: SparkSession,
-                        dir: String): (DataFrame, Seq[(Long, Array[Double])]) = {
+  private def kmeansFit(s: SparkSession, dir: String,
+                        k: Int = KmeansK): (DataFrame, Seq[(Long, Array[Double])]) = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("x2", vecDot(col("v"), col("v")))
       .cache() // read once per round; narrow (id, vec, norm) rows
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
-    var cents: Seq[(Long, Array[Double])] = coarseSeeds(e)
+    var cents: Seq[(Long, Array[Double])] = coarseSeeds(e, k)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.map(round6)))
       .sortBy(_._1).toSeq
@@ -588,16 +627,21 @@ object LlmData extends QueryPack {
     * (row-local ranked literal array — no shuffle), exact cosine re-rank
     * of list members. Differs from [[annIvf]] (raw-seed cells, cosine
     * assignment) exactly the way a trained IVF differs from a random one;
-    * both keep O(k) broadcast state and O(N·k) assignment at any SF. */
-  def annIvfTrained(s: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
-    val (e, cents) = kmeansFit(s, dir)
+    * both keep O(k) broadcast state and O(N·k) assignment at any SF, with
+    * the same corpus-adaptive k/nprobe defaults. */
+  def annIvfTrained(s: SparkSession, dir: String,
+                    k: Int = -1, nprobe: Int = -1): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val kk = if (k > 0) k else adaptiveCoarseK(n)
+    val np = if (nprobe > 0) nprobe else adaptiveNprobe(kk)
+    val (e, cents) = kmeansFit(s, dir, kk)
     val lists = assignBest(e, cents)
       .select(col("vec_id").as("c_id"), col("cid").as("cent_id"))
     // nprobe nearest refined centroids per query: sort the k-struct literal
     // array by (round(d2, 6), cid) and slice — row-local, engine-replayable
     val probes = e.filter(col("vec_id") < 8)
       .withColumn("pr", slice(array_sort(transform(centArrOf(cents), c =>
-        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid")))), 1, nprobe))
+        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid")))), 1, np))
       .select(col("vec_id").as("q_id"), explode(col("pr")).as("p"))
       .select(col("q_id"), col("p.cid").as("cent_id"))
     val vn = Tables.embeddings(s, dir)
@@ -616,7 +660,7 @@ object LlmData extends QueryPack {
   }
 
   /** IVF-PQ — the production billion-scale ANN shape, end to end: IVF
-    * coarse cells bound the candidate set (nprobe=3 of the same cells as
+    * coarse cells bound the candidate set (the same adaptive k/nprobe as
     * [[annIvf]]), PQ asymmetric distance (ADC) ranks candidates WITHOUT
     * touching full vectors (codes + a literal codebook — row-local lookups,
     * no vector shuffle), and only the top-`shortlistN` survivors are
@@ -624,20 +668,22 @@ object LlmData extends QueryPack {
     * bounded to |probes|×shortlist rows; everything upstream of the re-rank
     * moves (id, cell, 4 codes) rows only. All in cosine space on
     * normalized vectors (ADC in L2-on-unit-sphere ≡ monotone in cosine). */
-  def annIvfPq(s: SparkSession, dir: String, nprobe: Int = 3,
+  def annIvfPq(s: SparkSession, dir: String, k: Int = -1, nprobe: Int = -1,
                shortlistN: Int = 50, topK: Int = 3): DataFrame = {
     val m = 4; val sub = 16; val kcb = 8
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
       .cache() // id + unit vector: read by assignment, codes, and re-rank
-    val cents = coarseSeeds(e)
+    val kAdapt = if (k > 0) k else adaptiveCoarseK(e.count())
+    val np = if (nprobe > 0) nprobe else adaptiveNprobe(kAdapt)
+    val cents = coarseSeeds(e, kAdapt)
       .select(col("vec_id").as("cent_id"), col("vn").as("cv"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         round(vecDot(col("vn"), col("cv")), 6).as("d"))
     val assigned = scored.withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cent_id"))))
-      .filter(col("rn") <= nprobe)
+      .filter(col("rn") <= np)
       .select("vec_id", "cent_id", "rn")
       .cache()
     // PQ codebook: normalized subvectors of the first kcb vectors —
@@ -1292,7 +1338,7 @@ object LlmData extends QueryPack {
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf,
+    "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "neardup_cosine" -> neardupCosine,
     "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
@@ -1327,7 +1373,11 @@ object LlmData extends QueryPack {
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
     * assignment `a3(vec_id, v, cid, d2)`. */
-  private val kmeansCtes: String = {
+  /** The shared Lloyd-fit CTE chain. `limitSql` is the seed-count (a
+    * literal for the clustering queries, `(SELECT k FROM kk)` for the
+    * adaptive trained-IVF); `pre` prepends extra CTEs (the adaptive `kk`)
+    * ahead of `e`. */
+  private def kmeansCtesWith(limitSql: String, pre: String = ""): String = {
     def assignCte(a: String, c: String) =
       s"""$a AS (SELECT vec_id, v, cid, d2
          |  FROM (SELECT e.vec_id, e.v, c.cid,
@@ -1343,17 +1393,21 @@ object LlmData extends QueryPack {
          | ${c}raw AS (SELECT cid, list(m ORDER BY i) AS cv FROM $u GROUP BY cid),
          | $c AS (SELECT $cPrev.cid, coalesce(${c}raw.cv, $cPrev.cv) AS cv
          |   FROM $cPrev LEFT JOIN ${c}raw USING (cid))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""WITH ${pre}e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS x2
        |  FROM embeddings),
        | c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT $CoarseK)),
+       |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT $limitSql)),
        | ${assignCte("a1", "c0")},
        | ${updateCte("u1", "a1", "c0", "c1")},
        | ${assignCte("a2", "c1")},
        | ${updateCte("u2", "a2", "c1", "c2")},
        | ${assignCte("a3", "c2")}""".stripMargin
   }
+
+  /** Fixed-k chain for the clustering queries (k is the [[KmeansK]]
+    * hyperparameter, not corpus-derived). */
+  private val kmeansCtes: String = kmeansCtesWith(KmeansK.toString)
 
   val oracle: Map[String, String] = Map(
     "dedup_incremental" ->
@@ -1509,19 +1563,21 @@ object LlmData extends QueryPack {
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id,
+      s"""WITH $adaptiveKCte,
+        | e AS (SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],
         |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
         |  FROM embeddings),
         | c AS (SELECT vec_id AS cent_id, vn AS cv
-        |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT $CoarseK)),
+        |   FROM (SELECT * FROM e ORDER BY $seedOrderSql LIMIT (SELECT k FROM kk))),
         | sc AS (SELECT e.vec_id, c.cent_id,
         |     round(list_dot_product(e.vn, c.cv), 6) AS d FROM e, c),
         | a AS (SELECT vec_id, cent_id,
         |     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS rn
         |   FROM sc),
         | lists AS (SELECT vec_id AS c_id, cent_id FROM a WHERE rn = 1),
-        | probes AS (SELECT vec_id AS q_id, cent_id FROM a WHERE vec_id < 8 AND rn <= 3),
+        | probes AS (SELECT vec_id AS q_id, cent_id FROM a
+        |   WHERE vec_id < 8 AND rn <= (SELECT np FROM kk)),
         | pairs AS (SELECT p.q_id, l.c_id,
         |     round(list_dot_product(q.vn, cand.vn), 4) AS cos_sim
         |   FROM probes p JOIN lists l USING (cent_id)
@@ -1712,12 +1768,13 @@ object LlmData extends QueryPack {
       }.mkString(" + ")
       val cbJoins = (0 until 4)
         .map(j => s"JOIN cb b$j ON b$j.cid = codes.c$j").mkString(" ")
-      s"""WITH en AS (SELECT vec_id,
+      s"""WITH $adaptiveKCte,
+         | en AS (SELECT vec_id,
          |   list_transform(embedding::DOUBLE[],
          |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
          |  FROM embeddings),
          | c AS (SELECT vec_id AS cent_id, vn AS cv
-         |   FROM (SELECT * FROM en ORDER BY $seedOrderSql LIMIT $CoarseK)),
+         |   FROM (SELECT * FROM en ORDER BY $seedOrderSql LIMIT (SELECT k FROM kk))),
          | sc AS (SELECT en.vec_id, c.cent_id,
          |     round(list_dot_product(en.vn, c.cv), 6) AS d FROM en, c),
          | a AS (SELECT vec_id, cent_id,
@@ -1730,7 +1787,7 @@ object LlmData extends QueryPack {
          |     JOIN p3 USING (vec_id)),
          | lists AS (SELECT vec_id AS c_id, cent_id FROM a WHERE rn = 1),
          | probes AS (SELECT vec_id AS q_id, cent_id FROM a
-         |   WHERE vec_id < 8 AND rn <= 3),
+         |   WHERE vec_id < 8 AND rn <= (SELECT np FROM kk)),
          | cand AS (SELECT p.q_id, l.c_id FROM probes p JOIN lists l
          |   USING (cent_id) WHERE p.q_id <> l.c_id),
          | adc AS (SELECT cand.q_id, cand.c_id, $adcTerms AS adc
@@ -1750,14 +1807,15 @@ object LlmData extends QueryPack {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     },
     "ann_ivf_trained" ->
-      s"""$kmeansCtes,
+      s"""${kmeansCtesWith("(SELECT k FROM kk)", pre = s"$adaptiveKCte,\n ")},
         | sq AS (SELECT e.vec_id, c.cid,
         |     e.x2 + list_dot_product(c.cv, c.cv)
         |       - 2 * list_dot_product(e.v, c.cv) AS d2
         |   FROM e, c2 c WHERE e.vec_id < 8),
         | probes AS (SELECT vec_id AS q_id, cid AS cent_id FROM (
         |     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |       ORDER BY round(d2, 6), cid) AS rn FROM sq) WHERE rn <= 3),
+        |       ORDER BY round(d2, 6), cid) AS rn FROM sq)
+        |   WHERE rn <= (SELECT np FROM kk)),
         | lists AS (SELECT vec_id AS c_id, cid AS cent_id FROM a3),
         | nrm AS (SELECT vec_id,
         |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),

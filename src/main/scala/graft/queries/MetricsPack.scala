@@ -59,6 +59,19 @@ object MetricsPack extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** The exact-quantile PSI twin ([[ModelHealth.psiExact]]): split values
+    * are the base's EXACT sorted elements at ranks ceil(q·n) under the
+    * reference's drifted probability sequence q = i·0.1 — the oracle
+    * replays the identical rank selection, bucket rule (#splits ≤ x) and
+    * joined-frame share normalization. */
+  def psiExactDrift(s: SparkSession, dir: String): DataFrame = {
+    val (base, cur) = evenOdd(s, dir)
+    ModelHealth.psiExact(base, cur, "o_totalprice", 10)
+      .select(col("bucket"), round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("si"), 6).as("si"))
+      .orderBy("bucket")
+  }
+
   def vsiDrift(s: SparkSession, dir: String): DataFrame = {
     val (base, cur) = evenOdd(s, dir)
     ModelHealth.vsiAll(base, cur, Seq("o_orderstatus", "o_orderpriority"))
@@ -95,6 +108,7 @@ object MetricsPack extends QueryPack {
     "auroc_rank" -> (aurocRank(_, _)),
     "f2_best_threshold" -> (f2BestThreshold(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
+    "psi_exact" -> (psiExactDrift(_, _)),
     "vsi_drift" -> (vsiDrift(_, _)),
     "value_drift" -> (valueDrift(_, _)),
     "hotlead_sim" -> (hotleadSim(_, _)),
@@ -171,6 +185,27 @@ object MetricsPack extends QueryPack {
         |SELECT bp.bucket, round(p, 6) AS p, round(q, 6) AS q,
         |  round((p - q) * ln(p / q) * 100, 6) AS si
         |FROM bp JOIN cq USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "psi_exact" ->
+      """WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |n AS (SELECT count(*) AS cnt FROM base),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM base),
+        |tr AS (SELECT DISTINCT greatest(1,
+        |    CAST(ceil(i * CAST(0.1 AS DOUBLE) * cnt) AS BIGINT)) AS r
+        |  FROM generate_series(1, 9) AS t(i), n),
+        |sp AS (SELECT DISTINCT v AS s FROM rk JOIN tr ON rk.rn = tr.r),
+        |bb AS (SELECT (SELECT count(*) FROM sp WHERE s <= base.v) AS bucket,
+        |    count(*) AS nb FROM base GROUP BY 1),
+        |cc AS (SELECT (SELECT count(*) FROM sp WHERE s <= cur.v) AS bucket,
+        |    count(*) AS nc FROM cur GROUP BY 1),
+        |j AS (SELECT bb.bucket, nb, nc FROM bb JOIN cc USING (bucket)),
+        |t2 AS (SELECT sum(nb)::DOUBLE AS tb, sum(nc)::DOUBLE AS tc FROM j)
+        |SELECT bucket, round(nb / tb, 6) AS p, round(nc / tc, 6) AS q,
+        |  round((nb / tb - nc / tc) * ln((nb / tb) / (nc / tc)) * 100, 6) AS si
+        |FROM j, t2 ORDER BY bucket""".stripMargin,
 
     "vsi_drift" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),

@@ -756,8 +756,12 @@ class ReferenceParitySpec extends SparkSpec {
       vsiActual(v) shouldBe g +- 1e-9
     }
 
-    // PSI goes through QuantileDiscretizer — bucket boundaries can drift
-    // across Spark's quantile-sketch versions, so assert within a band.
+    // PSI: the EXACT-quantile path reproduces every golden to 1e-9.
+    // (psiDiscretizer — the spark.ml sketch path — drifts on pages whose
+    // q·n is integral, because Spark 3+ queries the GK sketch with
+    // targetError = ceil(relativeError·count) = 1 where 2.4 used
+    // relativeError·count < 1; psiExact replays the 2.4 rank selection
+    // with exact distributed ranks — see ModelHealth.psiExact's scaladoc.)
     val psiGolden = Seq(66.95550940252959, 67.10232590306191, 19.62664642666293,
       63.436363388871, 39.28869233172903, 31.521426127199383,
       27.40143956824807, 30.376692031815818, 15.91405264957698,
@@ -766,10 +770,17 @@ class ReferenceParitySpec extends SparkSpec {
       val b = psiBase.filter(col("pageNumber") === page).select("score")
       val c = psiNew.filter(col("pageNumber") === page).select("score")
       val psi = graft.metrics.ModelHealth
-        .psiTotal(graft.metrics.ModelHealth.psiDiscretizer(b, c, "score", 10))
+        .psiTotal(graft.metrics.ModelHealth.psiExact(b, c, "score", 10))
         .collect()(0).getDouble(0)
-      info(f"PSI page$page%-2d = $psi%.6f (golden ${psiGolden(page - 1)}%.6f)")
-      psi shouldBe psiGolden(page - 1) +- 8.0
+      info(f"PSI page$page%-2d = $psi%.9f (golden ${psiGolden(page - 1)}%.9f)")
+      psi shouldBe psiGolden(page - 1) +- 1e-9
     }
+    // the sketch path stays the scale-preferred twin — its drift is bounded
+    val sketchPsi = graft.metrics.ModelHealth
+      .psiTotal(graft.metrics.ModelHealth.psiDiscretizer(
+        psiBase.filter(col("pageNumber") === 1).select("score"),
+        psiNew.filter(col("pageNumber") === 1).select("score"), "score", 10))
+      .collect()(0).getDouble(0)
+    sketchPsi shouldBe psiGolden.head +- 8.0
   }
 }

@@ -132,4 +132,63 @@ class ConfigSpec extends AnyFlatSpec with Matchers {
     errs.mkString should include ("strictly increasing")
     errs.mkString should include (">= 2 conditions")
   }
+
+  behavior of "configChecks.json field rules"
+
+  it should "load the rule table from the classpath" in {
+    ConfigValidator.fieldRules should not be empty
+    // every rule path's first segment must be a real GraftConf section
+    val sections = Set("project", "data", "columns", "sampling",
+      "preprocessing", "featureGeneration", "vectorization", "training",
+      "tuning", "postPredictFilter", "corpus", "numPages")
+    ConfigValidator.fieldRules.foreach { r =>
+      sections should contain (r.path.split('.').head)
+    }
+  }
+
+  it should "pass a valid raw config through the field rules" in {
+    ConfigValidator.validateFields(
+      """{"data": {"source": "parquet:///tmp/x.parquet"},
+        | "training": {"algorithm": "svm"}}""".stripMargin) shouldBe empty
+  }
+
+  it should "enforce pattern, datatype, range and canBeEmpty" in {
+    // missing data.source (canBeEmpty=false)
+    ConfigValidator.validateFields("""{"training": {}}""")
+      .mkString should include ("data.source must be set")
+    // bad scheme (pattern)
+    ConfigValidator.validateFields(
+      """{"data": {"source": "ftp://x"}}""")
+      .mkString should include ("does not match")
+    // wrong datatype
+    ConfigValidator.validateFields(
+      """{"data": {"source": "parquet:///x"}, "tuning": {"folds": "three"}}""")
+      .mkString should include ("tuning.folds must be a int")
+    // out of range
+    ConfigValidator.validateFields(
+      """{"data": {"source": "parquet:///x"}, "tuning": {"folds": 1}}""")
+      .mkString should include ("tuning.folds must be in")
+  }
+
+  it should "gate conditional rules on withConditions" in {
+    // hyperband without a grid → the conditioned rule fires
+    ConfigValidator.validateFields(
+      """{"data": {"source": "parquet:///x"},
+        | "tuning": {"method": "hyperband"}}""".stripMargin)
+      .mkString should include ("tuning.grid must be set")
+    // non-hyperband tuning: same absent grid is fine
+    ConfigValidator.validateFields(
+      """{"data": {"source": "parquet:///x"},
+        | "tuning": {"method": "cv", "folds": 3}}""".stripMargin) shouldBe empty
+  }
+
+  it should "compose field rules with the semantic checks in validateAll" in {
+    val errs = ConfigValidator.validateAll(
+      """{"data": {"source": "parquet:///tmp/x.parquet"},
+        | "columns": {"response": "y", "text": ["t"]},
+        | "training": {"algorithm": "svm", "plattScaling": true},
+        | "tuning": {"method": "cv", "folds": 1}}""".stripMargin)
+    errs.mkString should include ("tuning.folds must be in")   // field rule
+    errs.mkString should include ("tokenizer")                 // semantic
+  }
 }

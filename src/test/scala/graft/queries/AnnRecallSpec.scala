@@ -35,8 +35,25 @@ class AnnRecallSpec extends SparkSpec {
       LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
     val ivf = resultSet(LlmData.annIvf(spark, dir))
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    info(f"IVF recall@3 (nprobe=3) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
+    info(f"IVF recall@3 (adaptive k/nprobe) = $recall%.3f " +
+      f"(${(exact intersect ivf).size}/${exact.size})")
     recall should be >= 0.5
+  }
+
+  it should "hold the IVF recall floor at BOTH a small and the adaptive k" in {
+    // the corpus-adaptive k (√N capped) changes cell granularity with
+    // corpus size — the floor must hold across the k range, not at one
+    // tuned constant. Small-k (k=8, nprobe=3: probe 3/8 of cells) and the
+    // adaptive default (k=⌈√500⌉=23, nprobe=5: probe ~1/5 of cells) are
+    // both exercised against the same exact top-k.
+    val exact = resultSet(
+      LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
+    Seq((8, 3), (-1, -1)).foreach { case (k, np) =>
+      val ivf = resultSet(LlmData.annIvf(spark, dir, k = k, nprobe = np))
+      val recall = (exact intersect ivf).size.toDouble / exact.size
+      info(f"IVF recall@3 (k=$k%d, nprobe=$np%d) = $recall%.3f")
+      recall should be >= 0.5
+    }
   }
 
   it should "keep high recall with the Lloyd-trained IVF quantizer" in {
@@ -44,8 +61,26 @@ class AnnRecallSpec extends SparkSpec {
       LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
     val ivf = resultSet(LlmData.annIvfTrained(spark, dir))
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    info(f"trained-IVF recall@3 (nprobe=3) = $recall%.3f (${(exact intersect ivf).size}/${exact.size})")
+    info(f"trained-IVF recall@3 (adaptive k/nprobe) = $recall%.3f " +
+      f"(${(exact intersect ivf).size}/${exact.size})")
     recall should be >= 0.5
+  }
+
+  it should "size the coarse codebook by the √N rule with hard caps" in {
+    // the broadcast bound in rows: k grows as √N but is clamped so the
+    // codebook stays a safe broadcast at ANY corpus size — 65536 cells ×
+    // 64 dims × 8 bytes ≈ 34 MB at the 100 TB end.
+    LlmData.adaptiveCoarseK(0L) shouldBe 8
+    LlmData.adaptiveCoarseK(64L) shouldBe 8
+    LlmData.adaptiveCoarseK(500L) shouldBe 23
+    LlmData.adaptiveCoarseK(1000000L) shouldBe 1000
+    LlmData.adaptiveCoarseK(10L * 1000 * 1000 * 1000) shouldBe 65536
+    LlmData.adaptiveCoarseK(Long.MaxValue) shouldBe 65536
+    // nprobe = ⌈√k⌉ floored at 3: the probed corpus FRACTION np/k falls
+    // from 3/8 at the floor to 256/65536 ≈ 0.4% at the cap
+    LlmData.adaptiveNprobe(8) shouldBe 3
+    LlmData.adaptiveNprobe(23) shouldBe 5
+    LlmData.adaptiveNprobe(65536) shouldBe 256
   }
 
   it should "keep usable recall through the full IVF-PQ pipeline" in {
@@ -55,7 +90,7 @@ class AnnRecallSpec extends SparkSpec {
       LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
     val ivfpq = resultSet(LlmData.annIvfPq(spark, dir))
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
-    info(f"IVF-PQ recall@3 (nprobe=3, shortlist=50) = $recall%.3f " +
+    info(f"IVF-PQ recall@3 (adaptive k/nprobe, shortlist=50) = $recall%.3f " +
       f"(${(exact intersect ivfpq).size}/${exact.size})")
     recall should be >= 0.4
   }

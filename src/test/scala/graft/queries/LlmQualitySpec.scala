@@ -90,7 +90,7 @@ class LlmQualitySpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables.embeddings(spark, dir).select("vec_id")
     def ids(df: org.apache.spark.sql.DataFrame) =
-      LlmData.coarseSeeds(df).collect().map(_.getLong(0)).toSet
+      LlmData.coarseSeeds(df, 8).collect().map(_.getLong(0)).toSet
     val base = ids(e)
     base should have size 8
     ids(e.repartition(7)) shouldBe base

@@ -96,6 +96,18 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "SinglePartition"       // assignment window is per-vector
   }
 
+  it should "bound the IVF codebook broadcast in actual rows, per the √N rule" in {
+    // not a plan-shape vibe: count the seed rows the broadcast carries and
+    // check they equal the adaptive k for this corpus — and that the rule's
+    // cap keeps the row bound finite at any N
+    val e = graft.Tables.embeddings(spark, dir).select("vec_id")
+    val n = e.count()
+    val k = LlmData.adaptiveCoarseK(n)
+    LlmData.coarseSeeds(e, k).count() shouldBe k.toLong
+    k should be <= LlmData.MaxCoarseK
+    LlmData.adaptiveCoarseK(Long.MaxValue) should be <= LlmData.MaxCoarseK
+  }
+
   it should "keep the trained-IVF probe ranking row-local and joins keyed" in {
     // probes rank against the literal centroid array (no shuffle, no join);
     // everything wide is an id- or cell-keyed equi-join
