@@ -53,9 +53,13 @@ object ModelHealth {
     val splits = base.stat.approxQuantile(column, probes, relativeError)
     def b(df: DataFrame, out: String) = {
       val c = col(column)
-      val expr = splits.zipWithIndex.foldLeft(lit(splits.length).cast("long")) {
-        case (acc, (s, i)) => when(c <= s, i.toLong).otherwise(acc)
-      }
+      // bucket = index of the FIRST split >= x (checked smallest-first —
+      // a largest-first chain would swallow every lower bucket), values
+      // above the last split land in bucket k−1
+      val expr = splits.zipWithIndex
+        .foldRight(lit(splits.length).cast("long"): org.apache.spark.sql.Column) {
+          case ((s, i), acc) => when(c <= s, i.toLong).otherwise(acc)
+        }
       shares(df, expr, out)
     }
     b(base, "p").join(b(current, "q"), Seq("bucket"))

@@ -72,6 +72,53 @@ class MetricsSpec extends SparkSpec {
     psi should be > 10.0
   }
 
+  it should "spread quantile-PSI base mass near-uniformly across buckets" in {
+    // regression for a largest-split-first when() chain that collapsed
+    // every bucket below the top split into one: on 1..100 with k=10
+    // deciles, each base bucket must carry ~10% of the mass
+    val base = (1 to 100).map(_.toDouble).toDF("x")
+    val cur = (1 to 100).map(_.toDouble).toDF("x")
+    val rows = ModelHealth.psiQuantile(base, cur, "x", 10)
+      .collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Double]("p") shouldBe 0.1 +- 0.02
+      r.getAs[Double]("q") shouldBe 0.1 +- 0.02
+    }
+    val psi = ModelHealth.psiTotal(
+      ModelHealth.psiQuantile(base, cur, "x", 10)).head().getDouble(0)
+    psi shouldBe 0.0 +- 1e-12
+  }
+
+  it should "reproduce the exact-quantile PSI against a driver-side replay" in {
+    // psiExact's distributed rank selection vs an in-memory replay of the
+    // same rule (element at rank ceil(i·(1/k)·n), bucket = #splits ≤ x,
+    // shares over the joined buckets)
+    val baseVals = (1 to 97).map(i => (i * 37 % 101).toDouble)
+    val curVals = (1 to 151).map(i => (i * 53 % 97).toDouble)
+    val base = baseVals.toDF("x")
+    val cur = curVals.toDF("x")
+    val k = 10
+    val n = baseVals.size
+    val sorted = baseVals.sorted
+    val splits = (1 until k)
+      .map(i => sorted(math.max(0, math.ceil(i * (1.0 / k) * n).toInt - 1)))
+      .distinct.sorted
+    def bucket(x: Double) = splits.count(_ <= x)
+    val bb = baseVals.groupBy(bucket).view.mapValues(_.size).toMap
+    val cc = curVals.groupBy(bucket).view.mapValues(_.size).toMap
+    val common = bb.keySet intersect cc.keySet
+    val tb = common.toSeq.map(bb).sum.toDouble
+    val tc = common.toSeq.map(cc).sum.toDouble
+    val expect = common.toSeq.map { b =>
+      val p = bb(b) / tb; val q = cc(b) / tc
+      (p - q) * math.log(p / q) * 100
+    }.sum
+    val actual = ModelHealth.psiTotal(
+      ModelHealth.psiExact(base, cur, "x", k)).head().getDouble(0)
+    actual shouldBe expect +- 1e-9
+  }
+
   it should "compute VSI with hand values" in {
     val base = Seq("a", "a", "b", "b").toDF("v")
     val cur = Seq("a", "a", "a", "b").toDF("v")
