@@ -170,6 +170,16 @@ object CorpusRunner extends Logging {
           .filter(col("dsir_w") >= step.threshold)
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
+      case "entropy_gate" =>
+        // information-density gate (LlmData.docEntropyOf): drop docs whose
+        // unigram entropy falls below `threshold` bits — the degenerate-
+        // repetition signal (boilerplate, keyword stuffing) that token
+        // counts and length ratios miss. Semi-join on the unique id.
+        val keep = queries.LlmData
+          .docEntropyOf(df.select(col(id), col(text)), id, text)
+          .filter(col("entropy_bits") >= step.threshold)
+          .select(col("doc_id").as(id))
+        df.join(keep, Seq(id), "left_semi")
       case "ppl_gate" =>
         // CCNet-style head/middle/tail gate: rank every doc by perplexity
         // under the corpus-fit unigram LM and keep the lowest `threshold`

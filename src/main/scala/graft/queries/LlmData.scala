@@ -232,16 +232,30 @@ object LlmData extends QueryPack {
     * Output columns are `da`/`db` (the id pair, `da < db`) + `jac`. */
   def minhashPairsOf(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.7): DataFrame = {
+    val sh = shinglesOf(docs, idCol, textCol).cache()
+    minhashPairsFrom(sh, minhashSigsFrom(sh), threshold)
+  }
+
+  /** 12-permutation MinHash signature per doc over a shingle stream —
+    * one digest per shingle → 60-bit int → 12 universal-hash mins.
+    * Shared by the pair pipeline and the estimator calibration so a
+    * caller holding both never hashes the shingle stream twice. */
+  private[queries] def minhashSigsFrom(sh: DataFrame): DataFrame = {
     val seeds = 0 until 12
     val p = 2147483647L // 2^31 − 1
-    val sh = shinglesOf(docs, idCol, textCol).cache()
-    // one digest per shingle → 60-bit int → 12 universal-hash mins
     val withH = sh.withColumn("h1",
       expr("cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % p)
     def mix(k: Int) = (lit(2L * k + 1) * col("h1") + lit((k * 2654435761L) % p)) % p
-    val mh = withH.groupBy("doc_id").agg(
+    withH.groupBy("doc_id").agg(
       min(mix(seeds.head)).as(s"mh${seeds.head}"),
       seeds.tail.map(k => min(mix(k)).as(s"mh$k")): _*)
+  }
+
+  /** LSH banding + pair-driven exact verify over precomputed shingles and
+    * signatures (see [[minhashPairsOf]] for the fused entry point). */
+  private[queries] def minhashPairsFrom(sh: DataFrame, mh: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val seeds = 0 until 12
     // band b gets seeds {b, b+4, b+8}; signature string matches the oracle's
     // string_agg(seed||':'||mh, '|' ORDER BY seed)
     def sig(b: Int) = md5(concat_ws("|",
@@ -1327,6 +1341,126 @@ object LlmData extends QueryPack {
         round(avg("n_chars"), 2).as("avg_chars"))
       .orderBy("lang", "source")
 
+  /** Scalar-quantized (SQ8) ANN — the memory-bandwidth scale path
+    * (FAISS's `ScalarQuantizer` QT_8bit): each dimension of the normalized
+    * vector is affinely coded into 0..255 against the corpus-wide
+    * per-dimension [min, max], the shortlist is ranked on the DEQUANTIZED
+    * approximate cosine, and the exact float vectors re-rank only the
+    * shortlist. At 100 TB the scan reads uint8 codes — 8× fewer bytes than
+    * float64 — while the [min,max] codebook is O(dim) (a 2×64-double
+    * broadcast literal here), and re-ranking touches `shortlist` rows per
+    * query instead of the corpus.
+    *
+    * Determinism across engines: quantization runs on the normalized
+    * vector ROUNDED to 1e-6 (both engines then see identical decimal
+    * inputs, so min/max/codes match bit-for-bit), and the shortlist ranks
+    * on round(approx, 4) with a c_id tie-break. */
+  def annSq8(s: SparkSession, dir: String,
+             topk: Int = 3, shortlist: Int = 12): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .withColumn("vq", expr("transform(vn, x -> round(x, 6))"))
+      .cache() // read by the min/max agg + both sides of the score join
+    // per-dimension [min,max]: one narrow agg to O(dim) rows — the SQ
+    // "codebook", collected and re-broadcast as literals (like an IVF
+    // centroid set, it is O(dim), never O(N))
+    val mm = e.select(posexplode(col("vq")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val coded = e
+      .withColumn("mn", mnA).withColumn("mx", mxA)
+      // code = round(255·(x−mn)/(mx−mn)) ∈ 0..255; constant dims code to 0
+      .withColumn("dq", expr(
+        """transform(transform(vq, (x, i) ->
+          |   CASE WHEN mx[i] = mn[i] THEN 0.0D
+          |        ELSE round(255 * (x - mn[i]) / (mx[i] - mn[i])) END),
+          | (c, i) -> mn[i] + c * (mx[i] - mn[i]) / 255)""".stripMargin))
+      .select("vec_id", "vn", "dq")
+    val q = coded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"), col("dq").as("qd"))
+    val short = q.crossJoin(coded.select(col("vec_id").as("c_id"),
+        col("vn").as("cv"), col("dq").as("cd")))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx", round(vecDot(col("qd"), col("cd")), 4))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("approx"), asc("c_id"))))
+      .filter(col("srnk") <= shortlist)
+    short
+      .withColumn("cos_sim", round(vecDot(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= topk)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** MinHash estimator calibration: for every VERIFIED near-dup pair, the
+    * Jaccard ESTIMATE from the 12-permutation signature (matching-slot
+    * fraction — the unbiased MinHash estimator) next to the exact Jaccard
+    * the verify join computed. The per-pair |error| is the "measure, don't
+    * guess" number behind trusting `dedup_minhash` at scales where the
+    * exact verify is the expensive step: estimator cost is O(perms) per
+    * pair on the already-aggregated signatures (one doc-keyed join), no
+    * shingle re-scan. */
+  def minhashEstErr(s: SparkSession, dir: String): DataFrame = {
+    val seeds = 0 until 12
+    val sh = shingles(s, dir).cache()
+    val mh = minhashSigsFrom(sh).cache() // read by banding + both join sides
+    // the `D` suffix keeps the division DOUBLE (a bare 12.0 parses as
+    // DECIMAL(3,1) in Spark SQL — DuckDB's /12.0 is already double)
+    val est = expr(seeds.map(k => s"CASE WHEN a_mh$k = b_mh$k THEN 1 ELSE 0 END")
+      .mkString("(", " + ", s") / ${seeds.size}.0D"))
+    val a = mh.toDF(mh.columns.map(c => if (c == "doc_id") "da" else s"a_$c").toIndexedSeq: _*)
+    val b = mh.toDF(mh.columns.map(c => if (c == "doc_id") "db" else s"b_$c").toIndexedSeq: _*)
+    minhashPairsFrom(sh, mh, 0.7)
+      .join(a, "da").join(b, "db")
+      .withColumn("jac_est", round(est, 6))
+      .withColumn("abs_err", round(abs(col("jac") - est), 6))
+      .select("da", "db", "jac", "jac_est", "abs_err")
+      .orderBy("da", "db")
+  }
+
+  /** Cross-source contamination: where the VERIFIED near-dup pairs live in
+    * the source matrix — the train/eval leakage check run before mixing
+    * sources into one training corpus (a cluster spanning two sources
+    * means "deduplicate across sources, not just within"). Cost is two
+    * id-keyed joins on the ALREADY-BOUNDED pair graph (orders of magnitude
+    * smaller than the corpus — the same observation that lets
+    * [[dedupClusters]] solve components), then an O(sources²)-row agg. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairs(s, dir)
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-document unigram (Shannon) entropy in bits — the information-
+    * density quality signal: near-zero entropy flags degenerate repetition
+    * (boilerplate, keyword stuffing) that length/stopword ratios miss.
+    * H = log₂ n − (Σ c·log₂ c)/n over per-token counts c; computed from
+    * ln via one token-keyed agg + one doc-keyed agg — two keyed shuffles,
+    * map-side combinable, at any corpus size. */
+  def docEntropy(s: SparkSession, dir: String): DataFrame =
+    docEntropyOf(Tables.documents(s, dir), "doc_id", "text")
+
+  /** The entropy profile over ANY (id, text) frame. */
+  def docEntropyOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .selectExpr(s"$idCol AS doc_id", s"explode(split($textCol, ' ')) AS w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), count(lit(1)).as("n_distinct"),
+        round((log(sum("c")) - sum(col("c") * log("c")) / sum("c")) / log(lit(2.0)), 6)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1368,7 +1502,11 @@ object LlmData extends QueryPack {
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "unigram_ppl" -> unigramPpl,
     "quality_tiers" -> qualityTiers,
-    "corpus_diff" -> corpusDiff)
+    "corpus_diff" -> corpusDiff,
+    "ann_sq8" -> ((s, d) => annSq8(s, d)),
+    "minhash_est_err" -> minhashEstErr,
+    "source_overlap" -> sourceOverlap,
+    "doc_entropy" -> docEntropy)
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1949,5 +2087,89 @@ object LlmData extends QueryPack {
         |   row_number() OVER (ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)),
         |                      doc_id) AS pos
         |  FROM documents)
-        |SELECT doc_id, pos, (pos - 1) % 16 AS shard FROM pos ORDER BY pos""".stripMargin)
+        |SELECT doc_id, pos, (pos - 1) % 16 AS shard FROM pos ORDER BY pos""".stripMargin,
+    "ann_sq8" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+        |  FROM embeddings),
+        | eq AS (SELECT vec_id, vn, list_transform(vn, x -> round(x, 6)) AS vq FROM e),
+        | dims AS (SELECT i, min(vq[i]) AS mn, max(vq[i]) AS mx
+        |   FROM eq, unnest(generate_series(1, len(vq))) AS t(i) GROUP BY i),
+        | mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims),
+        | dq AS (SELECT vec_id, vn,
+        |   list_transform(generate_series(1, len(vq)), i ->
+        |     mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0.0
+        |               ELSE round(255 * (vq[i] - mns[i]) / (mxs[i] - mns[i])) END)
+        |              * (mxs[i] - mns[i]) / 255) AS dq
+        |   FROM eq, mm),
+        | sl AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.vn AS qv, c.vn AS cv,
+        |    round(list_dot_product(q.dq, c.dq), 4) AS approx
+        |   FROM dq q, dq c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |   QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY approx DESC, c.vec_id) <= 12)
+        |SELECT q_id, rnk, c_id, cos_sim FROM (
+        |  SELECT q_id, c_id, round(list_dot_product(qv, cv), 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(list_dot_product(qv, cv), 4) DESC, c_id) AS rnk
+        |  FROM sl)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "minhash_est_err" ->
+      s"""WITH $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT c.da, c.db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
+        |   FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        |    JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |   WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7),
+        | est AS (SELECT p.da, p.db, p.jac,
+        |    sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 12.0 AS e
+        |   FROM p JOIN mh ma ON ma.doc_id = p.da
+        |     JOIN mh mb ON mb.doc_id = p.db AND mb.seed = ma.seed
+        |   GROUP BY p.da, p.db, p.jac)
+        |SELECT da, db, jac, round(e, 6) AS jac_est, round(abs(jac - e), 6) AS abs_err
+        |FROM est ORDER BY da, db""".stripMargin,
+    "source_overlap" ->
+      s"""WITH $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT c.da, c.db
+        |   FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        |    JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |   WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7)
+        |SELECT least(a.source, b.source) AS src_a,
+        |  greatest(a.source, b.source) AS src_b, count(*)::BIGINT AS n_pairs
+        |FROM p JOIN documents a ON p.da = a.doc_id
+        |  JOIN documents b ON p.db = b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*)::BIGINT AS n_distinct,
+        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -161,6 +161,26 @@ class CorpusRunnerSpec extends SparkSpec {
     keptMax should be <= droppedMin
   }
 
+  it should "drop only below-threshold-entropy docs through entropy_gate" in {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .union(Seq((100000L, "spam spam spam spam spam spam spam spam",
+        "en", "src0", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "entropy_gate", threshold = 1.0)))
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    // the planted zero-entropy doc is gone …
+    kept.filter(col("doc_id") === 100000L).count() shouldBe 0
+    // … and exactly the docs at/above 1.0 bits survive
+    val ent = queries.LlmData.docEntropyOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    ent.foreach { case (id, bits) =>
+      keptIds.contains(id) shouldBe (bits >= 1.0)
+    }
+  }
+
   it should "flatten source shares under temp_mix within the budget" in {
     val cc = config.CorpusConf(steps = Seq(
       config.CorpusStepConf(op = "temp_mix", quota = 200, alpha = 0.5)))

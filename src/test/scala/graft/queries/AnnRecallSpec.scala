@@ -137,4 +137,18 @@ class AnnRecallSpec extends SparkSpec {
       f"(${(exact intersect adc).size}/${exact.size})")
     recall should be >= 0.7
   }
+
+  it should "lose almost nothing to 8-bit scalar quantization" in {
+    // SQ8 trades 8× scan bandwidth for a bounded per-dimension error of
+    // (mx−mn)/510 ≈ 0.1% of the value range — the approximate ranking
+    // should agree with the exact one almost everywhere, unlike the
+    // bucketed paths whose loss comes from candidate misses.
+    val exact = resultSet(
+      LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
+    val sq8 = resultSet(LlmData.annSq8(spark, dir))
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    info(f"SQ8 recall@3 (shortlist=12) = $recall%.3f " +
+      f"(${(exact intersect sq8).size}/${exact.size})")
+    recall should be >= 0.9
+  }
 }

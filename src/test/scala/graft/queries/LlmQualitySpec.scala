@@ -234,4 +234,79 @@ class LlmQualitySpec extends SparkSpec {
       r.getString(4) should not include regex("[0-9]")
     }
   }
+
+  behavior of "docEntropy"
+
+  it should "compute the closed-form entropy on degenerate and uniform docs" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a"),            // degenerate: H = 0
+      (2L, "a b c d e f g h"),            // uniform over 8: H = 3 bits
+      (3L, "a a b b c c d d e e f f g g h h"), // uniform over 8 again
+      (4L, "a a a b")                     // H = −(3/4)lg(3/4) − (1/4)lg(1/4)
+    ).toDF("doc_id", "text")
+    val out = LlmData.docEntropyOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getDouble(3) shouldBe 0.0
+    out(2L).getDouble(3) shouldBe 3.0 +- 1e-6
+    out(3L).getDouble(3) shouldBe 3.0 +- 1e-6
+    val h4 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2.0)
+    out(4L).getDouble(3) shouldBe h4 +- 1e-6
+    out(3L).getLong(1) shouldBe 16L  // n_toks
+    out(3L).getLong(2) shouldBe 8L   // n_distinct
+  }
+
+  it should "flag repetition the length-based quality signals miss" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.docEntropy(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val bits = r.getDouble(3)
+      bits should be >= 0.0
+      // H ≤ log2(distinct): equality only for a uniform distribution
+      bits should be <= math.log(r.getLong(2).toDouble) / math.log(2.0) + 1e-6
+    }
+  }
+
+  behavior of "sourceOverlap"
+
+  it should "account for every verified near-dup pair in the source matrix" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.sourceOverlap(spark, dir).collect()
+    rows should not be empty // the planted near-dups cross sources
+    // independent driver-side recount from the verified pair graph
+    val srcs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = LlmData.dedupMinhash(spark, dir)
+      .select("da", "db").collect()
+      .map { r =>
+        val (a, b) = (srcs(r.getLong(0)), srcs(r.getLong(1)))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap shouldBe expected
+    // pair mass is conserved: every verified pair lands in exactly one cell
+    rows.map(_.getLong(2)).sum shouldBe expected.values.sum
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
+
+  behavior of "minhashEstErr"
+
+  it should "keep the 12-permutation estimate near the exact Jaccard on verified pairs" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = LlmData.minhashEstErr(spark, dir).collect()
+    rows should not be empty // the synthetic corpus plants near-dups
+    rows.foreach { r =>
+      val (jac, est, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      jac should be >= 0.7 // only verified pairs are calibrated
+      est should (be >= 0.0 and be <= 1.0)
+      err shouldBe math.abs(jac - est) +- 1e-5
+      // 12 permutations ⇒ σ = √(j(1−j)/12) ≤ 0.145; 3σ guards the tail
+      err should be <= 0.45
+    }
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    info(f"mean |err| over ${rows.length} verified pairs = $mean%.4f")
+    mean should be <= 0.2
+  }
 }

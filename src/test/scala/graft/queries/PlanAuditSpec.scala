@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
   it should "run the vector kernels as native expressions, not UDFs" in {
     // ScalaUDF in the pair loop would mean per-row boxing at 100 TB scale
     Seq(LlmData.annLsh(spark, dir), LlmData.annIvf(spark, dir),
-      LlmData.neardupCosine(spark, dir), LlmData.embedStats(spark, dir))
+      LlmData.neardupCosine(spark, dir), LlmData.embedStats(spark, dir),
+      LlmData.annSq8(spark, dir))
       .foreach { q =>
         val p = q.queryExecution.optimizedPlan.toString
         p should not include "UDF"
