@@ -1461,6 +1461,79 @@ object LlmData extends QueryPack {
           .as("entropy_bits"))
       .orderBy("doc_id")
 
+  /** Corpus Zipf profile: OLS fit of ln(frequency) against ln(rank) over
+    * the whole vocabulary — natural text tracks slope ≈ −1 (Zipf's law);
+    * machine-generated or template-heavy corpora deviate, making the
+    * (slope, R²) pair a cheap whole-corpus health number.
+    *
+    * Scale design: one token-keyed count agg (map-side combinable), an
+    * exact global frequency rank via the two-pass range sort
+    * ([[graft.plans.GlobalRank]] — no single-partition window even with a
+    * 100 B-token vocabulary), then a single algebraic agg of the five OLS
+    * moments. Nothing driver-side beyond O(partitions) offsets. */
+  def vocabZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val ranked = graft.plans.GlobalRank
+      .withRowNumber(freq, Seq(col("f").desc, col("w")), "r")
+    val x = log(col("r").cast("double"))
+    val y = log(col("f").cast("double"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"), sum("f").as("n_tokens"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val cov = m("n") * m("sxy") - m("sx") * m("sy")
+    val varX = m("n") * m("sxx") - m("sx") * m("sx")
+    val varY = m("n") * m("syy") - m("sy") * m("sy")
+    m.select(col("n").as("n_vocab"), col("n_tokens"),
+      round(cov / varX, 4).as("zipf_slope"),
+      round(cov * cov / (varX * varY), 4).as("zipf_r2"))
+  }
+
+  /** Semantic-dedup threshold calibration: pair counts of the
+    * sign-projection candidate set at a ladder of cosine thresholds — the
+    * curve a user reads to pick the [[semDedup]]/[[neardupCosine]] cutoff
+    * instead of guessing it. One pass over the already-bucketed candidates
+    * (same plan shape as `neardup_cosine`) feeding a single conditional
+    * agg — the sweep adds no joins and no extra shuffles. */
+  def neardupSweep(s: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(0.35, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"),
+        vecSig(col("embedding"), 4, 64).as("sig"))
+      .cache()
+    val scored = sigs.selectExpr("sig", "vec_id AS da", "vn AS va")
+      .join(sigs.selectExpr("sig", "vec_id AS db", "vn AS vb"), "sig")
+      .filter(col("da") < col("db"))
+      .select(round(vecDot(col("va"), col("vb")), 4).as("cos_sim"))
+    val aggs = ts.map(t => sum(when(col("cos_sim") >= t, 1L).otherwise(0L))
+      .as(s"n_${(t * 100).toInt}"))
+    val counts = scored.agg(aggs.head, aggs.tail: _*)
+    counts.selectExpr(s"stack(${ts.size}, " +
+        ts.map(t => s"${t}D, n_${(t * 100).toInt}").mkString(", ") +
+        ") AS (threshold, n_pairs)")
+      .orderBy("threshold")
+  }
+
+  /** Packing-efficiency report over the [[docPack]] token-budget bins:
+    * how full the bins actually are (mean/min/max fill fraction and the
+    * share ≥ 90% full) — the number that tells a user whether the packing
+    * budget wastes context-window tokens. The ≥90% test is computed in
+    * integers (10·fill ≥ 9·budget) so it is exact in any engine. */
+  def packStats(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    val bins = docPackOf(Tables.documents(s, dir), "doc_id", "text", budget)
+      .groupBy("bin_id").agg(sum("n_tokens").as("fill"))
+    bins.agg(
+      count(lit(1)).as("n_bins"),
+      sum("fill").as("n_tokens"),
+      round(avg(col("fill") / budget.toDouble), 6).as("avg_fill"),
+      round(min(col("fill") / budget.toDouble), 6).as("min_fill"),
+      round(max(col("fill") / budget.toDouble), 6).as("max_fill"),
+      sum(when(col("fill") * 10 >= lit(9L * budget), 1L).otherwise(0L))
+        .as("n_full90"))
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1506,7 +1579,10 @@ object LlmData extends QueryPack {
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
     "minhash_est_err" -> minhashEstErr,
     "source_overlap" -> sourceOverlap,
-    "doc_entropy" -> docEntropy)
+    "doc_entropy" -> docEntropy,
+    "vocab_zipf" -> vocabZipf,
+    "neardup_sweep" -> neardupSweep,
+    "pack_stats" -> ((s, d) => packStats(s, d)))
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -2171,5 +2247,50 @@ object LlmData extends QueryPack {
         | c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w)
         |SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*)::BIGINT AS n_distinct,
         |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "vocab_zipf" ->
+      """WITH f AS (SELECT w, count(*)::BIGINT AS f
+        |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |   GROUP BY w),
+        | r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f),
+        | s AS (SELECT count(*)::BIGINT AS n, sum(f)::BIGINT AS n_tokens,
+        |   sum(ln(r)) AS sx, sum(ln(f)) AS sy, sum(ln(r) * ln(f)) AS sxy,
+        |   sum(ln(r) * ln(r)) AS sxx, sum(ln(f) * ln(f)) AS syy FROM r)
+        |SELECT n AS n_vocab, n_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS zipf_r2
+        |FROM s""".stripMargin,
+    "neardup_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
+        |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END) AS wv
+        |   FROM generate_series(0, 3) AS t(j)),
+        | sigv AS (SELECT vec_id,
+        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
+        |   FROM e, w GROUP BY vec_id),
+        | sigs AS (SELECT e.vec_id,
+        |     list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS vn,
+        |     sigv.sig
+        |   FROM e JOIN sigv USING (vec_id)),
+        | pairs AS (SELECT round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+        |   FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT threshold, sum(CASE WHEN cos_sim >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+        |FROM pairs, (SELECT unnest([0.35, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold) t
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
+    "pack_stats" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |   FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |   sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        | b AS (SELECT ((cum - n_tokens) // 256 + 1)::BIGINT AS bin_id,
+        |   sum(n_tokens)::BIGINT AS fill FROM c GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_bins, sum(fill)::BIGINT AS n_tokens,
+        |  round(avg(fill / 256.0), 6) AS avg_fill,
+        |  round(min(fill / 256.0), 6) AS min_fill,
+        |  round(max(fill / 256.0), 6) AS max_fill,
+        |  sum(CASE WHEN fill * 10 >= 2304 THEN 1 ELSE 0 END)::BIGINT AS n_full90
+        |FROM b""".stripMargin)
 }

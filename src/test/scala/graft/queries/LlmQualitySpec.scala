@@ -309,4 +309,51 @@ class LlmQualitySpec extends SparkSpec {
     info(f"mean |err| over ${rows.length} verified pairs = $mean%.4f")
     mean should be <= 0.2
   }
+
+  behavior of "vocabZipf"
+
+  it should "fit a negative-slope rank-frequency line with a sane R²" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val r = LlmData.vocabZipf(spark, dir).collect().head
+    val (nVocab, nTokens) = (r.getLong(0), r.getLong(1))
+    nVocab should be > 0L
+    nTokens should be >= nVocab // every distinct word occurs ≥ once
+    val (slope, r2) = (r.getDouble(2), r.getDouble(3))
+    slope should be < 0.0 // frequency falls with rank, by construction
+    r2 should (be > 0.0 and be <= 1.0)
+    info(f"Zipf fit: slope=$slope%.4f R²=$r2%.4f over $nVocab words")
+  }
+
+  behavior of "neardupSweep"
+
+  it should "produce a monotone non-increasing threshold ladder" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val rows = LlmData.neardupSweep(spark, dir).collect()
+    rows.length shouldBe 6
+    // counts at a higher threshold can never exceed a lower one
+    rows.sortBy(_.getDouble(0)).map(_.getLong(1)).sliding(2).foreach {
+      case Array(lo, hi) => lo should be >= hi
+      case _             =>
+    }
+    // the lowest rung equals the neardup_cosine pair count (same 0.35 gate)
+    rows.minBy(_.getDouble(0)).getLong(1) shouldBe
+      LlmData.neardupCosine(spark, dir).count()
+  }
+
+  behavior of "packStats"
+
+  it should "conserve token mass and bound the fill fractions" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val r = LlmData.packStats(spark, dir).collect().head
+    val (nBins, nTokens) = (r.getLong(0), r.getLong(1))
+    nBins should be > 0L
+    // mass conservation: bins hold exactly the corpus token count
+    nTokens shouldBe graft.Tables.documents(spark, dir)
+      .selectExpr("size(split(text, ' ')) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    val (avgF, minF, maxF) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    minF should be <= avgF
+    avgF should be <= maxF
+    r.getLong(5) should be <= nBins // n_full90
+  }
 }
