@@ -8,6 +8,7 @@ import graft.queries.LlmData
   * pipeline a user would run at 100 TB, on the testdata `documents`
   * table: config parse + validate → read → exact dedup → MinHash-LSH
   * near-dup dedup → corpus-wide duplicated-span gate → quality gate →
+  * unigram-entropy gate → CCNet perplexity gate →
   * language filter → DSIR importance gate → deterministic source-mix
   * downsampling → cleaned-corpus savepoint, then the deterministic
   * training-order shuffle + token-budget packing over the survivors.
@@ -29,6 +30,7 @@ object CorpusQuickStart {
         |    {"op": "dedup_minhash", "threshold": 0.7},
         |    {"op": "span_dedup", "window": 8, "threshold": 0.5},
         |    {"op": "quality_gate", "minTokens": 10, "maxTokens": 5000},
+        |    {"op": "entropy_gate", "threshold": 1.0},
         |    {"op": "ppl_gate", "threshold": 0.9},
         |    {"op": "lang_filter", "keepLangs": ["en", "de", "fr", "es"]},
         |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},

@@ -410,7 +410,8 @@ object LlmData extends QueryPack {
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
     val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("vn").as("qv"))
     val c = e.select(col("vec_id").as("c_id"), col("vn").as("cv"))
-    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+    // broadcast the bounded query set, stream the corpus (see annSq8 note)
+    val scored = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
     scored
@@ -1380,7 +1381,10 @@ object LlmData extends QueryPack {
       .select("vec_id", "vn", "dq")
     val q = coded.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("vn").as("qv"), col("dq").as("qd"))
-    val short = q.crossJoin(coded.select(col("vec_id").as("c_id"),
+    // broadcast the BOUNDED query set explicitly: left to its size
+    // estimates Spark broadcasts the corpus side (both sides read the same
+    // scan, so the stats tie) — correct at test SF, impossible at 100 TB
+    val short = broadcast(q).crossJoin(coded.select(col("vec_id").as("c_id"),
         col("vn").as("cv"), col("dq").as("cd")))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("approx", round(vecDot(col("qd"), col("cd")), 4))

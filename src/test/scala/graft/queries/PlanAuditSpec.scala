@@ -88,6 +88,25 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  it should "broadcast the bounded query side of the brute-force ANN joins" in {
+    // both sides of the q×corpus cross join read the SAME scan, so size
+    // stats tie and Spark may broadcast the corpus side — fine at test SF,
+    // impossible at 100 TB. The explicit hint pins the q (vec_id < 8)
+    // side; this asserts the BroadcastExchange actually carries it.
+    Seq(LlmData.annTopK(spark, dir), LlmData.annSq8(spark, dir)).foreach { df =>
+      val p = plan(df)
+      val bcastBlock = p.split("\\n\\(\\d+\\) ")
+        .filter(b => b.startsWith("BroadcastExchange"))
+      bcastBlock should not be empty
+      // the broadcast input schema is the query side (q_id/qv), never the
+      // corpus side (c_id/cv)
+      bcastBlock.foreach { b =>
+        b should include ("q_id")
+        b should not include "c_id"
+      }
+    }
+  }
+
   it should "keep IVF assignment broadcast and probe join keyed on the cell" in {
     val p = plan(LlmData.annIvf(spark, dir))
     p should include ("BroadcastNestedLoopJoin") // O(k) centroid set × corpus
