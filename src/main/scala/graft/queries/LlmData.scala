@@ -253,16 +253,21 @@ object LlmData extends QueryPack {
 
   /** LSH banding + pair-driven exact verify over precomputed shingles and
     * signatures (see [[minhashPairsOf]] for the fused entry point). */
-  private[queries] def minhashPairsFrom(sh: DataFrame, mh: DataFrame,
-                                        threshold: Double): DataFrame = {
+  /** 4-band LSH index rows (doc_id, band, sig) from the 12-slot signature
+    * frame: band b hashes seeds {b, b+4, b+8}; the signature string matches
+    * the oracle's string_agg(seed||':'||mh, '|' ORDER BY seed). */
+  private[queries] def minhashBandsFrom(mh: DataFrame): DataFrame = {
     val seeds = 0 until 12
-    // band b gets seeds {b, b+4, b+8}; signature string matches the oracle's
-    // string_agg(seed||':'||mh, '|' ORDER BY seed)
     def sig(b: Int) = md5(concat_ws("|",
       seeds.filter(_ % 4 == b).map(k => concat(lit(s"$k:"), col(s"mh$k"))): _*))
-    val bands = mh.select(col("doc_id"), explode(array(
+    mh.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"), sig(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[queries] def minhashPairsFrom(sh: DataFrame, mh: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val bands = minhashBandsFrom(mh)
     val cand = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("db")), Seq("band", "sig"))
       .filter(col("da") < col("db"))
@@ -1538,6 +1543,45 @@ object LlmData extends QueryPack {
         .as("n_full90"))
   }
 
+  /** Incremental NEAR-dup dedup: a new ingest batch (doc_id ≥ `split`,
+    * mirroring [[corpusDiff]]'s version convention) probed against the
+    * EXISTING corpus's LSH band index — the continuous-ingest twin of
+    * [[dedupMinhash]], which [[dedupIncremental]] already provides for
+    * exact hashes. Only new×old band collisions become candidates (the
+    * new batch is not deduped against itself here), and only candidates
+    * pay the exact-Jaccard verify, so per-batch cost scales with the batch
+    * and its collision set — never with corpus². At 100 TB the old-side
+    * band index is a materialized table keyed on (band, sig); the probe is
+    * the same equi-join. Output: every new doc that near-duplicates an
+    * existing doc, with the matched old doc and verified Jaccard. */
+  def dedupMinhashIncr(s: SparkSession, dir: String,
+                       split: Long = 400, threshold: Double = 0.7): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val bands = minhashBandsFrom(minhashSigsFrom(sh)).cache()
+    val cand = bands.filter(col("doc_id") >= split)
+      .select(col("band"), col("sig"), col("doc_id").as("new_id"))
+      .join(bands.filter(col("doc_id") < split)
+        .select(col("band"), col("sig"), col("doc_id").as("old_id")),
+        Seq("band", "sig"))
+      .select("new_id", "old_id").distinct()
+      .cache() // candidate-doc semi-join + pair-driven verify
+    val candDocs = cand
+      .select(explode(array(col("new_id"), col("old_id"))).as("doc_id")).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shC.select(col("doc_id").as("new_id"), col("s")), "new_id")
+      .join(shC.select(col("doc_id").as("old_id"), col("s")), Seq("old_id", "s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
+      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), "old_id")
+      .withColumn("jac", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "jac")
+      .orderBy("new_id", "old_id")
+  }
+
   // ------------------------------------------------------------- contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1586,7 +1630,8 @@ object LlmData extends QueryPack {
     "doc_entropy" -> docEntropy,
     "vocab_zipf" -> vocabZipf,
     "neardup_sweep" -> neardupSweep,
-    "pack_stats" -> ((s, d) => packStats(s, d)))
+    "pack_stats" -> ((s, d) => packStats(s, d)),
+    "dedup_minhash_incr" -> ((s, d) => dedupMinhashIncr(s, d)))
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -2252,6 +2297,29 @@ object LlmData extends QueryPack {
         |SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*)::BIGINT AS n_distinct,
         |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_incr" ->
+      s"""WITH $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id >= 400 AND b.doc_id < 400),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT c.new_id, c.old_id, count(*) AS ni
+        |   FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |    JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
+        |   GROUP BY 1, 2)
+        |SELECT new_id, old_id, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
+        |FROM inter JOIN sizes sa ON new_id = sa.doc_id
+        |  JOIN sizes sb ON old_id = sb.doc_id
+        |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7
+        |ORDER BY new_id, old_id""".stripMargin,
     "vocab_zipf" ->
       """WITH f AS (SELECT w, count(*)::BIGINT AS f
         |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -310,6 +310,22 @@ class LlmQualitySpec extends SparkSpec {
     mean should be <= 0.2
   }
 
+  behavior of "dedupMinhashIncr"
+
+  it should "equal the cross-version slice of the full pair pipeline" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // probing the new batch against the old index must find EXACTLY the
+    // full self-join's pairs that straddle the version split — no extra
+    // collisions, none lost to the one-sided banding
+    val full = LlmData.dedupMinhash(spark, dir).collect()
+      .filter(r => r.getLong(0) < 400 && r.getLong(1) >= 400)
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
+    val incr = LlmData.dedupMinhashIncr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    incr should not be empty // the planted near-dups straddle the split
+    incr shouldBe full
+  }
+
   behavior of "vocabZipf"
 
   it should "fit a negative-slope rank-frequency line with a sane R²" in {
