@@ -265,6 +265,41 @@ object LlmData extends QueryPack {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** ROW-LOCAL MinHash banding: the identical signatures/band hashes as
+    * [[minhashSigsFrom]]+[[minhashBandsFrom]] computed as pure expressions
+    * over a per-doc shingle ARRAY — `array_min(transform(...))` replaces
+    * the explode→groupBy-min aggregation, so there is NO shuffle and NO
+    * aggregation state. That makes it legal in a Structured-Streaming
+    * stateless projection (the streaming near-dup probe,
+    * [[graft.streaming.StreamOps.nearDupProbe]]) and proves the banding is
+    * embarrassingly parallel; the batch pipeline keeps the aggregated form
+    * because its verify step wants the exploded shingle stream anyway.
+    * Output: 4 rows per doc — (doc_id, shingles, band, sig); equality with
+    * the aggregated path is pinned by spec. */
+  def rowLocalBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val seeds = 0 until 12
+    val p = 2147483647L
+    val withSh = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", expr(
+        """array_distinct(CASE WHEN size(__toks) >= 3
+          |  THEN transform(sequence(0, size(__toks) - 3),
+          |    i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))
+          |  ELSE array(concat_ws(' ', __toks)) END)""".stripMargin))
+    val withMh = seeds.foldLeft(withSh)((d, k) =>
+      d.withColumn(s"mh$k", expr(
+        s"""array_min(transform(__sh, s ->
+           |  (${2 * k + 1}L * (cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+           |     % ${p}L) + ${(k * 2654435761L) % p}L) % ${p}L))""".stripMargin)))
+    def sig(b: Int) = md5(concat_ws("|",
+      seeds.filter(_ % 4 == b).map(k => concat(lit(s"$k:"), col(s"mh$k"))): _*))
+    withMh.select(col(idCol).as("doc_id"), col("__sh").as("shingles"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), sig(b).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("shingles"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   private[queries] def minhashPairsFrom(sh: DataFrame, mh: DataFrame,
                                         threshold: Double): DataFrame = {
     val bands = minhashBandsFrom(mh)

@@ -245,4 +245,41 @@ object StreamOps {
     docs.withColumn("text_hash", md5(lower(trim(col(textCol)))))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** The static side of the streaming near-dup probe: the existing
+    * corpus's LSH band index — (band, sig) → old doc id + its distinct
+    * shingle array (kept so the probe can verify exactly without touching
+    * the corpus again; at 100 TB this is the classic index-size-for-probe
+    * -cost trade, and the column is prunable when only collision counts
+    * are wanted). Built once per corpus version, then broadcast/joined
+    * against every micro-batch. */
+  def nearDupIndex(oldDocs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    graft.queries.LlmData.rowLocalBands(oldDocs, idCol, textCol)
+      .select(col("band"), col("sig"),
+        col("doc_id").as("old_id"), col("shingles").as("old_sh"))
+
+  /** Streaming near-dup dedup against an EXISTING corpus — the continuous
+    * twin of [[graft.queries.LlmData.dedupMinhashIncr]]: each micro-batch
+    * doc computes its MinHash band signatures ROW-LOCALLY (array_min over
+    * the shingle array — no aggregation state, see `LlmData.rowLocalBands`),
+    * meets the static index in a stateless stream-static equi-join on
+    * (band, sig), and band collisions are exact-verified row-locally via
+    * `array_intersect` on the shingle arrays. The only stateful op is the
+    * final per-pair dropDuplicates, whose state is the VERIFIED collision
+    * set — orders of magnitude below the stream volume. Emits every new
+    * doc that near-duplicates an old doc, with the verified Jaccard. */
+  def nearDupProbe(newDocs: DataFrame, index: DataFrame, idCol: String,
+                   textCol: String, threshold: Double = 0.7): DataFrame =
+    graft.queries.LlmData.rowLocalBands(newDocs, idCol, textCol)
+      .select(col("doc_id").as("new_id"), col("shingles").as("new_sh"),
+        col("band"), col("sig"))
+      .join(index, Seq("band", "sig")) // stream-static: stateless
+      .withColumn("ni",
+        size(array_intersect(col("new_sh"), col("old_sh"))).cast("long"))
+      .withColumn("jac", round(
+        col("ni") / (size(col("new_sh")) + size(col("old_sh")) - col("ni")), 6))
+      .filter(col("jac") >= threshold)
+      .dropDuplicates("new_id", "old_id") // band-collision dedup
+      .select("new_id", "old_id", "jac")
 }

@@ -326,6 +326,21 @@ class LlmQualitySpec extends SparkSpec {
     incr shouldBe full
   }
 
+  behavior of "rowLocalBands"
+
+  it should "produce bit-identical band signatures to the aggregated path" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, dir)
+    val aggregated = LlmData
+      .minhashBandsFrom(LlmData.minhashSigsFrom(
+        LlmData.shinglesOf(docs, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val rowLocal = LlmData.rowLocalBands(docs, "doc_id", "text")
+      .select("doc_id", "band", "sig")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    rowLocal shouldBe aggregated
+  }
+
   behavior of "vocabZipf"
 
   it should "fit a negative-slope rank-frequency line with a sane R²" in {

@@ -263,4 +263,32 @@ class StreamOpsSpec extends SparkSpec {
       out shouldBe Map(1L -> Some("gold"), 2L -> None)
     } finally q.stop()
   }
+
+  it should "probe a doc stream against the static LSH index like the batch incr twin" in {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val index = StreamOps.nearDupIndex(
+      docs.filter($"doc_id" < 400), "doc_id", "text")
+    val newDocs = docs.filter($"doc_id" >= 400)
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupProbe(
+        in.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_probe")
+      .outputMode("append").start()
+    try {
+      // deliver the new batch across TWO micro-batches — collisions must
+      // not depend on batch boundaries (each doc meets the index alone)
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("neardup_probe")
+        .as[(Long, Long, Double)].collect().sorted
+      val batch = graft.queries.LlmData.dedupMinhashIncr(spark, dir)
+        .as[(Long, Long, Double)].collect().sorted
+      streamed should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
