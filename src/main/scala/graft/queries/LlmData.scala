@@ -432,6 +432,49 @@ object LlmData extends QueryPack {
       .groupBy("doc_id").agg(sum("bit").as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairs — the Charikar/Google-crawl dedup: docs whose
+    * 32-bit SimHash signatures differ in at most `maxHamming` bits. The
+    * 4×8-bit band split makes it a keyed equi-join, not all-pairs: by
+    * pigeonhole, Hamming ≤ 3 over 4 bands forces at least one band to
+    * match exactly, so banding has 100% recall at the ≤3 radius (asserted
+    * against a brute-force sweep by spec) while candidate generation costs
+    * one shuffle on the (band, 8-bit-sig) key. Verify is a row-local
+    * `bit_count(xor)`. */
+  def simhashNeardup(s: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val banded = simhashSig(s, dir)
+      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", "band",
+        "(simhash div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256 AS bsig")
+      .cache() // both sides of the candidate join
+    val cand = banded.selectExpr("band", "bsig", "doc_id AS da", "simhash AS ha")
+      .join(banded.selectExpr("band", "bsig", "doc_id AS db", "simhash AS hb"),
+        Seq("band", "bsig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  /** Contract-facing summary of [[simhashNeardup]]: pair count and
+    * distinct docs involved per Hamming distance. The synthetic corpus's
+    * 31-word vocabulary makes 32-bit SimHash signatures collide heavily
+    * (hundreds of thousands of ≤3 pairs at sf0.1 — a property of the
+    * data, not the operator), so the checked artifact is the compact
+    * distance histogram; the pair-level output is exercised by the
+    * brute-force recall spec instead. */
+  def simhashNeardupProfile(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashNeardup(s, dir).cache()
+    val np = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs
+      .select(col("hamming"), explode(array(col("da"), col("db"))).as("d"))
+      .groupBy("hamming").agg(countDistinct("d").as("n_docs"))
+    np.join(nd, "hamming").orderBy("hamming")
+  }
+
   // ----------------------------------------------------- similarity search
   //
   // The vector kernels (normalize / dot / LSH signature) are native
@@ -1666,7 +1709,8 @@ object LlmData extends QueryPack {
     "vocab_zipf" -> vocabZipf,
     "neardup_sweep" -> neardupSweep,
     "pack_stats" -> ((s, d) => packStats(s, d)),
-    "dedup_minhash_incr" -> ((s, d) => dedupMinhashIncr(s, d)))
+    "dedup_minhash_incr" -> ((s, d) => dedupMinhashIncr(s, d)),
+    "simhash_neardup" -> simhashNeardupProfile)
 
   /** DuckDB replay of the 3-round deterministic k-means ([[embedKmeans]]):
     * CTE chain c0 -> a1 -> c1 -> a2 -> c2 -> a3, ending at the final
@@ -1825,6 +1869,31 @@ object LlmData extends QueryPack {
         |SELECT doc_id,
         | sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "simhash_neardup" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+        | bits AS (SELECT doc_id, b,
+        |   sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS vs
+        |   FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY doc_id, b),
+        | sh2 AS (SELECT doc_id,
+        |   sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+        |   FROM bits GROUP BY doc_id),
+        | banded AS (SELECT doc_id, simhash, b AS band,
+        |   (simhash // (1::BIGINT << (b * 8))) % 256 AS bsig
+        |   FROM sh2, unnest(generate_series(0, 3)) AS u(b)),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |   a.simhash AS ha, b.simhash AS hb
+        |   FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+        |   WHERE a.doc_id < b.doc_id),
+        | p AS (SELECT da, db, bit_count(xor(ha, hb))::INT AS hamming
+        |   FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        | np AS (SELECT hamming, count(*)::BIGINT AS n_pairs FROM p GROUP BY hamming),
+        | nd AS (SELECT hamming, count(DISTINCT d)::BIGINT AS n_docs FROM (
+        |   SELECT hamming, da AS d FROM p UNION ALL SELECT hamming, db FROM p)
+        |   GROUP BY hamming)
+        |SELECT hamming, n_pairs, n_docs FROM np JOIN nd USING (hamming)
+        |ORDER BY hamming""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],

@@ -326,6 +326,24 @@ class LlmQualitySpec extends SparkSpec {
     incr shouldBe full
   }
 
+  behavior of "simhashNeardup"
+
+  it should "find exactly the brute-force Hamming-radius pairs (pigeonhole recall)" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val sigs = LlmData.simhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute force over the collected signatures — ground truth at sf0.001
+    val expected = (for {
+      (da, ha) <- sigs; (db, hb) <- sigs if da < db
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (da, db, h)).sorted
+    val banded = LlmData.simhashNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // ≤3 differing bits over a 4-band split ⇒ one band matches exactly,
+    // so the banded join may not miss a single pair — equality, not recall
+    banded shouldBe expected
+  }
+
   behavior of "rowLocalBands"
 
   it should "produce bit-identical band signatures to the aggregated path" in {
