@@ -170,6 +170,18 @@ object CorpusRunner extends Logging {
           .filter(col("dsir_w") >= step.threshold)
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
+      case "dedup_simhash" =>
+        // SimHash Hamming dedup: banded pair join (pigeonhole-exact at
+        // radius ≤ 3) → connected components → keep the min-id
+        // representative per component, exactly like dedup_minhash
+        val pairs = queries.LlmData
+          .simhashNeardupOf(df.select(col(id), col(text)), id, text,
+            step.maxHamming)
+          .select("da", "db")
+        val labels = queries.LlmData.componentLabels(df.sparkSession, pairs)
+        val dupes = labels.filter(col("lbl") < col("doc_id"))
+          .select(col("doc_id").as(id))
+        df.join(dupes, Seq(id), "left_anti")
       case "entropy_gate" =>
         // information-density gate (LlmData.docEntropyOf): drop docs whose
         // unigram entropy falls below `threshold` bits — the degenerate-

@@ -158,7 +158,8 @@ object ConfigValidator {
     // corpus-cleaning chain
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
-      "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate")
+      "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
+      "dedup_simhash")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -180,6 +181,9 @@ object ConfigValidator {
           case "ppl_gate" if s.threshold <= 0 || s.threshold > 1 =>
             err("corpus", s"step $i: 'ppl_gate' requires threshold in " +
               "(0, 1] (the fraction of lowest-perplexity docs to keep)")
+          case "dedup_simhash" if s.maxHamming < 0 || s.maxHamming > 31 =>
+            err("corpus", s"step $i: 'dedup_simhash' requires maxHamming " +
+              "in [0, 31] (bits of a 32-bit signature)")
           case "entropy_gate" if s.threshold <= 0 =>
             err("corpus", s"step $i: 'entropy_gate' requires threshold > 0 " +
               "(the minimum unigram entropy in bits)")

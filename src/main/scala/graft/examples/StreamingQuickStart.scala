@@ -72,6 +72,27 @@ object StreamingQuickStart {
     println(s"[streaming] docs in=${2 * inRows} (double delivery) " +
       s"deduped=$kept (batch distinct texts=$batchKept)")
 
+    // ---- 1b. streaming NEAR-dup probe against the existing corpus:
+    // row-local MinHash banding (no aggregation state) + stream-static
+    // index join + row-local exact verify — the continuous twin of the
+    // batch dedup_minhash_incr
+    val index = StreamOps.nearDupIndex(
+      batchDocs.filter(col("doc_id") < 400).select("doc_id", "text"),
+      "doc_id", "text")
+    val newStream = spark.readStream.schema(docSchema).parquet(docsIn)
+      .filter(col("doc_id") >= 400).select("doc_id", "text")
+    val probed = StreamOps.nearDupProbe(newStream, index, "doc_id", "text")
+    val q1b = probed
+      .writeStream.format("parquet")
+      .option("path", s"$out/neardup")
+      .option("checkpointLocation", s"$out/neardup.ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1b.awaitTermination(120000)
+    val flagged = spark.read.parquet(s"$out/neardup")
+      .select("new_id").distinct().count()
+    println(s"[streaming] new docs near-duplicating the existing corpus: $flagged")
+
     // ---- 2. streaming event analytics: watermarked window counts
     // read the RAW parquet schema (TIMESTAMP(NANOS) arrives as long nanos
     // under nanosAsLong) and normalize inside the stream, exactly like the

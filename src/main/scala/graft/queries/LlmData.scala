@@ -419,8 +419,13 @@ object LlmData extends QueryPack {
   /** 32-bit SimHash per doc from distinct-token md5s (majority vote per
     * bit). Single aggregation keyed by doc — embarrassingly parallel. */
   def simhashSig(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
+    simhashSigOf(Tables.documents(s, dir), "doc_id", "text")
+
+  /** 32-bit SimHash signature over ANY (id, text) frame. */
+  def simhashSigOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .selectExpr(s"$idCol AS doc_id",
+        s"explode(array_distinct(split($textCol, ' '))) AS t")
       .selectExpr("doc_id",
         "cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h")
       .selectExpr("doc_id", "h", "explode(sequence(0, 31)) AS b")
@@ -441,8 +446,14 @@ object LlmData extends QueryPack {
     * one shuffle on the (band, 8-bit-sig) key. Verify is a row-local
     * `bit_count(xor)`. */
   def simhashNeardup(s: SparkSession, dir: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val banded = simhashSig(s, dir)
+                     maxHamming: Int = 3): DataFrame =
+    simhashNeardupOf(Tables.documents(s, dir), "doc_id", "text", maxHamming)
+
+  /** The banded Hamming pair join over ANY (id, text) frame — what the
+    * `dedup_simhash` corpus step gates on. */
+  def simhashNeardupOf(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int): DataFrame = {
+    val banded = simhashSigOf(docs, idCol, textCol)
       .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
       .selectExpr("doc_id", "simhash", "band",
         "(simhash div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256 AS bsig")

@@ -161,6 +161,20 @@ class CorpusRunnerSpec extends SparkSpec {
     keptMax should be <= droppedMin
   }
 
+  it should "keep one representative per signature group in dedup_simhash" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "dedup_simhash", maxHamming = 0)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+    // at radius 0 the components are exactly the identical-signature
+    // groups (equality is transitive), so keep = min doc_id per signature
+    val sigs = queries.LlmData.simhashSig(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = sigs.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe expect
+    expect.size should be < sigs.length // the tiny vocab plants collisions
+  }
+
   it should "drop only below-threshold-entropy docs through entropy_gate" in {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
