@@ -56,10 +56,44 @@ object MultimodalPack extends QueryPack {
         round(col("avg_duration_ms"), 2).as("avg_duration_ms"))
       .orderBy("kind")
 
+  /** Blob-similarity profile — the multimodal near-dup pipeline with an
+    * ENGINE-EXACT feature map: fv[j] = Σ blob bytes at positions ≡ j
+    * (mod 16), a pure-integer fold (the cross-engine-checkable stand-in
+    * for [[Multimodal.decodeStub]]'s float fold, which MultimodalSpec
+    * verifies instead — float accumulation is not bit-stable across
+    * engines, integer sums are). Pairs meet within their `kind` block and
+    * land in per-percent cosine buckets, so the checked artifact is the
+    * bounded similarity histogram, not an O(pairs) dump. At 100 TB the
+    * within-kind pair join becomes LSH/banding over the same features —
+    * the plan shape of `neardup_cosine`. */
+  def mediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    val feats = mediaFrom(s, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        expr("cast(content AS string)").as("t"))
+      .withColumn("fv", expr(
+        """transform(sequence(0, 15), j ->
+          |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
+          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))""".stripMargin))
+      .withColumn("nrm", expr("sqrt(aggregate(fv, 0L, (a, x) -> a + x * x))"))
+      .select("media_id", "kind", "fv", "nrm")
+      .cache() // both sides of the within-kind pair join
+    val a = feats.selectExpr("kind", "media_id AS da", "fv AS fa", "nrm AS na")
+    val b = feats.selectExpr("kind", "media_id AS db", "fv AS fb", "nrm AS nb")
+    a.join(b, "kind").filter(col("da") < col("db"))
+      .withColumn("cos", expr(
+        "round(aggregate(zip_with(fa, fb, (x, y) -> x * y), 0L, (a, x) -> a + x) / (na * nb), 4)"))
+      .select(col("kind"),
+        floor(col("cos") * 100).cast("int").as("bucket_pct"))
+      .groupBy("kind", "bucket_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("kind", "bucket_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
-    "media_dedup" -> mediaDedup)
+    "media_dedup" -> mediaDedup,
+    "media_neardup" -> mediaNeardup)
 
   /** Blob-level exact dedup: hash-groupBy on the binary content (the same
     * shuffle-on-uniform-hash shape as LlmData.dedupExact) — how a media
@@ -104,5 +138,25 @@ object MultimodalPack extends QueryPack {
         |   md5(text) AS blob_md5 FROM documents)
         |SELECT min(media_id) AS keep_id, kind, count(*)::BIGINT AS n_copies,
         | blob_md5
-        |FROM m GROUP BY blob_md5, kind ORDER BY keep_id""".stripMargin)
+        |FROM m GROUP BY blob_md5, kind ORDER BY keep_id""".stripMargin,
+    "media_neardup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |        ELSE 'video' END AS kind,
+        |   text AS t FROM documents),
+        | f AS (SELECT media_id, kind,
+        |   list_transform(range(0, 16), j ->
+        |     coalesce(list_sum(list_transform(
+        |       list_filter(range(0, length(t)), i -> i % 16 = j),
+        |       i -> ord(substr(t, i + 1, 1)))), 0)) AS fv
+        |   FROM m),
+        | g AS (SELECT media_id, kind, fv,
+        |   sqrt(list_sum(list_transform(fv, x -> x * x))) AS nrm FROM f),
+        | p AS (SELECT a.kind,
+        |   round(list_dot_product(a.fv::DOUBLE[], b.fv::DOUBLE[])
+        |         / (a.nrm * b.nrm), 4) AS cos
+        |   FROM g a JOIN g b ON a.kind = b.kind AND a.media_id < b.media_id)
+        |SELECT kind, cast(floor(cos * 100) AS INT) AS bucket_pct,
+        | count(*)::BIGINT AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
