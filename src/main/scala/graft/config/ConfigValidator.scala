@@ -181,9 +181,9 @@ object ConfigValidator {
           case "ppl_gate" if s.threshold <= 0 || s.threshold > 1 =>
             err("corpus", s"step $i: 'ppl_gate' requires threshold in " +
               "(0, 1] (the fraction of lowest-perplexity docs to keep)")
-          case "dedup_simhash" if s.maxHamming < 0 || s.maxHamming > 31 =>
+          case "dedup_simhash" if s.maxHamming < 0 || s.maxHamming > 59 =>
             err("corpus", s"step $i: 'dedup_simhash' requires maxHamming " +
-              "in [0, 31] (bits of a 32-bit signature)")
+              "in [0, 59] (bits of a 60-bit signature)")
           case "entropy_gate" if s.threshold <= 0 =>
             err("corpus", s"step $i: 'entropy_gate' requires threshold > 0 " +
               "(the minimum unigram entropy in bits)")

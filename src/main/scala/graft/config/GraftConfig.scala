@@ -149,7 +149,7 @@ final case class CorpusStepConf(
                                     // dsir_sample: min importance weight;
                                     // ppl_gate: lowest-ppl fraction kept
     window: Int = 8,                // span_dedup: words per span window
-    maxHamming: Int = 3,            // dedup_simhash: Hamming radius (0-31)
+    maxHamming: Int = 3,            // dedup_simhash: Hamming radius (0-59)
     alpha: Double = 0.5,            // temp_mix: flattening temperature (α<1
                                     // upweights rare groups; quota = budget)
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides

@@ -416,19 +416,19 @@ object LlmData extends QueryPack {
     }
   }
 
-  /** 32-bit SimHash per doc from distinct-token md5s (majority vote per
+  /** 60-bit SimHash per doc from distinct-token md5s (15-bit band keys give a 32768-way shuffle key space per band — an 8-bit split would hot-key the band join at corpus scale) (majority vote per
     * bit). Single aggregation keyed by doc — embarrassingly parallel. */
   def simhashSig(s: SparkSession, dir: String): DataFrame =
     simhashSigOf(Tables.documents(s, dir), "doc_id", "text")
 
-  /** 32-bit SimHash signature over ANY (id, text) frame. */
+  /** 60-bit SimHash signature over ANY (id, text) frame. */
   def simhashSigOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .selectExpr(s"$idCol AS doc_id",
         s"explode(array_distinct(split($textCol, ' '))) AS t")
       .selectExpr("doc_id",
-        "cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h")
-      .selectExpr("doc_id", "h", "explode(sequence(0, 31)) AS b")
+        "cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr("doc_id", "h", "explode(sequence(0, 59)) AS b")
       .selectExpr("doc_id", "b",
         "CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END AS v")
       .groupBy("doc_id", "b").agg(sum("v").as("vs"))
@@ -438,8 +438,8 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs — the Charikar/Google-crawl dedup: docs whose
-    * 32-bit SimHash signatures differ in at most `maxHamming` bits. The
-    * 4×8-bit band split makes it a keyed equi-join, not all-pairs: by
+    * 60-bit SimHash signatures differ in at most `maxHamming` bits. The
+    * 4×15-bit band split makes it a keyed equi-join, not all-pairs: by
     * pigeonhole, Hamming ≤ 3 over 4 bands forces at least one band to
     * match exactly, so banding has 100% recall at the ≤3 radius (asserted
     * against a brute-force sweep by spec) while candidate generation costs
@@ -456,7 +456,7 @@ object LlmData extends QueryPack {
     val banded = simhashSigOf(docs, idCol, textCol)
       .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
       .selectExpr("doc_id", "simhash", "band",
-        "(simhash div shiftleft(CAST(1 AS BIGINT), band * 8)) % 256 AS bsig")
+        "(simhash div shiftleft(CAST(1 AS BIGINT), band * 15)) % 32768 AS bsig")
       .cache() // both sides of the candidate join
     val cand = banded.selectExpr("band", "bsig", "doc_id AS da", "simhash AS ha")
       .join(banded.selectExpr("band", "bsig", "doc_id AS db", "simhash AS hb"),
@@ -472,7 +472,7 @@ object LlmData extends QueryPack {
 
   /** Contract-facing summary of [[simhashNeardup]]: pair count and
     * distinct docs involved per Hamming distance. The synthetic corpus's
-    * 31-word vocabulary makes 32-bit SimHash signatures collide heavily
+    * 31-word vocabulary makes SimHash signatures still collide
     * (hundreds of thousands of ≤3 pairs at sf0.1 — a property of the
     * data, not the operator), so the checked artifact is the compact
     * distance histogram; the pair-level output is exercised by the
@@ -1873,25 +1873,25 @@ object LlmData extends QueryPack {
     "simhash_sig" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
         | bits AS (SELECT doc_id, b,
         |   sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS vs
-        |   FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY doc_id, b)
+        |   FROM th, unnest(generate_series(0, 59)) AS u(b) GROUP BY doc_id, b)
         |SELECT doc_id,
         | sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "simhash_neardup" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
-        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+        | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
         | bits AS (SELECT doc_id, b,
         |   sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS vs
-        |   FROM th, unnest(generate_series(0, 31)) AS u(b) GROUP BY doc_id, b),
+        |   FROM th, unnest(generate_series(0, 59)) AS u(b) GROUP BY doc_id, b),
         | sh2 AS (SELECT doc_id,
         |   sum(CASE WHEN vs > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
         |   FROM bits GROUP BY doc_id),
         | banded AS (SELECT doc_id, simhash, b AS band,
-        |   (simhash // (1::BIGINT << (b * 8))) % 256 AS bsig
+        |   (simhash // (1::BIGINT << (b * 15))) % 32768 AS bsig
         |   FROM sh2, unnest(generate_series(0, 3)) AS u(b)),
         | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
         |   a.simhash AS ha, b.simhash AS hb
