@@ -701,6 +701,12 @@ object LlmData extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("x2", vecDot(col("v"), col("v")))
       .cache() // read once per round; narrow (id, vec, norm) rows
+    (e, lloydFit(e, k))
+  }
+
+  /** Deterministic 2-round Lloyd over ANY (vec_id, v, x2) frame — shared
+    * by the full-vector k-means and the per-subspace PQ training. */
+  private def lloydFit(e: DataFrame, k: Int): Seq[(Long, Array[Double])] = {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
     var cents: Seq[(Long, Array[Double])] = coarseSeeds(e, k)
@@ -719,7 +725,7 @@ object LlmData extends QueryPack {
       // empty clusters keep their previous centroid (standard Lloyd choice)
       cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
-    (e, cents)
+    cents
   }
 
   /** Final-round (vec_id, cid, d2) assignment shared by the k-means
@@ -926,6 +932,37 @@ object LlmData extends QueryPack {
         (0 until m).map(j => col(s"best$j.cid").as(s"c$j")) :+
         round((0 until m).map(j => col(s"best$j.d2")).reduce(_ + _), 4)
           .as("err"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** PQ with TRAINED per-subspace codebooks — [[embedPq]]'s raw
+    * first-k-subvector codewords replaced by a deterministic 2-round
+    * Lloyd fit in EACH subspace (the same [[lloydFit]] the trained IVF
+    * uses, over the sliced vectors), which is how production PQ is
+    * actually trained (FAISS `ProductQuantizer::train` = per-subspace
+    * k-means). Codebooks stay O(m·k·sub) driver/literal state; training
+    * is m independent narrow aggregations; encoding is the same row-local
+    * literal-argmin. The spec asserts the trained codebook strictly
+    * reduces mean quantization error vs the raw seeds. */
+  def embedPqTrained(s: SparkSession, dir: String,
+                     m: Int = 4, k: Int = 8): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val subAssigns = (0 until m).map { j =>
+      val ej = base.select(col("vec_id"),
+          slice(col("v"), j * sub + 1, sub).as("v"))
+        .withColumn("x2", vecDot(col("v"), col("v")))
+        .cache() // read once per Lloyd round + final encode
+      assignBest(ej, lloydFit(ej, k))
+        .select(col("vec_id"), col("cid").as(s"c$j"), col("d2").as(s"d$j"))
+    }
+    subAssigns.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id") +:
+        (0 until m).map(j => col(s"c$j")) :+
+        round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 4).as("err"): _*)
       .orderBy("vec_id")
   }
 
@@ -1696,6 +1733,7 @@ object LlmData extends QueryPack {
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
     "embed_pq" -> ((s, d) => embedPq(s, d)),
+    "embed_pq_trained" -> ((s, d) => embedPqTrained(s, d)),
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "merge_upsert" -> mergeUpsert,
@@ -2245,6 +2283,55 @@ object LlmData extends QueryPack {
          | round(a0.d2 + a1.d2 + a2.d2 + a3.d2, 4) AS err
          |FROM e JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
          | JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
+    "embed_pq_trained" -> {
+      // one full Lloyd chain per subspace (c0 -> a1 -> c1 -> a2 -> c2 ->
+      // a3), each over the SLICED vectors — the per-subspace twin of the
+      // embed_kmeans replay, same tie rule / rounding / empty-cluster
+      // coalesce
+      val sub = 16
+      val k = 8
+      def assign(a: String, e: String, c: String) =
+        s"""$a AS (SELECT vec_id, v, cid, d2 FROM (
+           |   SELECT e.vec_id, e.v, c.cid,
+           |     e.x2 + list_dot_product(c.cv, c.cv)
+           |       - 2 * list_dot_product(e.v, c.cv) AS d2
+           |   FROM $e e, $c c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+      def update(u: String, a: String, cPrev: String, cNew: String) =
+        s"""$u AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           |   FROM $a, unnest(generate_series(1, len(v))) AS t(i)
+           |   GROUP BY cid, i),
+           | ${cNew}raw AS (SELECT cid, list(m ORDER BY i) AS cv
+           |   FROM $u GROUP BY cid),
+           | $cNew AS (SELECT $cPrev.cid, coalesce(${cNew}raw.cv, $cPrev.cv) AS cv
+           |   FROM $cPrev LEFT JOIN ${cNew}raw USING (cid))""".stripMargin
+      def chain(j: Int): String = {
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        Seq(
+          s"""e$j AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v,
+             |   list_dot_product(list_slice(v, $lo, $hi),
+             |                    list_slice(v, $lo, $hi)) AS x2
+             |  FROM eb)""".stripMargin,
+          s"""c0_$j AS (SELECT vec_id AS cid,
+             |   list_transform(v, x -> round(x, 6)) AS cv
+             |  FROM (SELECT * FROM e$j ORDER BY $seedOrderSql LIMIT $k))""".stripMargin,
+          assign(s"a1_$j", s"e$j", s"c0_$j"),
+          update(s"u1_$j", s"a1_$j", s"c0_$j", s"c1_$j"),
+          assign(s"a2_$j", s"e$j", s"c1_$j"),
+          update(s"u2_$j", s"a2_$j", s"c1_$j", s"c2_$j"),
+          assign(s"a3_$j", s"e$j", s"c2_$j")).mkString(",\n ")
+      }
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | ${(0 until 4).map(chain).mkString(",\n ")}
+         |SELECT eb.vec_id, a3_0.cid AS c0, a3_1.cid AS c1, a3_2.cid AS c2,
+         | a3_3.cid AS c3,
+         | round(a3_0.d2 + a3_1.d2 + a3_2.d2 + a3_3.d2, 4) AS err
+         |FROM eb JOIN a3_0 USING (vec_id) JOIN a3_1 USING (vec_id)
+         | JOIN a3_2 USING (vec_id) JOIN a3_3 USING (vec_id)
          |ORDER BY vec_id""".stripMargin
     },
     "dup_segments" ->

@@ -138,6 +138,20 @@ class AnnRecallSpec extends SparkSpec {
     recall should be >= 0.7
   }
 
+  it should "reduce mean quantization error with trained PQ codebooks" in {
+    // Lloyd training exists to minimize within-cell squared error — the
+    // trained codebooks must beat the raw first-k-subvector seeds on the
+    // exact objective both queries report per row
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double = {
+      val errs = df.select("err").collect().map(_.getDouble(0))
+      errs.sum / errs.length
+    }
+    val raw = meanErr(LlmData.embedPq(spark, dir))
+    val trained = meanErr(LlmData.embedPqTrained(spark, dir))
+    info(f"mean quantization err: raw=$raw%.4f trained=$trained%.4f")
+    trained should be < raw
+  }
+
   it should "lose almost nothing to 8-bit scalar quantization" in {
     // SQ8 trades 8× scan bandwidth for a bounded per-dimension error of
     // (mx−mn)/510 ≈ 0.1% of the value range — the approximate ranking
