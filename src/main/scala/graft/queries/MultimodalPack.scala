@@ -67,21 +67,34 @@ object MultimodalPack extends QueryPack {
     * within-kind pair join becomes LSH/banding over the same features —
     * the plan shape of `neardup_cosine`. */
   def mediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
     val feats = mediaFrom(s, dir).toDF()
       .select(col("media_id"), col("kind"),
         expr("cast(content AS string)").as("t"))
+      // integer fold computed ONCE per row (interpreted HOFs are fine
+      // here); stored as doubles — every value < 2^53, so the cast is
+      // exact and the O(pairs) hot loop below runs the CODEGEN vec_dot
+      // kernel instead of per-row interpreted lambdas
       .withColumn("fv", expr(
         """transform(sequence(0, 15), j ->
           |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
-          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))""".stripMargin))
-      .withColumn("nrm", expr("sqrt(aggregate(fv, 0L, (a, x) -> a + x * x))"))
+          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))"""
+          .stripMargin).cast("array<double>"))
+      .withColumn("nrm", sqrt(vecDot(col("fv"), col("fv"))))
       .select("media_id", "kind", "fv", "nrm")
       .cache() // both sides of the within-kind pair join
+    // `kind` has ~3 distinct values, but the build side is narrow
+    // feature rows → Spark broadcasts it and the probe streams at full
+    // partition parallelism, so the tiny key space never serializes the
+    // pair work (salting was measured slower — replication cost, no
+    // parallelism gain under a broadcast join). The histogram is
+    // inherently O(pairs) per kind; the 100 TB path is uniform PAIR
+    // sampling, not banding — a similarity histogram needs the whole
+    // distance distribution, not just the near neighbors.
     val a = feats.selectExpr("kind", "media_id AS da", "fv AS fa", "nrm AS na")
     val b = feats.selectExpr("kind", "media_id AS db", "fv AS fb", "nrm AS nb")
-    a.join(b, "kind").filter(col("da") < col("db"))
-      .withColumn("cos", expr(
-        "round(aggregate(zip_with(fa, fb, (x, y) -> x * y), 0L, (a, x) -> a + x) / (na * nb), 4)"))
+    a.join(b, Seq("kind")).filter(col("da") < col("db"))
+      .withColumn("cos", round(vecDot(col("fa"), col("fb")) / (col("na") * col("nb")), 4))
       .select(col("kind"),
         floor(col("cos") * 100).cast("int").as("bucket_pct"))
       .groupBy("kind", "bucket_pct")
