@@ -788,7 +788,22 @@ object LlmData extends QueryPack {
     * quantization error) drop into `cbVecs` unchanged — both quantizer
     * training paths are independently oracle-verified. */
   def annIvfPq(s: SparkSession, dir: String, k: Int = -1, nprobe: Int = -1,
-               shortlistN: Int = 50, topK: Int = 3): DataFrame = {
+               shortlistN: Int = 50, topK: Int = 3): DataFrame =
+    annIvfPqImpl(s, dir, k, nprobe, shortlistN, topK, trainedCb = false)
+
+  /** [[annIvfPq]] with TRAINED per-subspace PQ codebooks — the full
+    * production composition: adaptive IVF cells + Lloyd-fit quantizer
+    * ([[lloydFit]] per subspace over the normalized vectors, exactly as
+    * [[embedPqTrained]] over the raw ones). Same plan shape and state
+    * bounds; only the codeword literals change. */
+  def annIvfPqTrained(s: SparkSession, dir: String, k: Int = -1,
+                      nprobe: Int = -1, shortlistN: Int = 50,
+                      topK: Int = 3): DataFrame =
+    annIvfPqImpl(s, dir, k, nprobe, shortlistN, topK, trainedCb = true)
+
+  private def annIvfPqImpl(s: SparkSession, dir: String, k: Int, nprobe: Int,
+                           shortlistN: Int, topK: Int,
+                           trainedCb: Boolean): DataFrame = {
     val m = 4; val sub = 16; val kcb = 8
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
@@ -805,24 +820,34 @@ object LlmData extends QueryPack {
       .filter(col("rn") <= np)
       .select("vec_id", "cent_id", "rn")
       .cache()
-    // PQ codebook: normalized subvectors of the first kcb vectors —
-    // driver-side literals, like the k-means centroids
-    val cbVecs: Seq[(Long, Array[Double])] = e.filter(col("vec_id") < kcb)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-    def subv(v: Array[Double], j: Int): Array[Double] =
-      v.slice(j * sub, (j + 1) * sub)
+    // PQ codebooks, per subspace: either the normalized subvectors of the
+    // first kcb vectors (compact oracle), or the 2-round-Lloyd-trained
+    // codewords (production training) — both O(m·kcb·sub) driver literals
+    val cbSub: Seq[Seq[(Long, Array[Double])]] =
+      if (trainedCb) (0 until m).map { j =>
+        val ej = e.select(col("vec_id"),
+            slice(col("vn"), j * sub + 1, sub).as("v"))
+          .withColumn("x2", vecDot(col("v"), col("v")))
+          .cache()
+        lloydFit(ej, kcb)
+      }
+      else {
+        val cbVecs = e.filter(col("vec_id") < kcb)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+        (0 until m).map(j => cbVecs.map { case (cid, v) =>
+          (cid, v.slice(j * sub, (j + 1) * sub)) })
+      }
     // per-subspace lookup maps: code -> codeword subvector / squared norm
-    val cwMap = (0 until m).map(j => typedlit(cbVecs.map { case (cid, v) =>
-      cid -> subv(v, j).toSeq }.toMap))
-    val c2Map = (0 until m).map(j => typedlit(cbVecs.map { case (cid, v) =>
-      cid -> subv(v, j).foldLeft(0.0)((a, x) => a + x * x) }.toMap))
+    val cwMap = (0 until m).map(j => typedlit(cbSub(j).map { case (cid, cv) =>
+      cid -> cv.toSeq }.toMap))
+    val c2Map = (0 until m).map(j => typedlit(cbSub(j).map { case (cid, cv) =>
+      cid -> cv.foldLeft(0.0)((a, x) => a + x * x) }.toMap))
     // encode every db vector (row-local argmin per subspace, as embedPq)
     val codes = (0 until m).foldLeft(e) { (df, j) =>
-      val cbArr = array(cbVecs.map { case (cid, v) =>
-        val cv = subv(v, j)
+      val cbArr = array(cbSub(j).map { case (cid, cv) =>
         struct(lit(cid).as("cid"),
-          array(cv.map(lit(_)): _*).as("cv"),
+          array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"),
           lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
       }: _*)
       val sv = slice(col("vn"), j * sub + 1, sub)
