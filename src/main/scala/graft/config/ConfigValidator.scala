@@ -183,7 +183,9 @@ object ConfigValidator {
               "(0, 1] (the fraction of lowest-perplexity docs to keep)")
           case "dedup_simhash" if s.maxHamming < 0 || s.maxHamming > 59 =>
             err("corpus", s"step $i: 'dedup_simhash' requires maxHamming " +
-              "in [0, 59] (bits of a 60-bit signature)")
+              "in [0, 59] (bits of a 60-bit signature; the band count is " +
+              "derived as maxHamming + 1 so pigeonhole recall holds at " +
+              "every radius)")
           case "entropy_gate" if s.threshold <= 0 =>
             err("corpus", s"step $i: 'entropy_gate' requires threshold > 0 " +
               "(the minimum unigram entropy in bits)")

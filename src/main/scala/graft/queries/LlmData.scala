@@ -275,8 +275,10 @@ object LlmData extends QueryPack {
     * embarrassingly parallel; the batch pipeline keeps the aggregated form
     * because its verify step wants the exploded shingle stream anyway.
     * Output: 4 rows per doc — (doc_id, shingles, band, sig); equality with
-    * the aggregated path is pinned by spec. */
-  def rowLocalBands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the aggregated path is pinned by spec. `carryCols` (e.g. an event-time
+    * column the streaming probe watermarks on) pass through untouched. */
+  def rowLocalBands(docs: DataFrame, idCol: String, textCol: String,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     val seeds = 0 until 12
     val p = 2147483647L
     val withSh = docs
@@ -293,11 +295,13 @@ object LlmData extends QueryPack {
            |     % ${p}L) + ${(k * 2654435761L) % p}L) % ${p}L))""".stripMargin)))
     def sig(b: Int) = md5(concat_ws("|",
       seeds.filter(_ % 4 == b).map(k => concat(lit(s"$k:"), col(s"mh$k"))): _*))
-    withMh.select(col(idCol).as("doc_id"), col("__sh").as("shingles"),
+    val carried = carryCols.map(col)
+    withMh.select(col(idCol).as("doc_id") +: col("__sh").as("shingles") +:
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), sig(b).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("shingles"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
+          struct(lit(b).as("band"), sig(b).as("sig"))): _*)).as("bs") +:
+        carried: _*)
+      .select(col("doc_id") +: col("shingles") +:
+        col("bs.band").as("band") +: col("bs.sig").as("sig") +: carried: _*)
   }
 
   private[queries] def minhashPairsFrom(sh: DataFrame, mh: DataFrame,
@@ -439,24 +443,33 @@ object LlmData extends QueryPack {
 
   /** SimHash near-dup pairs — the Charikar/Google-crawl dedup: docs whose
     * 60-bit SimHash signatures differ in at most `maxHamming` bits. The
-    * 4×15-bit band split makes it a keyed equi-join, not all-pairs: by
-    * pigeonhole, Hamming ≤ 3 over 4 bands forces at least one band to
-    * match exactly, so banding has 100% recall at the ≤3 radius (asserted
+    * band count is DERIVED from the radius (bands = maxHamming + 1) so the
+    * pigeonhole recall guarantee holds for every configurable radius, not
+    * just the default: Hamming ≤ r over r+1 bands forces at least one band
+    * to match exactly, so banding has 100% recall at radius r (asserted
     * against a brute-force sweep by spec) while candidate generation costs
-    * one shuffle on the (band, 8-bit-sig) key. Verify is a row-local
-    * `bit_count(xor)`. */
+    * one shuffle on the (band, band-sig) key. At the default r=3 this is
+    * the classic 4×15-bit split (32768-way key space per band — wide
+    * enough not to hot-key the shuffle); higher radii narrow the bands and
+    * coarsen the key space, the inherent LSH recall/cost trade. Verify is
+    * a row-local `bit_count(xor)`. */
   def simhashNeardup(s: SparkSession, dir: String,
                      maxHamming: Int = 3): DataFrame =
     simhashNeardupOf(Tables.documents(s, dir), "doc_id", "text", maxHamming)
 
   /** The banded Hamming pair join over ANY (id, text) frame — what the
-    * `dedup_simhash` corpus step gates on. */
+    * `dedup_simhash` corpus step gates on. Bands = maxHamming + 1 (clamped
+    * to [1, 60]); band i covers bits [i*60/nb, (i+1)*60/nb) of the 60-bit
+    * signature, so uneven widths are spread evenly when 60 % nb != 0. */
   def simhashNeardupOf(docs: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int): DataFrame = {
+    val nb = math.min(60, math.max(1, maxHamming + 1))
     val banded = simhashSigOf(docs, idCol, textCol)
-      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", s"explode(sequence(0, ${nb - 1})) AS band")
       .selectExpr("doc_id", "simhash", "band",
-        "(simhash div shiftleft(CAST(1 AS BIGINT), band * 15)) % 32768 AS bsig")
+        s"(simhash div shiftleft(CAST(1 AS BIGINT), CAST(band * 60 / $nb AS INT))) " +
+          s"% shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST((band + 1) * 60 / $nb AS INT) - CAST(band * 60 / $nb AS INT)) AS bsig")
       .cache() // both sides of the candidate join
     val cand = banded.selectExpr("band", "bsig", "doc_id AS da", "simhash AS ha")
       .join(banded.selectExpr("band", "bsig", "doc_id AS db", "simhash AS hb"),

@@ -266,20 +266,42 @@ object StreamOps {
     * meets the static index in a stateless stream-static equi-join on
     * (band, sig), and band collisions are exact-verified row-locally via
     * `array_intersect` on the shingle arrays. The only stateful op is the
-    * final per-pair dropDuplicates, whose state is the VERIFIED collision
-    * set — orders of magnitude below the stream volume. Emits every new
-    * doc that near-duplicates an old doc, with the verified Jaccard. */
+    * final per-pair dedup, whose state is the VERIFIED collision set —
+    * orders of magnitude below the stream volume. Emits every new doc
+    * that near-duplicates an old doc, with the verified Jaccard.
+    *
+    * State lifecycle: with `eventTimeCol` set (the continuous-ingest
+    * path) the pair-dedup state is bounded — the event-time column is
+    * watermarked by `watermarkDelay` and deduped with
+    * `dropDuplicatesWithinWatermark`, so pair state older than the
+    * watermark is evicted instead of accumulating for the life of the
+    * stream. Without it the plain `dropDuplicates` state grows with the
+    * distinct verified-pair count — safe ONLY for bounded replays
+    * (`Trigger.AvailableNow` / memory-stream tests), not for an unbounded
+    * continuous stream. */
   def nearDupProbe(newDocs: DataFrame, index: DataFrame, idCol: String,
-                   textCol: String, threshold: Double = 0.7): DataFrame =
-    graft.queries.LlmData.rowLocalBands(newDocs, idCol, textCol)
-      .select(col("doc_id").as("new_id"), col("shingles").as("new_sh"),
-        col("band"), col("sig"))
+                   textCol: String, threshold: Double = 0.7,
+                   eventTimeCol: Option[String] = None,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val banded = graft.queries.LlmData
+      .rowLocalBands(newDocs, idCol, textCol, eventTimeCol.toSeq)
+    val timed = eventTimeCol match {
+      case Some(tc) => banded.withWatermark(tc, watermarkDelay)
+      case None     => banded
+    }
+    val verified = timed
+      .withColumnRenamed("doc_id", "new_id")
+      .withColumnRenamed("shingles", "new_sh")
       .join(index, Seq("band", "sig")) // stream-static: stateless
       .withColumn("ni",
         size(array_intersect(col("new_sh"), col("old_sh"))).cast("long"))
       .withColumn("jac", round(
         col("ni") / (size(col("new_sh")) + size(col("old_sh")) - col("ni")), 6))
       .filter(col("jac") >= threshold)
-      .dropDuplicates("new_id", "old_id") // band-collision dedup
-      .select("new_id", "old_id", "jac")
+    val deduped = eventTimeCol match {
+      case Some(_) => verified.dropDuplicatesWithinWatermark("new_id", "old_id")
+      case None    => verified.dropDuplicates("new_id", "old_id")
+    }
+    deduped.select("new_id", "old_id", "jac")
+  }
 }

@@ -332,16 +332,19 @@ class LlmQualitySpec extends SparkSpec {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val sigs = LlmData.simhashSig(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-    // brute force over the collected signatures — ground truth at sf0.001
-    val expected = (for {
-      (da, ha) <- sigs; (db, hb) <- sigs if da < db
-      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
-    } yield (da, db, h)).sorted
-    val banded = LlmData.simhashNeardup(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
-    // ≤3 differing bits over a 4-band split ⇒ one band matches exactly,
-    // so the banded join may not miss a single pair — equality, not recall
-    banded shouldBe expected
+    // ≤r differing bits over r+1 bands ⇒ one band matches exactly, so the
+    // banded join may not miss a single pair — equality, not recall. Sweep
+    // radii: 3 (the classic 4×15-bit split), 5 (6 uneven 10-bit bands),
+    // and 0 (degenerate single-band exact-signature join).
+    for (radius <- Seq(0, 3, 5)) {
+      val expected = (for {
+        (da, ha) <- sigs; (db, hb) <- sigs if da < db
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= radius
+      } yield (da, db, h)).sorted
+      val banded = LlmData.simhashNeardup(spark, dir, radius).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      withClue(s"radius $radius: ") { banded shouldBe expected }
+    }
   }
 
   behavior of "rowLocalBands"

@@ -291,4 +291,35 @@ class StreamOpsSpec extends SparkSpec {
       streamed shouldBe batch
     } finally q.stop()
   }
+
+  it should "bound the probe's pair-dedup state with a watermark when given an event time" in {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val index = StreamOps.nearDupIndex(
+      docs.filter($"doc_id" < 400), "doc_id", "text")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val newDocs = docs.filter($"doc_id" >= 400)
+      .as[(Long, String)].collect().map { case (id, tx) => (id, tx, t0) }
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val probed = StreamOps.nearDupProbe(
+      in.toDF().toDF("doc_id", "text", "ts"), index, "doc_id", "text",
+      eventTimeCol = Some("ts"), watermarkDelay = "10 minutes")
+    // the continuous-ingest path must carry an event-time watermark so
+    // dropDuplicatesWithinWatermark can evict verified-pair state
+    probed.queryExecution.analyzed.toString should include("EventTimeWatermark")
+    val q = probed.writeStream.format("memory").queryName("neardup_probe_wm")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("neardup_probe_wm")
+        .as[(Long, Long, Double)].collect().sorted
+      val batch = graft.queries.LlmData.dedupMinhashIncr(spark, dir)
+        .as[(Long, Long, Double)].collect().sorted
+      streamed should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
