@@ -360,6 +360,61 @@ object LlmData extends QueryPack {
       .orderBy("cluster_id")
   }
 
+  /** Canonical-document selection — "keep the BEST doc per duplicate
+    * cluster", the refinement every production dedup ships instead of
+    * keep-min-id: within each near-dup cluster the longest document wins
+    * (ties → smallest id), the others are dropped. Clusters come from the
+    * same LSH + verify + component machinery as [[dedupClusters]]; the
+    * winner is one row_number window PARTITIONED ON cluster_id (high
+    * cardinality — partition-parallel at any corpus size, never a global
+    * sort). Output per cluster: the kept doc, its length, and how many
+    * copies it displaced. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("da", "db").cache()
+    val labels = componentLabels(s, pairs)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(max(when(col("rn") === 1, col("doc_id"))).as("keep_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** Normalization-aware exact dedup — the Dolma/CCNet "fuzzy-exact"
+    * step: lowercase, strip non-alphanumerics, collapse whitespace, THEN
+    * hash-group. Catches the re-encoded/re-punctuated copies raw exact
+    * dedup misses while keeping its one-uniform-shuffle cost (the group
+    * key is the md5 of the normal form, never the text itself). The
+    * corpus is staged with a deterministic perturbed copy of every doc
+    * (upper-cased, double-spaced, trailing punctuation — replayed
+    * verbatim by the oracle) so the collapse is observable: every group
+    * must land exactly two copies. */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 10000L).as("doc_id"),
+      concat(regexp_replace(upper(col("text")), lit(" "), lit("  ")),
+        lit(" !!")).as("text"))
+    dedupNormalizedOf(docs.union(perturbed), "doc_id", "text")
+  }
+
+  /** The normalize-then-group dedup over ANY (id, text) frame. */
+  def dedupNormalizedOf(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs
+      .withColumn("norm_md5", md5(trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " "))))
+      .groupBy("norm_md5")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies", "norm_md5")
+      .orderBy("keep_id")
+
   /** Connected-component labels `(doc_id, lbl)` over an undirected pair
     * graph (`da`/`db` columns), lbl = min id reachable. Driver union-find
     * while the edge list fits `maxDriverEdges`; distributed min-label
@@ -1754,6 +1809,8 @@ object LlmData extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_normalized" -> dedupNormalized,
+    "dedup_canonical" -> dedupCanonical,
     "neardup_pairs" -> neardupPairs,
     "neardup_capped" -> neardupCapped,
     "dedup_minhash" -> dedupMinhash,
@@ -1881,6 +1938,53 @@ object LlmData extends QueryPack {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "dedup_normalized" ->
+      """WITH all_docs AS (
+        |   SELECT doc_id, text FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 10000 AS doc_id,
+        |     replace(upper(text), ' ', '  ') || ' !!' AS text FROM documents),
+        | n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |     lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |   FROM all_docs)
+        |SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies, norm_md5
+        |FROM n GROUP BY norm_md5 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT c.da, c.db
+        |   FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        |    JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |   WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7),
+        | e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+        | r(d, m) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT r.d, e.b FROM r JOIN e ON r.m = e.a),
+        | lbl AS (SELECT d, min(m) AS cluster_id FROM r GROUP BY d),
+        | j AS (SELECT l.cluster_id, dd.doc_id, dd.n_chars,
+        |     row_number() OVER (PARTITION BY l.cluster_id
+        |       ORDER BY dd.n_chars DESC, dd.doc_id) AS rn
+        |   FROM lbl l JOIN documents dd ON l.d = dd.doc_id)
+        |SELECT cluster_id,
+        | max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+        | max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
+        | (count(*) - 1)::BIGINT AS n_dropped
+        |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "neardup_pairs" ->
       s"""WITH $shinglesSql,
         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -102,11 +102,77 @@ object MultimodalPack extends QueryPack {
       .orderBy("kind", "bucket_pct")
   }
 
+  /** Cross-media duplicate FRAMES — the media lake's segment-level dedup
+    * (shared intros/outros/watermark stills recur across otherwise
+    * distinct assets): sample frames through the real typed operator,
+    * hash the frame bytes, and report every frame fingerprint seen more
+    * than once with its spread. Same shuffle shape as doc-level exact
+    * dedup — one groupBy on the uniform md5 key — but at frame grain, so
+    * the 100 TB cost is O(frames) with no pair join anywhere. The corpus
+    * is staged with a deterministic RE-INGESTED COPY of every 7th asset
+    * (same bytes, new id — the "same video uploaded twice" case) so the
+    * collision set is non-trivial and exactly replayable. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = mediaFrom(s, dir)
+    val copies = base.filter(col("media_id") % 7 === 0)
+      .withColumn("media_id", col("media_id") + 10000L)
+      .as[MediaFile]
+    frameDedupOf(s, base.union(copies))
+  }
+
+  /** The frame-grain dedup over ANY staged media set. */
+  def frameDedupOf(s: SparkSession, media: Dataset[MediaFile]): DataFrame =
+    Multimodal.sampleFrames(media, everyMs = 5000)
+      .select(col("media_id"), md5(col("content")).as("frame_md5"))
+      .groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct("media_id").as("n_media"),
+        min("media_id").as("first_media"))
+      .filter(col("n_frames") > 1)
+      .orderBy("frame_md5")
+
+  /** The SAMPLED similarity histogram — [[mediaNeardup]]'s documented
+    * 100 TB path made concrete: docs are kept by a DETERMINISTIC md5 coin
+    * (replayable in the oracle), pairs form only within the sample, and
+    * the histogram is the unbiased shape estimate at ~1/16 of the pair
+    * cost (¼ of docs → 1/16 of pairs). The exact twin stays the
+    * correctness baseline; this is the plan a 1000-executor run ships —
+    * sampling rate tuned so the surviving pair count, not the corpus
+    * size, bounds the quadratic stage. */
+  def mediaNeardupSampled(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    val feats = mediaFrom(s, dir).toDF()
+      .filter(expr(
+        "conv(substring(md5(cast(media_id AS string)), 1, 8), 16, 10) % 4 = 0"))
+      .select(col("media_id"), col("kind"),
+        expr("cast(content AS string)").as("t"))
+      .withColumn("fv", expr(
+        """transform(sequence(0, 15), j ->
+          |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
+          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))"""
+          .stripMargin).cast("array<double>"))
+      .withColumn("nrm", sqrt(vecDot(col("fv"), col("fv"))))
+      .select("media_id", "kind", "fv", "nrm")
+      .cache()
+    val a = feats.selectExpr("kind", "media_id AS da", "fv AS fa", "nrm AS na")
+    val b = feats.selectExpr("kind", "media_id AS db", "fv AS fb", "nrm AS nb")
+    a.join(b, Seq("kind")).filter(col("da") < col("db"))
+      .withColumn("cos", round(vecDot(col("fa"), col("fb")) / (col("na") * col("nb")), 4))
+      .select(col("kind"),
+        floor(col("cos") * 100).cast("int").as("bucket_pct"))
+      .groupBy("kind", "bucket_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("kind", "bucket_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
-    "media_neardup" -> mediaNeardup)
+    "media_neardup" -> mediaNeardup,
+    "media_neardup_sampled" -> mediaNeardupSampled,
+    "frame_dedup" -> frameDedup)
 
   /** Blob-level exact dedup: hash-groupBy on the binary content (the same
     * shuffle-on-uniform-hash shape as LlmData.dedupExact) — how a media
@@ -171,5 +237,46 @@ object MultimodalPack extends QueryPack {
         |   FROM g a JOIN g b ON a.kind = b.kind AND a.media_id < b.media_id)
         |SELECT kind, cast(floor(cos * 100) AS INT) AS bucket_pct,
         | count(*)::BIGINT AS n_pairs
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "media_neardup_sampled" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |        ELSE 'video' END AS kind,
+        |   text AS t FROM documents
+        |   WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+        | f AS (SELECT media_id, kind,
+        |   list_transform(range(0, 16), j ->
+        |     coalesce(list_sum(list_transform(
+        |       list_filter(range(0, length(t)), i -> i % 16 = j),
+        |       i -> ord(substr(t, i + 1, 1)))), 0)) AS fv
+        |   FROM m),
+        | g AS (SELECT media_id, kind, fv,
+        |   sqrt(list_sum(list_transform(fv, x -> x * x))) AS nrm FROM f),
+        | p AS (SELECT a.kind,
+        |   round(list_dot_product(a.fv::DOUBLE[], b.fv::DOUBLE[])
+        |         / (a.nrm * b.nrm), 4) AS cos
+        |   FROM g a JOIN g b ON a.kind = b.kind AND a.media_id < b.media_id)
+        |SELECT kind, cast(floor(cos * 100) AS INT) AS bucket_pct,
+        | count(*)::BIGINT AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "frame_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
+        |   n_chars * 10 AS duration_ms FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id, text, length(text) AS len,
+        |   n_chars * 10 AS duration_ms FROM documents WHERE doc_id % 7 = 0),
+        | p AS (SELECT media_id, text, len,
+        |   greatest(1, duration_ms // 5000) AS n FROM m),
+        | q AS (SELECT media_id, text, len, n,
+        |   greatest(1, len // n) AS chunk FROM p),
+        | f AS (SELECT media_id,
+        |     md5(substring(text, least(i * chunk, len) + 1,
+        |       least(i * chunk + chunk, len) - least(i * chunk, len)))
+        |       AS frame_md5
+        |   FROM q, unnest(generate_series(0, n - 1)) AS u(i))
+        |SELECT frame_md5, count(*)::BIGINT AS n_frames,
+        | count(DISTINCT media_id)::BIGINT AS n_media,
+        | min(media_id) AS first_media
+        |FROM f GROUP BY frame_md5 HAVING count(*) > 1
+        |ORDER BY frame_md5""".stripMargin)
 }
