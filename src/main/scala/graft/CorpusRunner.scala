@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   *  - `temp_mix`        temperature-flattened mixing: keep probability
   *                      min(1, quota·n^(α−1)/Σ n^α) per group
   *                      (source_temp_mix semantics, XLM-R/mC4 α-sampling)
+  *  - `model_gate`      classifier-based quality gate: fit a linear
+  *                      target-vs-rest model on the trusted slice and
+  *                      keep corpus docs that look like it
+  *                      (text.QualityModel — the CCNet/GPT-3 filter)
   *
   * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
   * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
@@ -171,9 +175,9 @@ object CorpusRunner extends Logging {
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
       case "dedup_simhash" =>
-        // SimHash Hamming dedup: banded pair join (pigeonhole-exact at
-        // radius ≤ 3) → connected components → keep the min-id
-        // representative per component, exactly like dedup_minhash
+        // SimHash Hamming dedup: banded pair join (maxHamming+1 bands →
+        // pigeonhole-exact at ANY radius) → connected components → keep
+        // the min-id representative per component, like dedup_minhash
         val pairs = queries.LlmData
           .simhashNeardupOf(df.select(col(id), col(text)), id, text,
             step.maxHamming)
@@ -206,6 +210,14 @@ object CorpusRunner extends Logging {
             math.max(1, math.round(step.threshold * 100).toInt))
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
+      case "model_gate" =>
+        // CCNet/fastText-style CLASSIFIER gate (text.QualityModel): fit a
+        // target-vs-rest linear model on the trusted slice (keepLangs
+        // values of groupColumn), score the whole corpus row-locally
+        // (sparse dot per doc — scan cost, no shuffle), keep look-alikes
+        // with quality_p >= threshold plus the trusted slice itself
+        graft.text.QualityModel.gate(df, text, step.groupColumn,
+          step.keepLangs, step.threshold, id)
       case "source_mix" =>
         // same md5-uniform membership as LlmData.sourceMixSample: a pure
         // function of the id — reproducible, stable under corpus growth

@@ -159,7 +159,7 @@ object ConfigValidator {
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
-      "dedup_simhash")
+      "dedup_simhash", "model_gate")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -189,6 +189,13 @@ object ConfigValidator {
           case "entropy_gate" if s.threshold <= 0 =>
             err("corpus", s"step $i: 'entropy_gate' requires threshold > 0 " +
               "(the minimum unigram entropy in bits)")
+          case "model_gate" if s.keepLangs.isEmpty =>
+            err("corpus", s"step $i: 'model_gate' requires keepLangs[] " +
+              "(the trusted target-domain values of groupColumn the " +
+              "classifier is fit against)")
+          case "model_gate" if s.threshold <= 0 || s.threshold >= 1 =>
+            err("corpus", s"step $i: 'model_gate' requires threshold in " +
+              "(0, 1) (the minimum target-likeness probability)")
           case _ => ()
         }
         s.pairs.zipWithIndex.foreach { case (p, j) =>
