@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *                      column (pii_scrub / word_classes_replacement)
   *  - `span_dedup`      drop docs whose duplicated-span fraction across
   *                      the corpus exceeds the threshold (dup_segments)
+  *  - `span_scrub`      rewrite docs with globally-duplicated w-token
+  *                      blocks removed, keep-first (the C4 line dedup;
+  *                      span_scrub query semantics)
   *  - `dsir_sample`     keep docs whose DSIR importance weight against the
   *                      keepLangs target slice clears the threshold
   *                      (dsir_weights)
@@ -154,6 +157,18 @@ object CorpusRunner extends Logging {
           .setPairs(pairs)
           .transform(df)
           .withColumn(text, col("__red")).drop("__red")
+      case "span_scrub" =>
+        // C4-style duplicated-span REMOVAL (LlmData.spanScrubOf): globally
+        // duplicated w-token blocks keep only their first occurrence and
+        // every doc is rebuilt from its surviving blocks; docs scrubbed to
+        // nothing are dropped. Rewrites text IN PLACE — the row count only
+        // falls for fully-duplicated docs.
+        val reb = queries.LlmData
+          .spanScrubOf(df.select(col(id), col(text)), id, text, step.window)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id").as(id), col("rebuilt"))
+        df.drop(text).join(reb, Seq(id))
+          .withColumnRenamed("rebuilt", text)
       case "span_dedup" =>
         // corpus-wide duplicated-span profile (LlmData.dupSegmentsOf);
         // drop docs whose duplicated-window fraction exceeds the threshold

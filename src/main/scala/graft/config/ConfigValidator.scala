@@ -159,7 +159,7 @@ object ConfigValidator {
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
-      "dedup_simhash", "model_gate")
+      "dedup_simhash", "model_gate", "span_scrub")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -175,6 +175,9 @@ object ConfigValidator {
             err("corpus", s"step $i: 'temp_mix' requires alpha in (0, 1]")
           case "span_dedup" if s.window < 2 =>
             err("corpus", s"step $i: 'span_dedup' requires window >= 2")
+          case "span_scrub" if s.window < 2 =>
+            err("corpus", s"step $i: 'span_scrub' requires window >= 2 " +
+              "(the block size in tokens)")
           case "dsir_sample" if s.keepLangs.isEmpty =>
             err("corpus", s"step $i: 'dsir_sample' requires keepLangs[] " +
               "(the target slice the importance weights are fit against)")

@@ -1365,6 +1365,55 @@ object LlmData extends QueryPack {
         round(col("n_dup").cast("double") / col("n_segs"), 6))
   }
 
+  /** Duplicated-span REMOVAL — the C4 line-dedup made positional (the
+    * corpus has no line breaks): docs are cut into consecutive `w`-token
+    * blocks, every block text that occurs more than once in the WHOLE
+    * corpus keeps only its first occurrence (smallest (doc_id, idx)), and
+    * each document is rebuilt from its surviving blocks in order. Unlike
+    * `span_dedup` (which drops whole docs over a fraction), this rewrites
+    * documents — the actual C4 behavior.
+    *
+    * Scale design: one groupBy on the uniform block-text hash finds the
+    * global first occurrence, one join back marks survivors, and the
+    * rebuild is a doc-keyed collect bounded by the document's own length
+    * — the same two-shuffle shape as exact dedup, never a pair join. */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubOf(Tables.documents(s, dir), "doc_id", "text", 8)
+      .select("doc_id", "n_blocks", "n_kept", "n_tokens_after", "text_md5")
+      .orderBy("doc_id")
+
+  /** The block-grain scrub over ANY (id, text) frame — returns per doc
+    * the block accounting, the rebuilt text, and its md5 (what the
+    * `span_scrub` corpus step rewrites with). */
+  def spanScrubOf(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int): DataFrame = {
+    val blocks = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"explode(sequence(0, cast(ceil(size(toks) / ${w}.0) AS INT) - 1)) AS k",
+        "toks")
+      .selectExpr("doc_id", "k",
+        s"concat_ws(' ', slice(toks, k * $w + 1, $w)) AS block")
+      .cache() // totals + first-occurrence agg + survivor join
+    val first = blocks.groupBy("block")
+      .agg(min(col("doc_id") * 1000000L + col("k")).as("first_key"))
+    val kept = blocks.join(first, "block")
+      .filter(col("doc_id") * 1000000L + col("k") === col("first_key"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      sum(size(split(col("block"), " "))).cast("long").as("n_tokens_after"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("k"), col("block")))),
+        x => x.getField("block"))).as("rebuilt"))
+    val totals = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"),
+        md5(coalesce(col("rebuilt"), lit(""))).as("text_md5"))
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by the log-likelihood ratio of a target unigram LM (here: the `en`
@@ -1844,6 +1893,7 @@ object LlmData extends QueryPack {
     "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)),
     "source_temp_mix" -> ((s, d) => sourceTemperatureMix(s, d)),
     "dup_segments" -> ((s, d) => dupSegments(s, d)),
+    "span_scrub" -> spanScrub,
     "dsir_weights" -> dsirWeights,
     "semdedup" -> ((s, d) => semDedup(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
@@ -2493,6 +2543,28 @@ object LlmData extends QueryPack {
         | round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
         |   AS dup_frac
         |FROM segs s JOIN sdf USING (seg) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT doc_id, k,
+        |     array_to_string(toks[k*8+1 : k*8+8], ' ') AS block
+        |   FROM t, unnest(generate_series(0,
+        |     ceil(len(toks) / 8.0)::INT - 1)) AS u(k)),
+        | f AS (SELECT block, min(doc_id * 1000000 + k) AS first_key
+        |   FROM b GROUP BY block),
+        | kept AS (SELECT b.doc_id, b.k, b.block
+        |   FROM b JOIN f ON b.block = f.block
+        |   WHERE b.doc_id * 1000000 + b.k = f.first_key),
+        | reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |     sum(len(string_split(block, ' ')))::BIGINT AS n_tokens_after,
+        |     string_agg(block, ' ' ORDER BY k) AS rebuilt
+        |   FROM kept GROUP BY doc_id),
+        | tot AS (SELECT doc_id, count(*)::BIGINT AS n_blocks
+        |   FROM b GROUP BY doc_id)
+        |SELECT tot.doc_id AS doc_id, n_blocks, coalesce(n_kept, 0) AS n_kept,
+        | coalesce(n_tokens_after, 0) AS n_tokens_after,
+        | md5(coalesce(rebuilt, '')) AS text_md5
+        |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         |   FROM documents),

@@ -208,6 +208,28 @@ class CorpusRunnerSpec extends SparkSpec {
     kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  it should "rewrite duplicated blocks keep-first through span_scrub" in {
+    import spark.implicits._
+    // doc A owns block X; doc B = X + own tail; doc C = X alone (fully
+    // duplicated → dropped). w=4 blocks align on multiples of 4 tokens.
+    val x = "q w e r"
+    val docs = Seq(
+      (1L, s"$x a b c d", "en", "src0", 10L),
+      (2L, s"$x z y x w", "en", "src0", 10L),
+      (3L, x, "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "span_scrub", window = 4)))
+    val out = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe s"$x a b c d" // first occurrence: untouched
+    out(2L) shouldBe "z y x w"     // duplicate block scrubbed, tail kept
+    out.contains(3L) shouldBe false // scrubbed to nothing → dropped
+    // schema preserved apart from the rewritten text
+    CorpusRunner.applyStep(docs, cc.steps.head, cc)
+      .columns.sorted shouldBe docs.columns.sorted
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
