@@ -44,6 +44,9 @@ import org.apache.spark.sql.functions._
   *                      target-vs-rest model on the trusted slice and
   *                      keep corpus docs that look like it
   *                      (text.QualityModel — the CCNet/GPT-3 filter)
+  *  - `decontam`        drop docs whose shingle overlap with an external
+  *                      eval set (read via evalSource scheme dispatch)
+  *                      exceeds the threshold (decontam_overlap)
   *
   * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
   * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
@@ -157,6 +160,20 @@ object CorpusRunner extends Logging {
           .setPairs(pairs)
           .transform(df)
           .withColumn(text, col("__red")).drop("__red")
+      case "decontam" =>
+        // benchmark decontamination against an EXTERNAL eval set (read
+        // through the same scheme dispatch as the main source): drop docs
+        // whose eval-shingle overlap fraction exceeds the threshold —
+        // the train/eval leakage scrub every published pipeline runs.
+        val eval = SourceReader
+          .readSource(df.sparkSession, step.evalSource)
+          .getOrElse(throw new IllegalArgumentException(
+            s"decontam: unreadable evalSource '${step.evalSource}'"))
+        val over = queries.LlmData
+          .decontamOverlapOf(df.select(col(id), col(text)), eval, id, text)
+          .filter(col("frac") > step.threshold)
+          .select(col("doc_id").as(id))
+        df.join(over, Seq(id), "left_anti")
       case "span_scrub" =>
         // C4-style duplicated-span REMOVAL (LlmData.spanScrubOf): globally
         // duplicated w-token blocks keep only their first occurrence and

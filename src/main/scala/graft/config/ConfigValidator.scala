@@ -159,7 +159,7 @@ object ConfigValidator {
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
-      "dedup_simhash", "model_gate", "span_scrub")
+      "dedup_simhash", "model_gate", "span_scrub", "decontam")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -178,6 +178,12 @@ object ConfigValidator {
           case "span_scrub" if s.window < 2 =>
             err("corpus", s"step $i: 'span_scrub' requires window >= 2 " +
               "(the block size in tokens)")
+          case "decontam" if s.evalSource.isEmpty =>
+            err("corpus", s"step $i: 'decontam' requires evalSource " +
+              "(scheme://path of the eval set to scrub against)")
+          case "decontam" if s.threshold <= 0 || s.threshold > 1 =>
+            err("corpus", s"step $i: 'decontam' requires threshold in " +
+              "(0, 1] (the max tolerated eval-shingle overlap fraction)")
           case "dsir_sample" if s.keepLangs.isEmpty =>
             err("corpus", s"step $i: 'dsir_sample' requires keepLangs[] " +
               "(the target slice the importance weights are fit against)")

@@ -152,6 +152,8 @@ final case class CorpusStepConf(
     maxHamming: Int = 3,            // dedup_simhash: Hamming radius (0-59)
     alpha: Double = 0.5,            // temp_mix: flattening temperature (α<1
                                     // upweights rare groups; quota = budget)
+    evalSource: String = "",        // decontam: scheme://path of the eval
+                                    // set (same text column as the corpus)
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
 
 final case class CorpusConf(

@@ -1217,6 +1217,30 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Decontamination overlap against an EXTERNAL eval frame — what the
+    * `decontam` corpus step gates on: for every corpus doc, the fraction
+    * of its shingles that appear anywhere in the eval set (docs with no
+    * overlap report 0). The eval shingle set is distinct-projected before
+    * the semi-join, so when it is benchmark-sized Spark broadcasts it and
+    * the corpus streams partition-parallel; a corpus-sized eval set
+    * degrades gracefully to a shuffled semi-join on the uniform shingle
+    * key. */
+  def decontamOverlapOf(corpus: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val csh = shinglesOf(corpus.select(col(idCol), col(textCol)),
+      idCol, textCol)
+    val esh = shinglesOf(
+      evalDocs.select(lit(0L).as("__eid"), col(textCol)), "__eid", textCol)
+      .select("s").distinct()
+    val sizes = csh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = csh.join(esh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / col("n_sh"), 6).as("frac"))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
     * Language Models", §A1.1 repetition filters): per-doc duplicate-word
     * fraction, top-word fraction, top-bigram fraction, and a keep flag.

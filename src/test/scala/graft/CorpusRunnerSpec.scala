@@ -208,6 +208,28 @@ class CorpusRunnerSpec extends SparkSpec {
     kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  it should "drop eval-overlapping docs through decontam against an external source" in {
+    import spark.implicits._
+    // eval set = the planted copy of doc 7's text; a clean doc survives
+    val evalPath = "/tmp/graft-decontam-eval"
+    Tables.documents(spark, dir).filter(col("doc_id") === 7L)
+      .select("text").write.mode("overwrite").parquet(evalPath)
+    val cc = graft.config.CorpusConf(steps = Seq(
+      graft.config.CorpusStepConf(op = "decontam",
+        evalSource = s"parquet://$evalPath", threshold = 0.5)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept should not contain 7L // fully contained in the eval set
+    // exactly the docs at/below the overlap threshold survive
+    val frac = queries.LlmData.decontamOverlapOf(
+        docs, spark.read.parquet(evalPath), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { d =>
+      kept.contains(d) shouldBe (frac(d) <= 0.5)
+    }
+  }
+
   it should "rewrite duplicated blocks keep-first through span_scrub" in {
     import spark.implicits._
     // doc A owns block X; doc B = X + own tail; doc C = X alone (fully
