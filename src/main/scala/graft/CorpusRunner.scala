@@ -40,6 +40,9 @@ import org.apache.spark.sql.functions._
   *  - `temp_mix`        temperature-flattened mixing: keep probability
   *                      min(1, quota·n^(α−1)/Σ n^α) per group
   *                      (source_temp_mix semantics, XLM-R/mC4 α-sampling)
+  *  - `token_mix`       temp_mix with the budget measured in TOKENS —
+  *                      what training actually consumes
+  *                      (source_token_mix semantics)
   *  - `model_gate`      classifier-based quality gate: fit a linear
   *                      target-vs-rest model on the trusted slice and
   *                      keep corpus docs that look like it
@@ -274,6 +277,24 @@ object CorpusRunner extends Logging {
           .cast("double") / 4294967296.0
         df.join(broadcast(probs), step.groupColumn)
           .filter(rv < col("__p")).drop("__p")
+      case "token_mix" =>
+        // token-budget temperature mixing (LlmData.sourceTokenMix
+        // semantics): quota is a TOKEN budget; each group's α-flattened
+        // token share becomes a per-doc keep probability
+        // min(1, quota·T^(α−1)/Σ T^α)
+        val withTok = df.withColumn("__ntok",
+          size(split(col(text), " ")).cast("long"))
+        val counts = withTok.groupBy(step.groupColumn)
+          .agg(sum("__ntok").as("__t"))
+        val tot = counts.agg(sum(pow(col("__t"), step.alpha)).as("__tot"))
+        val probs = counts.crossJoin(broadcast(tot))
+          .withColumn("__p", round(least(lit(1.0),
+            lit(step.quota) * pow(col("__t"), step.alpha - 1) / col("__tot")), 6))
+          .select(col(step.groupColumn), col("__p"))
+        val coin = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0
+        withTok.join(broadcast(probs), step.groupColumn)
+          .filter(coin < col("__p")).drop("__p", "__ntok")
       case other =>
         throw new IllegalArgumentException(s"unknown corpus op '$other'")
     }

@@ -159,7 +159,7 @@ object ConfigValidator {
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
-      "dedup_simhash", "model_gate", "span_scrub", "decontam")
+      "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -173,6 +173,11 @@ object ConfigValidator {
             err("corpus", s"step $i: 'temp_mix' requires quota > 0 (the doc budget)")
           case "temp_mix" if s.alpha <= 0 || s.alpha > 1 =>
             err("corpus", s"step $i: 'temp_mix' requires alpha in (0, 1]")
+          case "token_mix" if s.quota <= 0 =>
+            err("corpus", s"step $i: 'token_mix' requires quota > 0 " +
+              "(the TOKEN budget)")
+          case "token_mix" if s.alpha <= 0 || s.alpha > 1 =>
+            err("corpus", s"step $i: 'token_mix' requires alpha in (0, 1]")
           case "span_dedup" if s.window < 2 =>
             err("corpus", s"step $i: 'span_dedup' requires window >= 2")
           case "span_scrub" if s.window < 2 =>

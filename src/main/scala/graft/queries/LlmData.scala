@@ -1355,6 +1355,34 @@ object LlmData extends QueryPack {
       .orderBy("source")
   }
 
+  /** TOKEN-budget temperature mixing — [[sourceTemperatureMix]] with the
+    * budget and shares measured in TOKENS, which is what training actually
+    * consumes: source s with T_s tokens gets an α-flattened token quota
+    * B·T_s^α/Σ T_t^α, i.e. per-doc keep probability
+    * min(1, B·T_s^(α−1)/Σ T_t^α) (docs within a source share its token
+    * distribution, so thinning docs uniformly thins tokens uniformly).
+    * Same scale shape: one per-source agg (O(|sources|) broadcast), a
+    * row-local deterministic coin, one summary agg. */
+  def sourceTokenMix(s: SparkSession, dir: String, alpha: Double = 0.5,
+                     budgetTokens: Long = 5000): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val counts = docs.groupBy("source").agg(sum("n_tok").as("tok_src"))
+    val tot = counts.agg(sum(pow(col("tok_src"), alpha)).as("tot"))
+    val probs = counts.crossJoin(broadcast(tot))
+      .withColumn("keep_p", round(least(lit(1.0),
+        lit(budgetTokens.toDouble) * pow(col("tok_src"), alpha - 1) / col("tot")), 6))
+      .select("source", "tok_src", "keep_p")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(probs), "source")
+      .filter(u < col("keep_p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("kept_tokens"),
+        max("tok_src").as("tok_src"), max("keep_p").as("keep_p"))
+      .orderBy("source")
+  }
+
   /** Corpus-level duplicated-span profile (C4/CCNet-style line dedup,
     * adapted to span windows since the corpus has no line breaks): every
     * positional `w`-word window is hashed across the WHOLE corpus; a
@@ -1916,6 +1944,7 @@ object LlmData extends QueryPack {
     "topk_per_source" -> topkPerSource,
     "source_mix_sample" -> ((s, d) => sourceMixSample(s, d)),
     "source_temp_mix" -> ((s, d) => sourceTemperatureMix(s, d)),
+    "source_token_mix" -> ((s, d) => sourceTokenMix(s, d)),
     "dup_segments" -> ((s, d) => dupSegments(s, d)),
     "span_scrub" -> spanScrub,
     "dsir_weights" -> dsirWeights,
@@ -2007,6 +2036,21 @@ object LlmData extends QueryPack {
         |       / 4294967296.0 < p.keep_p)
         |SELECT source, count(*) AS n_kept, max(n_src) AS n_src,
         | max(keep_p) AS keep_p
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "source_token_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |     len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        | c AS (SELECT source, sum(n_tok)::BIGINT AS tok_src FROM d GROUP BY source),
+        | t AS (SELECT sum(pow(tok_src, 0.5)) AS tot FROM c),
+        | p AS (SELECT source, tok_src,
+        |     round(least(1.0, 5000.0 * pow(tok_src, -0.5) / tot), 6) AS keep_p
+        |   FROM c, t),
+        | kept AS (SELECT d.source, d.n_tok, p.tok_src, p.keep_p
+        |   FROM d JOIN p USING (source)
+        |   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |       / 4294967296.0 < p.keep_p)
+        |SELECT source, count(*) AS n_kept, sum(n_tok)::BIGINT AS kept_tokens,
+        | max(tok_src) AS tok_src, max(keep_p) AS keep_p
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,

@@ -252,6 +252,25 @@ class CorpusRunnerSpec extends SparkSpec {
       .columns.sorted shouldBe docs.columns.sorted
   }
 
+  it should "thin sources toward the token budget under token_mix" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "token_mix", quota = 5000, alpha = 0.5)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    // the kept TOKEN total lands in the budget's neighborhood (Bernoulli)
+    val keptTokens = kept
+      .selectExpr("sum(size(split(text, ' '))) AS t").collect()(0).getLong(0)
+    val totalTokens = docs
+      .selectExpr("sum(size(split(text, ' '))) AS t").collect()(0).getLong(0)
+    keptTokens should be < totalTokens
+    keptTokens.toDouble should (be > 2500.0 and be < 10000.0)
+    // schema untouched, membership deterministic under repartition
+    kept.columns.sorted shouldBe docs.columns.sorted
+    val again = CorpusRunner.applyStep(docs.repartition(5), cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
   it should "keep source_mix membership independent of partition layout" in {
     // determinism contract: a doc's fate is a pure function of its id and
     // its group's size — no RNG state, so any partitioning/cluster layout
