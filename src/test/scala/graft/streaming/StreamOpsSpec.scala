@@ -292,6 +292,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "score a doc stream with a batch-fitted quality model statelessly" in {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import spark.implicits._
+    // trusted slice speaks a disjoint vocabulary → separable by construction
+    val trusted = (0 until 20)
+      .map(i => (20000L + i, s"alpha beta gamma delta epsilon zeta $i", "trusted"))
+      .toDF("doc_id", "text", "source")
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "source").unionByName(trusted).cache()
+    val model = graft.text.QualityModel
+      .fit(docs, "text", "source", Seq("trusted"))
+    val batch = graft.text.QualityModel.scoreAll(model, docs, "text")
+      .select("doc_id", "quality_p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    // scoring is row-local (Tokenizer→HashingTF→LR transform): legal in a
+    // stateless streaming projection — train once, score the ingest forever
+    val q = graft.text.QualityModel
+      .scoreAll(model, in.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "quality_p")
+      .writeStream.format("memory").queryName("qm_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("qm_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   it should "bound the probe's pair-dedup state with a watermark when given an event time" in {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
