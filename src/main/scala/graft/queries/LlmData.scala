@@ -415,6 +415,38 @@ object LlmData extends QueryPack {
       .select("keep_id", "n_copies", "norm_md5")
       .orderBy("keep_id")
 
+  /** Leakage-safe train/eval split — the contamination guard a training
+    * pipeline needs BEFORE holding out an eval set: the random coin is
+    * thrown per near-dup CLUSTER (connected component of the verified
+    * pair graph; singletons are their own cluster), so two near-duplicate
+    * documents can never land on opposite sides of the split. A naive
+    * per-doc split leaks ~every duplicated eval doc into training — the
+    * cross_pairs column (verified near-dup pairs straddling the split)
+    * is 0 by construction here and is emitted as the checked evidence.
+    * Cost beyond the pair graph: one left join + row-local coin + two
+    * bounded aggs. */
+  def clusterSafeSplit(s: SparkSession, dir: String,
+                       trainFrac: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("da", "db").cache()
+    val labels = componentLabels(s, pairs)
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val lbl = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    val coin = conv(substring(md5(col("lbl").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val sided = lbl
+      .withColumn("side", when(coin < trainFrac, "train").otherwise("eval"))
+      .cache()
+    val sides = sided.groupBy("side").agg(count(lit(1)).as("n_docs"),
+      countDistinct("lbl").as("n_clusters"))
+    val cross = pairs
+      .join(sided.select(col("doc_id").as("da"), col("side").as("sa")), "da")
+      .join(sided.select(col("doc_id").as("db"), col("side").as("sb")), "db")
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("cross_pairs"))
+    sides.crossJoin(broadcast(cross)).orderBy("side")
+  }
+
   /** Connected-component labels `(doc_id, lbl)` over an undirected pair
     * graph (`da`/`db` columns), lbl = min id reachable. Driver union-find
     * while the edge list fits `maxDriverEdges`; distributed min-label
@@ -582,6 +614,37 @@ object LlmData extends QueryPack {
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "c_id", "cos_sim")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Hard-negative mining for embedding-model training (contrastive /
+    * triplet pipelines): for each query vector, the most similar
+    * SAME-label candidate (the positive) and the most similar
+    * DIFFERENT-label candidate (the hard negative) by exact cosine —
+    * the pair selection step a contrastive fine-tune runs over its
+    * training corpus. Same plan as [[annTopK]]: broadcast the bounded
+    * query set, stream the corpus partition-parallel; at 100 TB the
+    * candidate generation swaps to the ANN index ([[annLsh]]/[[annIvf]])
+    * without changing the ranking or the output contract. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), vecNorm(col("embedding")).as("vn"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("ql"), col("vn").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"), col("vn").as("cv"))
+    val scored = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("ql"), col("c_id"), col("cl"),
+        round(vecDot(col("qv"), col("cv")), 4).as("cos_sim"))
+      .cache() // feeds both the positive and the negative ranking
+    def top1(cond: org.apache.spark.sql.Column, pfx: String) = scored
+      .filter(cond)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("c_id").as(s"${pfx}_id"),
+        col("cos_sim").as(s"${pfx}_cos"))
+    top1(col("ql") === col("cl"), "pos")
+      .join(top1(col("ql") =!= col("cl"), "neg"), "q_id")
+      .orderBy("q_id")
   }
 
   /** LSH-bucketed ANN — the SCALE path for similarity search: EIGHT
@@ -1912,6 +1975,8 @@ object LlmData extends QueryPack {
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_canonical" -> dedupCanonical,
+    "cluster_safe_split" -> ((s, d) => clusterSafeSplit(s, d)),
+    "hard_negatives" -> hardNegatives,
     "neardup_pairs" -> neardupPairs,
     "neardup_capped" -> neardupCapped,
     "dedup_minhash" -> dedupMinhash,
@@ -2103,6 +2168,46 @@ object LlmData extends QueryPack {
         | max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
         | (count(*) - 1)::BIGINT AS n_dropped
         |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "cluster_safe_split" ->
+      s"""WITH RECURSIVE $shinglesSql,
+        | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1
+        |   FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(((2 * seed + 1) * h1 + (seed * 2654435761) % 2147483647) % 2147483647) AS mh
+        |   FROM hh, unnest(generate_series(0, 11)) AS u(seed) GROUP BY doc_id, seed),
+        | bands AS (SELECT doc_id, seed % 4 AS band,
+        |   md5(string_agg(seed || ':' || mh, '|' ORDER BY seed)) AS sig
+        |   FROM mh GROUP BY doc_id, seed % 4),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |   WHERE a.doc_id < b.doc_id),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | p AS (SELECT c.da, c.db
+        |   FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+        |    JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+        |   WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.7),
+        | e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+        | r(d, m) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT r.d, e.b FROM r JOIN e ON r.m = e.a),
+        | lab AS (SELECT d, min(m) AS lbl FROM r GROUP BY d),
+        | full_lbl AS (SELECT dd.doc_id, coalesce(lab.lbl, dd.doc_id) AS lbl
+        |   FROM documents dd LEFT JOIN lab ON dd.doc_id = lab.d),
+        | sided AS (SELECT doc_id, lbl,
+        |   CASE WHEN ('0x' || substr(md5(lbl::VARCHAR), 1, 8))::BIGINT
+        |       / 4294967296.0 < 0.8 THEN 'train' ELSE 'eval' END AS side
+        |   FROM full_lbl),
+        | sides AS (SELECT side, count(*)::BIGINT AS n_docs,
+        |   count(DISTINCT lbl)::BIGINT AS n_clusters FROM sided GROUP BY side),
+        | cr AS (SELECT coalesce(sum(CASE WHEN sa.side <> sb.side THEN 1
+        |     ELSE 0 END), 0)::BIGINT AS cross_pairs
+        |   FROM p JOIN sided sa ON p.da = sa.doc_id
+        |     JOIN sided sb ON p.db = sb.doc_id)
+        |SELECT side, n_docs, n_clusters, cross_pairs
+        |FROM sides, cr ORDER BY side""".stripMargin,
     "neardup_pairs" ->
       s"""WITH $shinglesSql,
         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2219,6 +2324,24 @@ object LlmData extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
         |  FROM sc)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+        |  FROM embeddings),
+        | sc AS (SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS c_id,
+        |   c.label AS cl, round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
+        |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | pos AS (SELECT q_id, c_id AS pos_id, cos_sim AS pos_cos FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos_sim DESC, c_id) AS rnk FROM sc WHERE ql = cl)
+        |   WHERE rnk = 1),
+        | neg AS (SELECT q_id, c_id AS neg_id, cos_sim AS neg_cos FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos_sim DESC, c_id) AS rnk FROM sc WHERE ql <> cl)
+        |   WHERE rnk = 1)
+        |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg USING (q_id) ORDER BY q_id""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | w AS (SELECT j, list_transform(generate_series(1, 64), i ->

@@ -7,8 +7,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the CCNet / GPT-3 / LLaMA corpus gate
-  * (ref: the classifier-filter stage the published pipelines run after
-  * the heuristic gates): fit a LINEAR classifier that separates a small
+  * (the classifier-filter stage the published pipelines run after the
+  * heuristic gates): fit a LINEAR classifier that separates a small
   * trusted "target domain" slice from the rest of the corpus, score every
   * document with it, and keep the documents that *look like* the target.
   * Heuristics ([[TextQuality]]) catch degenerate text; the model catches
