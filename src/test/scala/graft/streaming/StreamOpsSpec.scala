@@ -292,6 +292,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "run the row-local corpus gates unchanged on a streaming ingest" in {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import spark.implicits._
+    import graft.config.{CorpusConf, CorpusStepConf}
+    // the row-local subset of the cleaning chain (filters + in-place
+    // rewrites — no join, no agg) is legal on an unbounded stream as-is;
+    // the dedup/mix steps need their streaming twins (nearDupProbe etc.)
+    val steps = Seq(
+      CorpusStepConf(op = "lang_filter", keepLangs = Seq("en", "de")),
+      CorpusStepConf(op = "token_bounds", minTokens = 10, maxTokens = 10000),
+      CorpusStepConf(op = "normalize"),
+      CorpusStepConf(op = "pii_scrub", pairs = Seq(Seq("[0-9]+", "_num"))),
+      CorpusStepConf(op = "quality_gate", minTokens = 10, maxTokens = 10000))
+    val cc = CorpusConf(steps = steps)
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val batch = steps.foldLeft(docs)((d, st) =>
+        graft.CorpusRunner.applyStep(d, st, cc))
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rows = docs.as[(Long, String, String, String, Long)].collect()
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val streamDocs: org.apache.spark.sql.DataFrame =
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cleaned = steps.foldLeft(streamDocs)(
+        (d, st) => graft.CorpusRunner.applyStep(d, st, cc))
+      .select("doc_id", "text")
+    val q = cleaned.writeStream.format("memory").queryName("gates_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("gates_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      streamed should not be empty
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   it should "score a doc stream with a batch-fitted quality model statelessly" in {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
