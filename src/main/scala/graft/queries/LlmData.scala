@@ -1529,6 +1529,61 @@ object LlmData extends QueryPack {
         md5(coalesce(col("rebuilt"), lit(""))).as("text_md5"))
   }
 
+  /** Heaps'-law vocabulary-growth profile: per source, vocabulary size V
+    * vs token count N. Natural text follows V ≈ K·N^β with β ≈ 0.4–0.6;
+    * a template-heavy or machine-generated slice bends the exponent, so
+    * the cross-source OLS of ln V on ln N — (β, ln K, R²) — is the
+    * corpus-health number that catches vocabulary collapse (over-eager
+    * dedup/scrub) or explosion (encoding junk) the way [[vocabZipf]]
+    * catches frequency-shape damage. One token-keyed agg per source
+    * (map-side combinable, uniform keys), then an O(|sources|) moment
+    * fold — nothing driver-side. */
+  def vocabHeaps(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_vocab"))
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("n_vocab").cast("double"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val cov = m("n") * m("sxy") - m("sx") * m("sy")
+    val varX = m("n") * m("sxx") - m("sx") * m("sx")
+    val varY = m("n") * m("syy") - m("sy") * m("sy")
+    val beta = cov / varX
+    m.select(col("n").as("n_sources"),
+      round(beta, 4).as("heaps_beta"),
+      round((m("sy") - beta * m("sx")) / m("n"), 4).as("heaps_lnk"),
+      round(cov * cov / (varX * varY), 4).as("heaps_r2"))
+  }
+
+  /** Per-label embedding outliers — mislabeled / corrupt-vector detection
+    * for embedding-curation pipelines: every vector's L2 distance to its
+    * OWN label's centroid, top-3 farthest per label. Centroids are one
+    * position-keyed agg (O(labels·dim) — a broadcast at any corpus size),
+    * the distance is row-local, and the ranking window partitions on the
+    * label. The flagged vectors are what a curation pass re-labels or
+    * drops before contrastive training. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(x AS double)) AS v")
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(avg("col").as("ci"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ci))), s -> s.ci)")
+        .as("cv"))
+    val d = e.join(broadcast(cent), "label")
+      .withColumn("dist", round(sqrt(expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")), 4))
+    d.withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(desc("dist"), asc("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .select("label", "rnk", "vec_id", "dist")
+      .orderBy("label", "rnk")
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by the log-likelihood ratio of a target unigram LM (here: the `en`
@@ -2023,6 +2078,8 @@ object LlmData extends QueryPack {
     "source_overlap" -> sourceOverlap,
     "doc_entropy" -> docEntropy,
     "vocab_zipf" -> vocabZipf,
+    "vocab_heaps" -> vocabHeaps,
+    "embed_outliers" -> embedOutliers,
     "neardup_sweep" -> neardupSweep,
     "pack_stats" -> ((s, d) => packStats(s, d)),
     "dedup_minhash_incr" -> ((s, d) => dedupMinhashIncr(s, d)),
@@ -2944,6 +3001,37 @@ object LlmData extends QueryPack {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS zipf_r2
         |FROM s""".stripMargin,
+    "vocab_heaps" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n_tokens,
+        |     count(DISTINCT w)::BIGINT AS n_vocab
+        |   FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |         FROM documents) GROUP BY source),
+        | m AS (SELECT count(*)::BIGINT AS n,
+        |   sum(ln(n_tokens)) AS sx, sum(ln(n_vocab)) AS sy,
+        |   sum(ln(n_tokens) * ln(n_vocab)) AS sxy,
+        |   sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
+        |   sum(ln(n_vocab) * ln(n_vocab)) AS syy FROM per)
+        |SELECT n AS n_sources,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+        | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+        |   AS heaps_lnk,
+        | round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS heaps_r2
+        |FROM m""".stripMargin,
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |   FROM embeddings),
+        | c AS (SELECT label, i, avg(v[i]) AS ci
+        |   FROM e, unnest(generate_series(1, 64)) AS u(i) GROUP BY label, i),
+        | cent AS (SELECT label, list(ci ORDER BY i) AS cv FROM c GROUP BY label),
+        | d AS (SELECT e.vec_id, e.label,
+        |   round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |     i -> (v[i] - cv[i]) * (v[i] - cv[i])))), 4) AS dist
+        |   FROM e JOIN cent USING (label)),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |     ORDER BY dist DESC, vec_id) AS rnk FROM d)
+        |SELECT label, rnk, vec_id, dist FROM r WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin,
     "neardup_sweep" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
