@@ -98,9 +98,20 @@ object CorpusRunner extends Logging {
     val cleaned = cc.steps.zipWithIndex.drop(startIdx)
       .foldLeft(startDf) { case (df, (step, i)) =>
         val t0 = System.nanoTime()
-        val out = applyStep(df, step, cc)
+        val stepped = applyStep(df, step, cc)
+        // truncate lineage between steps: several steps reference their
+        // input TWICE (profile-and-join-back shapes — dedup, span gates,
+        // decontam, ppl), so an unbroken chain grows the logical plan
+        // EXPONENTIALLY in the number of such steps and OOMs the driver
+        // on plan/codegen alone. Savepointing runs read the step back
+        // from parquet (which also makes resume exact); in-memory runs
+        // cut the lineage with a local checkpoint.
+        val out =
+          if (savepointing) {
+            sp.save(stepped, stepKey(i), 0, "clean")
+            sp.load(spark, stepKey(i), 0, "clean")
+          } else stepped.localCheckpoint(false)
         val n = out.count()
-        if (savepointing) sp.save(out, stepKey(i), 0, "clean")
         m += s"rows_after_${i + 1}_${step.op}" -> n.toDouble
         m += s"secs_${i + 1}_${step.op}" ->
           math.round((System.nanoTime() - t0) / 1e7) / 100.0

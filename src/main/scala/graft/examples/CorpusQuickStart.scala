@@ -7,11 +7,14 @@ import graft.queries.LlmData
 /** End-to-end drive of the corpus-cleaning mode — the pretraining-data
   * pipeline a user would run at 100 TB, on the testdata `documents`
   * table: config parse + validate → read → exact dedup → MinHash-LSH
-  * near-dup dedup → corpus-wide duplicated-span gate → quality gate →
-  * unigram-entropy gate → CCNet perplexity gate →
-  * language filter → DSIR importance gate → deterministic source-mix
-  * downsampling → cleaned-corpus savepoint, then the deterministic
-  * training-order shuffle + token-budget packing over the survivors.
+  * near-dup dedup → C4-style duplicated-span REMOVAL (docs rewritten) →
+  * corpus-wide duplicated-span gate → quality gate → unigram-entropy
+  * gate → CCNet perplexity gate → language filter → benchmark
+  * decontamination against an external eval file → DSIR importance
+  * gate → deterministic source-mix downsampling → TOKEN-budget
+  * temperature mixing → cleaned-corpus savepoint, then the
+  * deterministic training-order shuffle + token-budget packing over
+  * the survivors.
   *
   * Run: sbt "runMain graft.examples.CorpusQuickStart /root/testdata/sf0.01"
   */
@@ -19,6 +22,14 @@ object CorpusQuickStart {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local(8, "graft-corpus-quickstart")
+
+    // stage a tiny "benchmark eval set" for the decontam step — in
+    // production this is the held-out eval suite, read via the same
+    // scheme dispatch as any other source
+    val evalPath = "/tmp/graft-corpus-demo-eval"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 101 === 0)
+      .select("text").write.mode("overwrite").parquet(evalPath)
 
     val confJson =
       s"""{
@@ -28,13 +39,16 @@ object CorpusQuickStart {
         |  "corpus": {"steps": [
         |    {"op": "dedup_exact"},
         |    {"op": "dedup_minhash", "threshold": 0.7},
+        |    {"op": "span_scrub", "window": 8},
         |    {"op": "span_dedup", "window": 8, "threshold": 0.5},
         |    {"op": "quality_gate", "minTokens": 10, "maxTokens": 5000},
         |    {"op": "entropy_gate", "threshold": 1.0},
         |    {"op": "ppl_gate", "threshold": 0.9},
         |    {"op": "lang_filter", "keepLangs": ["en", "de", "fr", "es"]},
+        |    {"op": "decontam", "evalSource": "parquet://$evalPath", "threshold": 0.5},
         |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},
-        |    {"op": "source_mix", "quota": 15, "groupColumn": "source"}
+        |    {"op": "source_mix", "quota": 15, "groupColumn": "source"},
+        |    {"op": "token_mix", "quota": 4000, "alpha": 0.5}
         |  ]}
         |}""".stripMargin
 
