@@ -395,8 +395,11 @@ object LlmData extends QueryPack {
     * must land exactly two copies. */
   def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
-      (col("doc_id") + 10000L).as("doc_id"),
+    // id offset derived from the data so staged copies can never collide
+    // with real ids at ANY scale factor
+    val off = docs.agg((max("doc_id") + 1).as("__off"))
+    val perturbed = docs.crossJoin(broadcast(off)).select(
+      (col("doc_id") + col("__off")).as("doc_id"),
       concat(regexp_replace(upper(col("text")), lit(" "), lit("  ")),
         lit(" !!")).as("text"))
     dedupNormalizedOf(docs.union(perturbed), "doc_id", "text")
@@ -1499,7 +1502,12 @@ object LlmData extends QueryPack {
 
   /** The block-grain scrub over ANY (id, text) frame — returns per doc
     * the block accounting, the rebuilt text, and its md5 (what the
-    * `span_scrub` corpus step rewrites with). */
+    * `span_scrub` corpus step rewrites with).
+    *
+    * The first-occurrence key packs (doc_id, block_idx) into one BIGINT
+    * as doc_id·10⁶ + idx — valid while docs stay under 10⁶ blocks
+    * (8M tokens at w=8, far past any real document) and ids under
+    * ~9.2·10¹²; both hold at 100 TB corpus scale. */
   def spanScrubOf(docs: DataFrame, idCol: String, textCol: String,
                   w: Int): DataFrame = {
     val blocks = docs
@@ -2182,7 +2190,7 @@ object LlmData extends QueryPack {
       """WITH all_docs AS (
         |   SELECT doc_id, text FROM documents
         |   UNION ALL
-        |   SELECT doc_id + 10000 AS doc_id,
+        |   SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
         |     replace(upper(text), ' ', '  ') || ' !!' AS text FROM documents),
         | n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
         |     lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5

@@ -115,8 +115,13 @@ object MultimodalPack extends QueryPack {
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = mediaFrom(s, dir)
-    val copies = base.filter(col("media_id") % 7 === 0)
-      .withColumn("media_id", col("media_id") + 10000L)
+    // id offset derived from the data so staged re-ingests can never
+    // collide with real ids at ANY scale factor
+    val off = base.toDF().agg((max("media_id") + 1).as("__off"))
+    val copies = base.toDF().filter(col("media_id") % 7 === 0)
+      .crossJoin(broadcast(off))
+      .withColumn("media_id", col("media_id") + col("__off"))
+      .drop("__off")
       .as[MediaFile]
     frameDedupOf(s, base.union(copies))
   }
@@ -263,7 +268,8 @@ object MultimodalPack extends QueryPack {
       """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
         |   n_chars * 10 AS duration_ms FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS media_id, text, length(text) AS len,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS media_id,
+        |   text, length(text) AS len,
         |   n_chars * 10 AS duration_ms FROM documents WHERE doc_id % 7 = 0),
         | p AS (SELECT media_id, text, len,
         |   greatest(1, duration_ms // 5000) AS n FROM m),
