@@ -36,9 +36,14 @@ object QualityModel {
           numFeatures: Int = 1 << 18): PipelineModel = {
     val isTarget = col(targetCol).isin(targetValues.map(v => v: Any): _*)
     val pos = docs.filter(isTarget)
-    val nPos = pos.count()
     val rest = docs.filter(!isTarget)
-    val nRest = math.max(1L, rest.count())
+    // one pass for both class counts (a 100 TB corpus is scanned once,
+    // not twice)
+    val counts = docs.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("n")).collect()(0)
+    val nPos = Option(counts.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nRest = math.max(1L, counts.getLong(1) - nPos)
     val frac = math.min(1.0, nPos.toDouble / nRest)
     // deterministic Bernoulli coin on the id — reproducible across runs
     // and engines, unlike sample()'s partition-dependent RNG
