@@ -7,7 +7,11 @@ package graft
   * parquet footers) and then timed `SPARK_GRAFT_RUNS` times (default 3);
   * the reported number is the MEDIAN, so one GC pause or contended-machine
   * blip cannot dominate a round's signal. The committed BENCH_LOCAL.json
-  * additionally carries per-query {median,min,max} spread.
+  * additionally carries per-query {median,min,max} spread plus MEASURED
+  * shuffle-write and spill bytes from the task metrics of the last timed
+  * run — the evidence behind every "this plan shuffles O(keys), not
+  * O(rows²)" claim, and the tripwire that catches a silently-acquired
+  * extra exchange or a spill regression between rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,11 +38,28 @@ object Bench {
     // local-iteration filter (unset for driver runs → full sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
+    // Task-metric evidence: shuffle-write + spill bytes accumulated by a
+    // listener; per-query numbers are the DELTA across one timed run.
+    // Listener events drain async, so each snapshot is taken after a short
+    // uncharged grace period — byte counts are evidence, not timings, and
+    // a rare straggler task only understates them.
+    val shuffleBytes = new java.util.concurrent.atomic.LongAdder
+    val spillBytes = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { tm =>
+          shuffleBytes.add(tm.shuffleWriteMetrics.bytesWritten)
+          spillBytes.add(tm.memoryBytesSpilled + tm.diskBytesSpilled)
+        }
+    })
+
     // One attempt, measured in isolation: time the action, then drop cached
     // plans (so a later attempt neither reuses nor evicts them) and collect
     // garbage (so this attempt's heap pressure doesn't surface as a GC
     // pause inside the next one's wall-clock) — both UNCHARGED.
-    def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long, Long)] = {
+      Thread.sleep(50) // let the PREVIOUS attempt's task events drain
+      val (sh0, sp0) = (shuffleBytes.sum(), spillBytes.sum())
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -47,17 +68,21 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
-      if (ok) Some(secs) else None
+      Thread.sleep(50) // drain THIS attempt's task events before snapshot
+      if (ok) Some((secs, shuffleBytes.sum() - sh0, spillBytes.sum() - sp0))
+      else None
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_ .contains(name)) }
       .map { case (name, fn) =>
         attempt(name, fn) match { // warmup; a failure here skips the runs
-          case None => name -> Seq(-1.0)
+          case None => name -> (Seq(-1.0), 0L, 0L)
           case Some(_) =>
-            val times = (1 to runs).flatMap(_ => attempt(name, fn))
-            if (times.isEmpty) name -> Seq(-1.0) else name -> times.sorted
+            val triples = (1 to runs).flatMap(_ => attempt(name, fn))
+            if (triples.isEmpty) name -> (Seq(-1.0), 0L, 0L)
+            else name -> (triples.map(_._1).sorted,
+              triples.last._2, triples.last._3)
         }
       }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts sorted, odd runs
@@ -66,17 +91,18 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, ts) => jstr(k) + ":" + median(ts) }
+    val qs = results.map { case (k, (ts, _, _)) => jstr(k) + ":" + median(ts) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
+    val total = results.collect { case (_, (ts, _, _)) if ts.head >= 0 => median(ts) }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the full line (plus per-query spread) to the repo: the
-    // driver's captured tail truncates at 2000 chars, which hides a third
-    // of the per-query timings — the committed file keeps rounds diffable.
-    val stats = results.map { case (k, ts) =>
-      jstr(k) + s""":{"median":${median(ts)},"min":${ts.head},"max":${ts.last}}"""
+    // Also persist the full line (plus per-query spread + measured shuffle/
+    // spill bytes) to the repo: the driver's captured tail truncates at
+    // 2000 chars, which hides a third of the per-query timings — the
+    // committed file keeps rounds diffable.
+    val stats = results.map { case (k, (ts, sh, sp)) =>
+      jstr(k) + s""":{"median":${median(ts)},"min":${ts.head},"max":${ts.last},"shuffle_mb":${math.round(sh / 1e4) / 100.0},"spill_mb":${math.round(sp / 1e4) / 100.0}}"""
     }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) + s""","stats":$stats}"""
     try {
