@@ -25,7 +25,9 @@ object ScalingBench {
     "ann_ivf",            // coarse-quantized ANN probe
     "heavy_hitters",      // partial aggs + broadcast totals
     "doc_entropy",        // token-keyed + doc-keyed agg
-    "unigram_ppl")        // corpus LM fit + per-doc score
+    "unigram_ppl",        // corpus LM fit + per-doc score
+    "span_scrub",         // block-hash first-occurrence + doc rebuild
+    "hard_negatives")     // broadcast-bounded query set × streamed corpus
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
