@@ -1699,12 +1699,18 @@ object LlmData extends QueryPack {
     * the oracle replays identical data. At 100 TB this is the id-keyed
     * shuffle join both sides already store sorted/bucketed for. */
   def corpusDiff(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val v1 = hashed.filter(col("doc_id") < 400)
-      .withColumnRenamed("h", "h1")
-    val v2 = hashed.filter(col("doc_id") >= 100)
-      .withColumnRenamed("h", "h2")
+    val docs = Tables.documents(s, dir)
+    corpusDiffOf(docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 100), "doc_id")
+  }
+
+  /** The version-accounting diff over ANY two (id, text) frames — what
+    * [[graft.plans.SnapshotStore]] readers run between committed corpus
+    * versions. One id-keyed full outer join, O(|a| + |b|). */
+  def corpusDiffOf(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String = "text"): DataFrame = {
+    val v1 = a.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h1"))
+    val v2 = b.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h2"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .withColumn("status",
         when(col("h1").isNull, lit("added"))

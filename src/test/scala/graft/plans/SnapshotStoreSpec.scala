@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Atomic versioned snapshots: manifests are the commit — readers see
+  * whole versions or nothing, diffs ride the id-keyed corpus diff. */
+class SnapshotStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshRoot(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    new java.io.File(p).deleteOnExit()
+    p
+  }
+
+  behavior of "SnapshotStore"
+
+  it should "publish and read back versions with exact manifests" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val root = freshRoot()
+    val v1 = graft.Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val v2 = graft.Tables.documents(spark, dir).filter(col("doc_id") < 400)
+    val m1 = SnapshotStore.publish(v1, root, 1)
+    val m2 = SnapshotStore.publish(v2, root, 2)
+    m1.rows shouldBe 300
+    m2.rows shouldBe 400
+    SnapshotStore.versions(root) shouldBe Seq(1L, 2L)
+    SnapshotStore.read(spark, root, 1).count() shouldBe 300
+    SnapshotStore.readLatest(spark, root).count() shouldBe 400
+    SnapshotStore.manifestRows(root, 2) shouldBe 400
+    // round-trip preserves content, not just counts
+    SnapshotStore.read(spark, root, 1).select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe
+      v1.select("doc_id").collect().map(_.getLong(0)).sorted
+  }
+
+  it should "keep an uncommitted (crashed) version invisible to readers" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val root = freshRoot()
+    SnapshotStore.publish(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 100), root, 1)
+    // simulate a crashed writer: data directory exists, no manifest
+    graft.Tables.documents(spark, dir)
+      .write.mode("overwrite").parquet(s"$root/v=2")
+    SnapshotStore.versions(root) shouldBe Seq(1L) // v2 invisible
+    SnapshotStore.latestVersion(root) shouldBe Some(1L)
+    intercept[IllegalArgumentException](SnapshotStore.read(spark, root, 2))
+    // finishing the publish commits it
+    SnapshotStore.publish(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 150), root, 2)
+    SnapshotStore.versions(root) shouldBe Seq(1L, 2L)
+    SnapshotStore.read(spark, root, 2).count() shouldBe 150
+  }
+
+  it should "diff two committed versions through the id-keyed corpus diff" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val root = freshRoot()
+    val docs = graft.Tables.documents(spark, dir)
+    SnapshotStore.publish(docs.filter(col("doc_id") < 300), root, 1)
+    SnapshotStore.publish(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 400), root, 2)
+    val a = SnapshotStore.read(spark, root, 1)
+    val b = SnapshotStore.read(spark, root, 2)
+    val diff = graft.queries.LlmData.corpusDiffOf(a, b, "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    diff("removed") shouldBe 100 // 0..99
+    diff("added") shouldBe 100   // 300..399
+    diff("unchanged") shouldBe 200
+  }
+}
