@@ -54,6 +54,32 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root, 2).count() shouldBe 150
   }
 
+  it should "support the continuous-ingest loop: probe new docs against v1, publish v2, diff" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val root = freshRoot()
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val v1docs = docs.filter(col("doc_id") < 400)
+    SnapshotStore.publish(v1docs, root, 1)
+    // new ingest batch: probe against v1's LSH band index — the batch
+    // form of the streaming near-dup probe (same DataFrame ops)
+    val newBatch = docs.filter(col("doc_id") >= 400)
+    val index = graft.streaming.StreamOps.nearDupIndex(
+      SnapshotStore.read(spark, root, 1), "doc_id", "text")
+    val dupIds = graft.streaming.StreamOps
+      .nearDupProbe(newBatch, index, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    dupIds.count() should be > 0L // the fixture plants cross-split near-dups
+    val cleanNew = newBatch.join(dupIds, Seq("doc_id"), "left_anti")
+    SnapshotStore.publish(v1docs.unionByName(cleanNew), root, 2)
+    val diff = graft.queries.LlmData.corpusDiffOf(
+        SnapshotStore.read(spark, root, 1),
+        SnapshotStore.read(spark, root, 2), "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    diff("added") shouldBe cleanNew.count()
+    diff("unchanged") shouldBe 400
+    diff.get("removed") shouldBe None
+  }
+
   it should "diff two committed versions through the id-keyed corpus diff" in {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val root = freshRoot()
