@@ -84,6 +84,48 @@ object StandardMetrics {
     * for ties: AUROC = (Σ ranks₊ − n₊(n₊+1)/2) / (n₊ n₋). Exact — identical
     * to the trapezoidal ROC integral mllib computes. One shuffle (groupBy
     * score) + one ordered window over DISTINCT scores only. */
+  /** Reliability-diagram data (model calibration): scores normalized to
+    * [0, 1] by the max, cut into `bins` equal-width buckets, each with its
+    * mean predicted value and observed positive rate — a calibrated model
+    * tracks the diagonal. One broadcast max + one keyed agg; no window. */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
+    val mx = df.agg(max(col(scoreCol)).cast("double").as("__mx"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("__p", col(scoreCol) / col("__mx"))
+      .withColumn("bin",
+        least(lit(bins - 1), floor(col("__p") * bins)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        avg("__p").as("mean_pred"),
+        avg(col(labelCol).cast("double")).as("frac_pos"))
+  }
+
+  /** Cumulative-gains (lift) deciles: rank by score DESC into 10 exact
+    * global deciles via the two-pass range sort (no single-partition
+    * window), then per-decile positives and the cumulative capture rate —
+    * "the top k% of scores captures X% of positives", the campaign-
+    * targeting read of a binary scorer. The cumulative step is a
+    * decile≤decile self-join on the 10-row summary, not a global window. */
+  def gainsDeciles(df: DataFrame, labelCol: String, scoreCol: String,
+                   tieCol: String): DataFrame = {
+    val ranked = graft.plans.GlobalRank.withNtile(
+      df, Seq(col(scoreCol).desc, col(tieCol)), 10, "decile")
+    val per = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .cache() // tiny (10 rows): both sides of the cumulative self-join
+    val tot = per.agg(sum("n_pos").as("__tot"))
+    per.as("a")
+      .join(per.select(col("decile").as("__d"), col("n_pos").as("__p")),
+        col("__d") <= col("decile"))
+      .groupBy("decile", "n", "n_pos")
+      .agg(sum("__p").as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_capture", col("cum_pos") / col("__tot"))
+      .select("decile", "n", "n_pos", "cum_pos", "cum_capture")
+  }
+
   def auroc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val g = byScore(df, labelCol, scoreCol)
     val ranked = GlobalRank.withRunningSums(g, Seq(col("s")), Seq("c" -> "__cum"))

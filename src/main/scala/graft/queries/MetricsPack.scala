@@ -98,6 +98,24 @@ object MetricsPack extends QueryPack {
       .orderBy("page")
   }
 
+  def calibrationBins(s: SparkSession, dir: String): DataFrame =
+    StandardMetrics.calibrationBins(labeled(s, dir), "y", "score")
+      .select(col("bin"), col("n"),
+        round(col("mean_pred"), 6).as("mean_pred"),
+        round(col("frac_pos"), 6).as("frac_pos"))
+      .orderBy("bin")
+
+  def gainsDeciles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir).select(
+      (col("o_orderstatus") === "F").cast("int").as("y"),
+      round(col("o_totalprice") / 1000.0, 0).as("score"),
+      col("o_orderkey"))
+    StandardMetrics.gainsDeciles(t, "y", "score", "o_orderkey")
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        round(col("cum_capture"), 6).as("cum_capture"))
+      .orderBy("decile")
+  }
+
   def labelFreq(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("lang"))
@@ -112,6 +130,8 @@ object MetricsPack extends QueryPack {
     "vsi_drift" -> (vsiDrift(_, _)),
     "value_drift" -> (valueDrift(_, _)),
     "hotlead_sim" -> (hotleadSim(_, _)),
+    "calibration_bins" -> (calibrationBins(_, _)),
+    "gains_deciles" -> (gainsDeciles(_, _)),
     "label_freq" -> (labelFreq(_, _)))
 
   private val labeledSql =
@@ -148,6 +168,30 @@ object MetricsPack extends QueryPack {
          |LEFT JOIN tp ON a.cls = tp.cls
          |LEFT JOIN predicted p ON a.cls = p.cls
          |ORDER BY label""".stripMargin,
+
+    "calibration_bins" ->
+      s"""WITH t AS ($labeledSql),
+         | mx AS (SELECT max(score)::DOUBLE AS m FROM t),
+         | b AS (SELECT least(9, floor(score / m * 10))::INT AS bin,
+         |     score / m AS p, y FROM t, mx)
+         |SELECT bin, count(*)::BIGINT AS n, round(avg(p), 6) AS mean_pred,
+         | round(avg(y), 6) AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "gains_deciles" ->
+      """WITH t AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |   round(o_totalprice / 1000.0, 0) AS score, o_orderkey AS ok FROM orders),
+        | r AS (SELECT y, CAST(ntile(10) OVER (ORDER BY score DESC, ok) AS BIGINT)
+        |     AS decile FROM t),
+        | per AS (SELECT decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |   FROM r GROUP BY decile),
+        | tot AS (SELECT sum(n_pos)::BIGINT AS tp FROM per),
+        | cum AS (SELECT a.decile, a.n, a.n_pos, sum(b.n_pos)::BIGINT AS cum_pos
+        |   FROM per a JOIN per b ON b.decile <= a.decile
+        |   GROUP BY a.decile, a.n, a.n_pos)
+        |SELECT decile, n, n_pos, cum_pos,
+        | round(cum_pos::DOUBLE / tp, 6) AS cum_capture
+        |FROM cum, tot ORDER BY decile""".stripMargin,
 
     "auroc_rank" ->
       s"""WITH t AS ($labeledSql),
