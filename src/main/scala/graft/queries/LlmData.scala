@@ -1537,6 +1537,37 @@ object LlmData extends QueryPack {
         md5(coalesce(col("rebuilt"), lit(""))).as("text_md5"))
   }
 
+  /** Per-source corpus report card — the one-screen health table a data
+    * curator reads before mixing sources: doc/token volume plus the mean
+    * row-local quality signals ([[graft.text.TextQuality]] features) and
+    * the heuristic keep rate, per source. Every signal is a codegen'd
+    * row-local expression, so the whole report is ONE map-side-combining
+    * agg over the corpus scan — the cheapest possible full-corpus pass. */
+  def sourceReport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("mean_len",
+        expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
+          .cast("double") / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t IN ('the','a','of','and','is','in','to')))")
+          .cast("double") / col("n_tok"))
+      .withColumn("sym_ratio",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / length(col("text")))
+      .withColumn("keep", graft.text.TextQuality.keep("text").cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(avg("mean_len"), 6).as("avg_tok_len"),
+        round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+        round(avg("sym_ratio"), 6).as("avg_sym_ratio"),
+        round(avg("keep"), 6).as("keep_rate"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+
   /** Heaps'-law vocabulary-growth profile: per source, vocabulary size V
     * vs token count N. Natural text follows V ≈ K·N^β with β ≈ 0.4–0.6;
     * a template-heavy or machine-generated slice bends the exponent, so
@@ -2093,6 +2124,7 @@ object LlmData extends QueryPack {
     "doc_entropy" -> docEntropy,
     "vocab_zipf" -> vocabZipf,
     "vocab_heaps" -> vocabHeaps,
+    "source_report" -> sourceReport,
     "embed_outliers" -> embedOutliers,
     "neardup_sweep" -> neardupSweep,
     "pack_stats" -> ((s, d) => packStats(s, d)),
@@ -3015,6 +3047,29 @@ object LlmData extends QueryPack {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS zipf_r2
         |FROM s""".stripMargin,
+    "source_report" ->
+      """WITH d AS (SELECT source, lang, text,
+        |     string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT source, lang,
+        |   len(toks)::BIGINT AS n_tok,
+        |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+        |     / len(toks) AS mean_len,
+        |   len(list_filter(toks,
+        |     t -> t IN ('the','a','of','and','is','in','to')))::DOUBLE
+        |     / len(toks) AS stop_ratio,
+        |   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |     / length(text) AS sym_ratio
+        |   FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        | round(avg(mean_len), 6) AS avg_tok_len,
+        | round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        | round(avg(sym_ratio), 6) AS avg_sym_ratio,
+        | round(avg(CASE WHEN n_tok BETWEEN 5 AND 100000
+        |     AND mean_len BETWEEN 2 AND 12
+        |     AND stop_ratio >= 0.01 AND sym_ratio <= 0.2
+        |   THEN 1 ELSE 0 END), 6) AS keep_rate,
+        | count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "vocab_heaps" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n_tokens,
         |     count(DISTINCT w)::BIGINT AS n_vocab
