@@ -1784,6 +1784,44 @@ object LlmData extends QueryPack {
         count(lit(1)).as("n_toks"))
   }
 
+  /** Bigram-LM perplexity — one fidelity step toward CCNet's 5-gram
+    * KenLM scoring, built with the same corpus-fit machinery as
+    * [[unigramPpl]]: p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) add-one smoothed
+    * over the corpus's own bigrams, ppl(doc) = exp(−mean ln p) over the
+    * doc's bigram stream. Bigrams are a ROW-LOCAL transform of the token
+    * array (no positional self-join); the LM build is one bigram-keyed
+    * agg + one context-keyed agg; scoring is a bigram-keyed join — all
+    * uniform keys, map-side combinable. Docs shorter than 2 tokens have
+    * no bigrams and get no row (same convention as a KenLM scorer
+    * skipping empty input). */
+  def bigramPpl(s: SparkSession, dir: String): DataFrame =
+    bigramPplOf(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The bigram perplexity over ANY (id, text) frame. */
+  def bigramPplOf(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val bg = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .filter("size(toks) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS b""".stripMargin)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache() // feeds the LM build and the scoring join
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bg.select("w2").union(bg.select("w1")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the
     * corpus (tier 1 = lowest-perplexity "head" kept for training, tier 3 =
     * "tail" dropped or down-weighted). Exact tiering via the two-pass
@@ -2116,6 +2154,7 @@ object LlmData extends QueryPack {
     "semdedup" -> ((s, d) => semDedup(s, d)),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "unigram_ppl" -> unigramPpl,
+    "bigram_ppl" -> bigramPpl,
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3047,6 +3086,22 @@ object LlmData extends QueryPack {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS zipf_r2
         |FROM s""".stripMargin,
+    "bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |   FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        | c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+        | c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1),
+        | v AS (SELECT count(*)::BIGINT AS v FROM
+        |   (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
+        | lp AS (SELECT c2.w1, c2.w2,
+        |     ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
+        |   FROM c2 JOIN c1 USING (w1), v)
+        |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
+        | count(*)::BIGINT AS n_bigrams
+        |FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "source_report" ->
       """WITH d AS (SELECT source, lang, text,
         |     string_split(text, ' ') AS toks FROM documents),
