@@ -126,6 +126,26 @@ object StandardMetrics {
       .select("decile", "n", "n_pos", "cum_pos", "cum_capture")
   }
 
+  /** Scalar calibration summary: ECE (expected calibration error — the
+    * bin-weighted |mean_pred − frac_pos| over the reliability bins) and
+    * the Brier score (mean squared error of the normalized score against
+    * the outcome). Rides [[calibrationBins]] for ECE; Brier is one more
+    * column of the same corpus agg. */
+  def calibrationSummary(df: DataFrame, labelCol: String, scoreCol: String,
+                         bins: Int = 10): DataFrame = {
+    val mx = df.agg(max(col(scoreCol)).cast("double").as("__mx"))
+    val scored = df.crossJoin(broadcast(mx))
+      .withColumn("__p", col(scoreCol) / col("__mx"))
+      .withColumn("__y", col(labelCol).cast("double"))
+    val brier = scored.agg(count(lit(1)).as("n"),
+      avg(pow(col("__p") - col("__y"), 2)).as("brier"))
+    val ece = calibrationBins(df, labelCol, scoreCol, bins)
+      .agg(sum(col("n") * abs(col("mean_pred") - col("frac_pos"))).as("__w"),
+        sum("n").as("__n"))
+      .select((col("__w") / col("__n")).as("ece"))
+    brier.crossJoin(broadcast(ece)).select("n", "brier", "ece")
+  }
+
   def auroc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val g = byScore(df, labelCol, scoreCol)
     val ranked = GlobalRank.withRunningSums(g, Seq(col("s")), Seq("c" -> "__cum"))

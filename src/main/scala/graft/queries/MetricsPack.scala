@@ -116,6 +116,11 @@ object MetricsPack extends QueryPack {
       .orderBy("decile")
   }
 
+  def calibrationSummary(s: SparkSession, dir: String): DataFrame =
+    StandardMetrics.calibrationSummary(labeled(s, dir), "y", "score")
+      .select(col("n"), round(col("brier"), 6).as("brier"),
+        round(col("ece"), 6).as("ece"))
+
   def labelFreq(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("lang"))
@@ -131,6 +136,7 @@ object MetricsPack extends QueryPack {
     "value_drift" -> (valueDrift(_, _)),
     "hotlead_sim" -> (hotleadSim(_, _)),
     "calibration_bins" -> (calibrationBins(_, _)),
+    "calibration_summary" -> (calibrationSummary(_, _)),
     "gains_deciles" -> (gainsDeciles(_, _)),
     "label_freq" -> (labelFreq(_, _)))
 
@@ -177,6 +183,19 @@ object MetricsPack extends QueryPack {
          |SELECT bin, count(*)::BIGINT AS n, round(avg(p), 6) AS mean_pred,
          | round(avg(y), 6) AS frac_pos
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "calibration_summary" ->
+      s"""WITH t AS ($labeledSql),
+         | mx AS (SELECT max(score)::DOUBLE AS m FROM t),
+         | sc AS (SELECT score / m AS p, y::DOUBLE AS yd FROM t, mx),
+         | b AS (SELECT least(9, floor(p * 10))::INT AS bin, p, yd FROM sc),
+         | bins AS (SELECT bin, count(*)::BIGINT AS n, avg(p) AS mp,
+         |     avg(yd) AS fp FROM b GROUP BY bin),
+         | e AS (SELECT sum(n * abs(mp - fp)) / sum(n) AS ece FROM bins),
+         | br AS (SELECT count(*)::BIGINT AS n,
+         |     avg(pow(p - yd, 2)) AS brier FROM sc)
+         |SELECT n, round(brier, 6) AS brier, round(ece, 6) AS ece
+         |FROM br, e""".stripMargin,
 
     "gains_deciles" ->
       """WITH t AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
