@@ -86,6 +86,53 @@ object EventOpsPack extends QueryPack {
     * the exchange carries one row per (cohort, offset, user), never the
     * raw events). Week arithmetic is integer days since epoch over the
     * micros-truncated UTC date, identical in any engine. */
+  /** Ordered conversion funnel (view → click → purchase) with STRICT
+    * event-order semantics — a user counts at a stage only if that event
+    * happened AFTER their qualifying previous-stage event, not merely
+    * anywhere in their history (the correctness trap naive presence
+    * joins fall into). Three sequential user-keyed min-aggs, each
+    * map-side combinable and keyed on the high-cardinality user id — no
+    * window, no per-user event sort, no self-join explosion; the scalar
+    * stage counts broadcast into one summary row. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click") / col("n_view"), 6).as("view_to_click"),
+        round(col("n_purchase") / col("n_click"), 6).as("click_to_purchase"))
+  }
+
+  /** First-touch revenue attribution: every purchase's value credited to
+    * the event type that FIRST brought its user in — the standard
+    * marketing-attribution read. The first touch is one keyed window
+    * (partitioned on the high-cardinality user id, deterministic
+    * (ts, event_id) tie-break); attribution is a user-keyed join + one
+    * small agg. */
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val first = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"))
+      .orderBy("first_touch")
+  }
+
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(s, dir)
       .select(col("user_id"),
@@ -273,7 +320,9 @@ object EventOpsPack extends QueryPack {
     "latest_by_key" -> latestByKey,
     "funnel_conversion" -> funnelConversion,
     "skew_profile" -> skewProfile,
-    "cohort_retention" -> cohortRetention)
+    "cohort_retention" -> cohortRetention,
+    "funnel_steps" -> funnelSteps,
+    "first_touch" -> firstTouchAttribution)
 
   val oracle: Map[String, String] = Map(
     "heavy_hitters" ->
@@ -401,5 +450,31 @@ object EventOpsPack extends QueryPack {
         |SELECT cohort_wk, w.wk - cohort_wk AS offset_wk,
         | count(DISTINCT w.user_id)::BIGINT AS n_users
         |FROM wk w JOIN cohort USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+        | (SELECT count(*) FROM c)::BIGINT AS n_click,
+        | (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+        | round((SELECT count(*) FROM c)::DOUBLE
+        |       / (SELECT count(*) FROM v), 6) AS view_to_click,
+        | round((SELECT count(*) FROM p)::DOUBLE
+        |       / (SELECT count(*) FROM c), 6) AS click_to_purchase""".stripMargin,
+    "first_touch" ->
+      """WITH f AS (SELECT user_id, event_type AS first_touch FROM (
+        |   SELECT user_id, event_type,
+        |     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM events) WHERE rn = 1)
+        |SELECT first_touch, count(*)::BIGINT AS n_purchases,
+        | round(sum(value), 2) AS revenue
+        |FROM events e JOIN f USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin)
 }
