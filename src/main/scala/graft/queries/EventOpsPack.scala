@@ -133,6 +133,26 @@ object EventOpsPack extends QueryPack {
       .orderBy("first_touch")
   }
 
+  /** Inter-event gap profile: time between a user's consecutive events
+    * (exact integer microseconds — no float epoch truncation), rolled up
+    * per event type with exact p50/p95. One keyed lag window (partitioned
+    * on the high-cardinality user id) + one low-cardinality agg; the
+    * ops-health read for "are sessions speeding up or stalling". */
+  def intereventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_us") / 1e6, 4).as("avg_gap_s"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_gap_s"),
+        round(expr("percentile(gap_us, 0.95)") / 1e6, 4).as("p95_gap_s"))
+      .orderBy("event_type")
+  }
+
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(s, dir)
       .select(col("user_id"),
@@ -322,7 +342,8 @@ object EventOpsPack extends QueryPack {
     "skew_profile" -> skewProfile,
     "cohort_retention" -> cohortRetention,
     "funnel_steps" -> funnelSteps,
-    "first_touch" -> firstTouchAttribution)
+    "first_touch" -> firstTouchAttribution,
+    "interevent_gaps" -> intereventGaps)
 
   val oracle: Map[String, String] = Map(
     "heavy_hitters" ->
@@ -476,5 +497,16 @@ object EventOpsPack extends QueryPack {
         | round(sum(value), 2) AS revenue
         |FROM events e JOIN f USING (user_id)
         |WHERE e.event_type = 'purchase'
-        |GROUP BY first_touch ORDER BY first_touch""".stripMargin)
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    "interevent_gaps" ->
+      """WITH g AS (SELECT event_type,
+        |   epoch_us(ts) - lag(epoch_us(ts))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        | round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
+        | round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_gap_s,
+        | round(quantile_cont(gap_us, 0.95) / 1e6, 4) AS p95_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
