@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics operators a production pipeline runs constantly:
@@ -135,21 +135,57 @@ object EventOpsPack extends QueryPack {
 
   /** Inter-event gap profile: time between a user's consecutive events
     * (exact integer microseconds — no float epoch truncation), rolled up
-    * per event type with exact p50/p95. One keyed lag window (partitioned
-    * on the high-cardinality user id) + one low-cardinality agg; the
-    * ops-health read for "are sessions speeding up or stalling". */
+    * per event type with exact interpolated p50/p95; the ops-health read
+    * for "are sessions speeding up or stalling".
+    *
+    * Scale design: the gap itself is one keyed lag window (partitioned on
+    * the high-cardinality user id), but `event_type` has ~5 values, so a
+    * naive `percentile(gap_us, p)` would buffer BILLIONS of gap values in
+    * each of 5 aggregation buffers at 100 TB — the low-cardinality-key +
+    * unbounded-state pattern. Instead the exact percentiles come from the
+    * two-pass range-sort rank (plans.GlobalRank over (event_type, gap)):
+    * per-group 0-based rank = global row number − the group's min row
+    * number (a 5-row broadcast), the two rows flanking index p·(n−1) are
+    * filtered out, and quantile_cont's interpolation is a 5-row final
+    * select. Every stage is partition-parallel; no per-group buffer
+    * anywhere. */
   def intereventGaps(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(s, dir)
+    val gaps = Tables.events(s, dir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .filter(col("prev_us").isNotNull)
-      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      gaps, Seq(col("event_type"), col("gap_us")), "rn")
+    val stats = ranked.groupBy("event_type").agg(
+      min("rn").as("rn0"), count(lit(1)).as("n_gaps"),
+      avg("gap_us").as("avg_us"))
+    val j = ranked.join(broadcast(stats), "event_type")
+      .withColumn("r0", (col("rn") - col("rn0")).cast("double"))
+    // continuous-percentile index p·(n−1); keep only the flanking rows
+    def idx(p: Double) = lit(p) * (col("n_gaps") - 1).cast("double")
+    def flank(p: Double, hi: Boolean) =
+      col("r0") === (if (hi) ceil(idx(p)) else floor(idx(p)))
+    val picked = j
+      .filter(flank(0.5, false) || flank(0.5, true) ||
+        flank(0.95, false) || flank(0.95, true))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        round(avg("gap_us") / 1e6, 4).as("avg_gap_s"),
-        round(expr("percentile(gap_us, 0.5)") / 1e6, 4).as("p50_gap_s"),
-        round(expr("percentile(gap_us, 0.95)") / 1e6, 4).as("p95_gap_s"))
+      .agg(max("n_gaps").as("n_gaps"), max("avg_us").as("avg_us"),
+        min(when(flank(0.5, false), col("gap_us"))).cast("double").as("v50l"),
+        min(when(flank(0.5, true), col("gap_us"))).cast("double").as("v50h"),
+        min(when(flank(0.95, false), col("gap_us"))).cast("double").as("v95l"),
+        min(when(flank(0.95, true), col("gap_us"))).cast("double").as("v95h"))
+    // v_lo + (h − ⌊h⌋)·(v_hi − v_lo): quantile_cont / exact percentile()
+    def interp(p: Double, lo: Column, hi: Column) = {
+      val h = lit(p) * (col("n_gaps") - 1).cast("double")
+      lo + (h - floor(h)) * (hi - lo)
+    }
+    picked.select(col("event_type"), col("n_gaps"),
+      round(col("avg_us") / 1e6, 4).as("avg_gap_s"),
+      round(interp(0.5, col("v50l"), col("v50h")) / 1e6, 4).as("p50_gap_s"),
+      round(interp(0.95, col("v95l"), col("v95h")) / 1e6, 4).as("p95_gap_s"))
       .orderBy("event_type")
   }
 

@@ -405,12 +405,18 @@ object LlmData extends QueryPack {
     dedupNormalizedOf(docs.union(perturbed), "doc_id", "text")
   }
 
-  /** The normalize-then-group dedup over ANY (id, text) frame. */
+  /** The normalize-then-group dedup over ANY (id, text) frame. The
+    * character class is UNICODE-aware (`\p{L}\p{N}`, identical semantics
+    * in Java regex and DuckDB's RE2): an ASCII-only `[^a-z0-9 ]` would
+    * erase every non-Latin script before hashing, falsely merging all
+    * CJK/Cyrillic/Arabic documents into one "duplicate" group — exactly
+    * the multilingual corpora this step exists for (see
+    * LlmQualitySpec's CJK fixtures). */
   def dedupNormalizedOf(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     docs
       .withColumn("norm_md5", md5(trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N} ]", ""),
         " +", " "))))
       .groupBy("norm_md5")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -1504,10 +1510,11 @@ object LlmData extends QueryPack {
     * the block accounting, the rebuilt text, and its md5 (what the
     * `span_scrub` corpus step rewrites with).
     *
-    * The first-occurrence key packs (doc_id, block_idx) into one BIGINT
-    * as doc_id·10⁶ + idx — valid while docs stay under 10⁶ blocks
-    * (8M tokens at w=8, far past any real document) and ids under
-    * ~9.2·10¹²; both hold at 100 TB corpus scale. */
+    * First occurrence is selected with `min(struct(doc_id, block_idx))`
+    * — lexicographic struct ordering, valid for ANY id range and block
+    * count (an earlier doc_id·10⁶+idx BIGINT packing silently collided
+    * past 10⁶ blocks or ~9.2·10¹² ids; struct min has no bounds to
+    * guard). */
   def spanScrubOf(docs: DataFrame, idCol: String, textCol: String,
                   w: Int): DataFrame = {
     val blocks = docs
@@ -1519,9 +1526,9 @@ object LlmData extends QueryPack {
         s"concat_ws(' ', slice(toks, k * $w + 1, $w)) AS block")
       .cache() // totals + first-occurrence agg + survivor join
     val first = blocks.groupBy("block")
-      .agg(min(col("doc_id") * 1000000L + col("k")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("k"))).as("first_key"))
     val kept = blocks.join(first, "block")
-      .filter(col("doc_id") * 1000000L + col("k") === col("first_key"))
+      .filter(struct(col("doc_id"), col("k")) === col("first_key"))
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       sum(size(split(col("block"), " "))).cast("long").as("n_tokens_after"),
@@ -2270,7 +2277,7 @@ object LlmData extends QueryPack {
         |   SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
         |     replace(upper(text), ' ', '  ') || ' !!' AS text FROM documents),
         | n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
-        |     lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |     lower(text), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
         |   FROM all_docs)
         |SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies, norm_md5
         |FROM n GROUP BY norm_md5 HAVING count(*) > 1
@@ -2882,11 +2889,11 @@ object LlmData extends QueryPack {
         |     array_to_string(toks[k*8+1 : k*8+8], ' ') AS block
         |   FROM t, unnest(generate_series(0,
         |     ceil(len(toks) / 8.0)::INT - 1)) AS u(k)),
-        | f AS (SELECT block, min(doc_id * 1000000 + k) AS first_key
+        | f AS (SELECT block, min(ROW(doc_id, k)) AS first_key
         |   FROM b GROUP BY block),
         | kept AS (SELECT b.doc_id, b.k, b.block
         |   FROM b JOIN f ON b.block = f.block
-        |   WHERE b.doc_id * 1000000 + b.k = f.first_key),
+        |   WHERE ROW(b.doc_id, b.k) = f.first_key),
         | reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
         |     sum(len(string_split(block, ' ')))::BIGINT AS n_tokens_after,
         |     string_agg(block, ' ' ORDER BY k) AS rebuilt

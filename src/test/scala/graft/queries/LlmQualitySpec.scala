@@ -408,4 +408,27 @@ class LlmQualitySpec extends SparkSpec {
     avgF should be <= maxF
     r.getLong(5) should be <= nBins // n_full90
   }
+
+  behavior of "dedupNormalizedOf"
+
+  it should "keep distinct non-Latin documents distinct while merging re-encoded copies" in {
+    // the regression the ASCII-only [^a-z0-9 ] class caused: every CJK /
+    // Cyrillic / Arabic doc normalized to "" and falsely merged into ONE
+    // duplicate group. With the Unicode class, distinct non-Latin docs
+    // must stay distinct and only genuine re-punctuated copies merge.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "机器学习 改变 数据 处理"),            // zh doc A
+      (2L, "深度 模型 需要 海量 语料"),           // zh doc B — different content
+      (3L, "机器学习, 改变   数据 处理!!"),       // re-punctuated copy of A
+      (4L, "Машинное обучение меняет данные"),   // ru doc C
+      (5L, "Машинное  обучение — меняет данные."), // re-encoded copy of C
+      (6L, "نماذج اللغة تحتاج بيانات"),          // ar doc D — no copy
+      (7L, "Tokenizer models need data")          // latin doc E — no copy
+    ).toDF("doc_id", "text")
+    val groups = LlmData.dedupNormalizedOf(docs, "doc_id", "text").collect()
+    // exactly two duplicate groups: {1,3} and {4,5}; docs 2/6/7 stay out
+    groups.map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Array((1L, 2L), (4L, 2L))
+  }
 }
