@@ -40,25 +40,41 @@ object Bench {
 
     // Task-metric evidence: shuffle-write + spill bytes accumulated by a
     // listener; per-query numbers are the DELTA across one timed run.
-    // Listener events drain async, so each snapshot is taken after a short
-    // uncharged grace period — byte counts are evidence, not timings, and
-    // a rare straggler task only understates them.
+    // Listener events drain async, so each snapshot waits (uncharged)
+    // until the counters STABILIZE — a fixed sleep would let one query's
+    // stragglers bleed into the next query's delta under GC pauses or
+    // machine contention, mis-attributing the committed tripwire bytes.
     val shuffleBytes = new java.util.concurrent.atomic.LongAdder
     val spillBytes = new java.util.concurrent.atomic.LongAdder
+    val taskEnds = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         Option(te.taskMetrics).foreach { tm =>
           shuffleBytes.add(tm.shuffleWriteMetrics.bytesWritten)
           spillBytes.add(tm.memoryBytesSpilled + tm.diskBytesSpilled)
         }
+        taskEnds.increment()
+      }
     })
+    // Poll until two consecutive 20ms reads agree (bounded at 2s): the
+    // bus is empty when no task-end has landed across a full interval.
+    def drainListenerBus(): Unit = {
+      var prev = (taskEnds.sum(), shuffleBytes.sum(), spillBytes.sum())
+      var stable = 0
+      val deadline = System.nanoTime() + 2000000000L
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        val cur = (taskEnds.sum(), shuffleBytes.sum(), spillBytes.sum())
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    }
 
     // One attempt, measured in isolation: time the action, then drop cached
     // plans (so a later attempt neither reuses nor evicts them) and collect
     // garbage (so this attempt's heap pressure doesn't surface as a GC
     // pause inside the next one's wall-clock) — both UNCHARGED.
     def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long, Long)] = {
-      Thread.sleep(50) // let the PREVIOUS attempt's task events drain
+      drainListenerBus() // settle the PREVIOUS attempt's task events
       val (sh0, sp0) = (shuffleBytes.sum(), spillBytes.sum())
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -68,7 +84,7 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
-      Thread.sleep(50) // drain THIS attempt's task events before snapshot
+      drainListenerBus() // settle THIS attempt's task events before snapshot
       if (ok) Some((secs, shuffleBytes.sum() - sh0, spillBytes.sum() - sp0))
       else None
     }

@@ -1,67 +1,101 @@
 package graft.plans
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Versioned corpus snapshots with ATOMIC publish — the operational
   * contract a multi-team 100 TB corpus needs: a cleaning run publishes
   * version N while training jobs keep reading version N−1, and a reader
-  * can NEVER observe a half-written version.
+  * can NEVER observe a half-written version — including a reader of an
+  * already-committed version that is being re-published concurrently.
   *
   * The mechanism is the classic manifest commit (the core idea of the
-  * lakehouse table formats, reduced to what a corpus store needs): data
-  * files land under `<root>/v=<n>/` first, and the version only EXISTS
-  * once its manifest — a single small JSON written via temp-file +
-  * atomic rename — appears under `<root>/_manifests/`. Readers list
-  * manifests, never directories: a crashed writer leaves orphan data
-  * files but no manifest, so its partial version is invisible (and a
-  * re-publish of the same version overwrites cleanly). The manifest
-  * records row count and schema so readers can sanity-check a version
-  * without scanning it.
+  * lakehouse table formats, reduced to what a corpus store needs):
+  * every publish writes its data files to a FRESH nonce-suffixed
+  * directory, and the version only EXISTS (or changes meaning) when its
+  * manifest — a single small JSON naming that directory — lands under
+  * `<root>/_manifests/` via temp-file + atomic rename. Readers resolve
+  * the data directory through the manifest, never by listing: a crashed
+  * writer leaves orphan data files but no manifest (invisible), and a
+  * RE-publish of a committed version writes a second data directory and
+  * flips the manifest atomically — a concurrent reader keeps reading
+  * the old directory, which is never deleted out from under it (orphans
+  * are reclaimed explicitly via [[vacuum]], to be run when no readers
+  * of pre-republish manifests remain).
+  *
+  * All metadata IO goes through the Hadoop FileSystem / FileContext
+  * APIs resolved from the root path's scheme, so the commit contract is
+  * the same on `file://`, `hdfs://`, or any Hadoop-compatible store —
+  * not just the local filesystem. (`FileContext.rename(OVERWRITE)` is
+  * the atomic single-file commit primitive; plain `FileSystem.rename`
+  * cannot atomically replace an existing manifest.)
   *
   * Scale notes: the manifest is O(1) metadata — the data write is a
   * normal partitioned parquet write with all of Spark's parallelism;
-  * `read` goes straight to the version directory (no listing of other
-  * versions); `diff` of two versions is the id-keyed full-outer-join
-  * accounting of `LlmData.corpusDiff`, cost O(|vA| + |vB|) on the
-  * uniform id key.
+  * `read` goes straight to the manifest's directory (no listing of
+  * other versions); `diff` of two versions is the id-keyed
+  * full-outer-join accounting of `LlmData.corpusDiff`, cost
+  * O(|vA| + |vB|) on the uniform id key.
   */
 object SnapshotStore {
 
-  final case class Manifest(version: Long, rows: Long, schemaJson: String)
+  final case class Manifest(version: Long, rows: Long, schemaJson: String,
+                            dir: String)
 
-  private def dataPath(root: String, v: Long) = s"$root/v=$v"
-  private def manifestDir(root: String) =
-    java.nio.file.Paths.get(root, "_manifests")
+  private def manifestDir(root: String) = new Path(root, "_manifests")
   private def manifestPath(root: String, v: Long) =
-    manifestDir(root).resolve(s"v$v.json")
+    new Path(manifestDir(root), s"v$v.json")
 
-  /** Publish `df` as version `v`: data first, manifest last (temp +
-    * ATOMIC_MOVE), so the version becomes visible all-at-once. Returns
-    * the manifest. Re-publishing an existing version replaces it. */
+  private def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(root: String): FileSystem =
+    new Path(root).getFileSystem(conf())
+
+  /** Publish `df` as version `v`: data into a fresh nonce directory
+    * first, manifest last (temp + atomic rename-with-overwrite), so the
+    * version becomes visible — or changes content, on a re-publish —
+    * all-at-once. Returns the manifest. */
   def publish(df: DataFrame, root: String, v: Long): Manifest = {
     require(v >= 0, s"version must be >= 0, got $v")
-    df.write.mode(SaveMode.Overwrite).parquet(dataPath(root, v))
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"v=$v-$nonce"
+    val dataDir = new Path(root, dirName)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     // row count from the WRITTEN files, not the input plan — the manifest
     // must describe what a reader will actually see
-    val written = df.sparkSession.read.parquet(dataPath(root, v))
-    val m = Manifest(v, written.count(), written.schema.json)
-    val dir = manifestDir(root)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = java.nio.file.Files.createTempFile(dir, s".v$v", ".tmp")
-    java.nio.file.Files.writeString(tmp,
-      s"""{"version":$v,"rows":${m.rows},"schema":${ujsonEscape(m.schemaJson)}}""")
-    java.nio.file.Files.move(tmp, manifestPath(root, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val written = spark.read.parquet(dataDir.toString)
+    val m = Manifest(v, written.count(), written.schema.json, dirName)
+    val fs = fsOf(root)
+    fs.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root), s".v$v-$nonce.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"version":$v,"rows":${m.rows},"dir":${jsonStr(dirName)},""" +
+        s""""schema":${jsonStr(m.schemaJson)}}""").getBytes(UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE): atomic manifest replacement on HDFS
+    // and local FS alike — THE commit point
+    val fc = FileContext.getFileContext(new Path(root).toUri, conf())
+    fc.rename(tmp, manifestPath(root, v), Options.Rename.OVERWRITE)
     m
   }
 
   /** Committed versions, ascending — only versions whose manifest exists.
-    * Orphan `v=<n>/` directories from crashed writers are NOT listed. */
+    * Orphan data directories from crashed or superseded writers are NOT
+    * listed. */
   def versions(root: String): Seq[Long] = {
-    val dir = manifestDir(root).toFile
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .map(_.getName)
+    val fs = fsOf(root)
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json") }
       .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -71,11 +105,12 @@ object SnapshotStore {
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
   /** Read a committed version (throws if it was never committed, even if
-    * its data directory exists — a manifest IS the commit). */
+    * a data directory for it exists — a manifest IS the commit). */
   def read(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(java.nio.file.Files.exists(manifestPath(root, v)),
+    val fs = fsOf(root)
+    require(fs.exists(manifestPath(root, v)),
       s"version $v was never committed at $root (no manifest)")
-    spark.read.parquet(dataPath(root, v))
+    spark.read.parquet(new Path(root, dataDirOf(root, v)).toString)
   }
 
   /** Read the latest committed version. */
@@ -86,14 +121,44 @@ object SnapshotStore {
 
   /** The manifest's recorded row count — a version sanity check that
     * costs one small file read, not a scan. */
-  def manifestRows(root: String, v: Long): Long = {
-    val s = java.nio.file.Files.readString(manifestPath(root, v))
-    """"rows":(\d+)""".r.findFirstMatchIn(s)
+  def manifestRows(root: String, v: Long): Long =
+    """"rows":(\d+)""".r.findFirstMatchIn(readManifest(root, v))
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"bad manifest for v$v"))
+
+  /** The data directory (relative to root) the manifest for `v` commits
+    * to. Manifests written before the nonce scheme carry no `dir` field
+    * and resolve to the legacy `v=<n>` layout. */
+  def dataDirOf(root: String, v: Long): String =
+    """"dir":"([^"]+)"""".r.findFirstMatchIn(readManifest(root, v))
+      .map(_.group(1)).getOrElse(s"v=$v")
+
+  /** Reclaim unreferenced data directories: every `v=*` child of root
+    * not named by any committed manifest (crashed writers, superseded
+    * re-publishes). Run when no reader is still holding a pre-republish
+    * manifest; returns the deleted directory names. */
+  def vacuum(root: String): Seq[String] = {
+    val fs = fsOf(root)
+    val live = versions(root).map(dataDirOf(root, _)).toSet
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath)
+      .filterNot(p => live.contains(p.getName))
+      .map { p => fs.delete(p, true); p.getName }
   }
 
-  private def ujsonEscape(s: String): String =
+  private def readManifest(root: String, v: Long): String = {
+    val fs = fsOf(root)
+    val in = fs.open(manifestPath(root, v))
+    val bos = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+    finally in.close()
+    new String(bos.toByteArray, UTF_8)
+  }
+
+  private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

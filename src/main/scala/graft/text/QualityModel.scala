@@ -43,6 +43,12 @@ object QualityModel {
       sum(when(isTarget, 1L).otherwise(0L)).as("np"),
       count(lit(1)).as("n")).collect()(0)
     val nPos = Option(counts.get(0)).fold(0L)(_.asInstanceOf[Long])
+    // the config validator can only check the CONFIG; an empty target
+    // slice in the DATA must fail here with an actionable message, not
+    // as an opaque MLlib error on an empty training set
+    require(nPos > 0,
+      s"model_gate: no rows match targetValues ${targetValues.mkString("[", ",", "]")} " +
+        s"in column '$targetCol' — the target-domain seed slice is empty")
     val nRest = math.max(1L, counts.getLong(1) - nPos)
     val frac = math.min(1.0, nPos.toDouble / nRest)
     // deterministic Bernoulli coin on the id — reproducible across runs
@@ -59,20 +65,30 @@ object QualityModel {
         .setNumFeatures(numFeatures),
       new LogisticRegression().setFeaturesCol("__qm_feat")
         .setLabelCol("label").setMaxIter(25).setRegParam(0.01)
-        .setStandardization(false)))
+        .setStandardization(false)
+        // every transform-time output column lives under the reserved
+        // __qm_ prefix: scoring must never collide with (or silently
+        // drop) caller columns named prediction/probability/label —
+        // gates FILTER, they never mutate the caller's schema
+        .setPredictionCol("__qm_pred")
+        .setProbabilityCol("__qm_prob")
+        .setRawPredictionCol("__qm_raw")))
     pipeline.fit(train)
   }
 
   /** Score every document: adds `quality_p` = P(target-like). One
-    * row-local sparse dot per doc — no shuffle, corpus-scan cost. */
+    * row-local sparse dot per doc — no shuffle, corpus-scan cost. All
+    * intermediates are `__qm_`-prefixed (and no label column is needed
+    * at transform time), so the caller's schema passes through intact —
+    * a corpus that already has `label`/`prediction` columns keeps them. */
   def scoreAll(model: PipelineModel, docs: DataFrame,
                textCol: String): DataFrame = {
+    require(!docs.columns.exists(c => c.startsWith("__qm_") || c == "quality_p"),
+      "scoreAll: input must not contain __qm_* or quality_p columns (reserved)")
     val p1 = element_at(vector_to_array(col("__qm_prob")), 2)
-    model.transform(docs.withColumn("label", lit(0.0)))
-      .withColumnRenamed("probability", "__qm_prob")
+    model.transform(docs)
       .withColumn("quality_p", round(p1, 6))
-      .drop("__qm_toks", "__qm_feat", "__qm_prob", "rawPrediction",
-        "prediction", "label")
+      .drop("__qm_toks", "__qm_feat", "__qm_prob", "__qm_raw", "__qm_pred")
   }
 
   private def vector_to_array(c: org.apache.spark.sql.Column) =

@@ -54,6 +54,29 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root, 2).count() shouldBe 150
   }
 
+  it should "re-publish into a fresh directory so committed readers are never invalidated" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val root = freshRoot()
+    val docs = graft.Tables.documents(spark, dir)
+    SnapshotStore.publish(docs.filter(col("doc_id") < 300), root, 1)
+    val oldDir = SnapshotStore.dataDirOf(root, 1)
+    // a reader resolves version 1 BEFORE the re-publish (a training job
+    // mid-epoch); it must keep working afterwards
+    val reader = spark.read.parquet(s"$root/$oldDir")
+    SnapshotStore.publish(docs.filter(col("doc_id") < 150), root, 1)
+    val newDir = SnapshotStore.dataDirOf(root, 1)
+    newDir should not be oldDir
+    reader.count() shouldBe 300          // old directory untouched
+    SnapshotStore.read(spark, root, 1).count() shouldBe 150
+    SnapshotStore.manifestRows(root, 1) shouldBe 150
+    SnapshotStore.versions(root) shouldBe Seq(1L)
+    // vacuum reclaims exactly the superseded directory
+    SnapshotStore.vacuum(root) shouldBe Seq(oldDir)
+    new java.io.File(s"$root/$oldDir").exists() shouldBe false
+    SnapshotStore.read(spark, root, 1).count() shouldBe 150
+    SnapshotStore.vacuum(root) shouldBe empty
+  }
+
   it should "support the continuous-ingest loop: probe new docs against v1, publish v2, diff" in {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val root = freshRoot()

@@ -78,6 +78,33 @@ class QualityModelSpec extends SparkSpec {
       .columns shouldBe staged.columns
   }
 
+  it should "pass caller columns named label/prediction/probability through untouched" in {
+    // the collision case the __qm_ prefix exists for: a corpus that
+    // already carries ML-ish column names must come out of the gate with
+    // those columns intact, values unchanged
+    val docs = staged
+      .withColumn("label", col("doc_id") % 3)
+      .withColumn("prediction", col("doc_id") % 5)
+      .withColumn("probability", col("doc_id") % 7)
+      .cache()
+    val model = QualityModel.fit(docs, "text", "source", Seq("trusted"))
+    val scored = QualityModel.scoreAll(model, docs, "text")
+    scored.columns.toSeq shouldBe (docs.columns.toSeq :+ "quality_p")
+    scored.filter(col("label") =!= col("doc_id") % 3 ||
+      col("prediction") =!= col("doc_id") % 5 ||
+      col("probability") =!= col("doc_id") % 7).count() shouldBe 0L
+    val gated = QualityModel
+      .gate(docs, "text", "source", Seq("trusted"), threshold = 0.5)
+    gated.columns.toSeq shouldBe docs.columns.toSeq
+  }
+
+  it should "fail loudly when the target slice is empty in the data" in {
+    val ex = intercept[IllegalArgumentException] {
+      QualityModel.fit(staged, "text", "source", Seq("no_such_source"))
+    }
+    ex.getMessage should include("no rows match targetValues")
+  }
+
   it should "reject bad model_gate configs in the validator" in {
     val bad = graft.config.GraftConf.fromJson(
       """{
