@@ -165,4 +165,34 @@ class AnnRecallSpec extends SparkSpec {
       f"(${(exact intersect sq8).size}/${exact.size})")
     recall should be >= 0.9
   }
+
+  behavior of "persisted IVF index"
+
+  it should "probe the published index to byte-identical inline results, surviving re-publish + vacuum" in {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inline = rows(LlmData.annIvfTrained(spark, dir))
+    val root = LlmData.ivfIndexPublish(spark, dir)
+    rows(LlmData.annIvfProbeFrom(spark, dir, root)) shouldBe inline
+    // the registry caches the build: same root, no second publish
+    LlmData.ivfIndexPublish(spark, dir) shouldBe root
+    // version bump: re-publish both index tables (a rebuild) — the probe
+    // reads the NEW committed version and old readers were never touched
+    val cents = graft.plans.SnapshotStore.readLatest(spark, s"$root/centroids")
+    val lists = graft.plans.SnapshotStore.readLatest(spark, s"$root/lists")
+    graft.plans.SnapshotStore.publish(cents, s"$root/centroids", 2L)
+    graft.plans.SnapshotStore.publish(lists, s"$root/lists", 2L)
+    graft.plans.SnapshotStore.versions(s"$root/lists") shouldBe Seq(1L, 2L)
+    rows(LlmData.annIvfProbeFrom(spark, dir, root)) shouldBe inline
+    // reclaim superseded directories; the committed versions keep serving
+    graft.plans.SnapshotStore.vacuum(s"$root/centroids")
+    graft.plans.SnapshotStore.vacuum(s"$root/lists")
+    rows(LlmData.annIvfProbeFrom(spark, dir, root)) shouldBe inline
+    // the probe actually reads the published artifact: the inverted
+    // lists come from the index's parquet, not a rebuilt assignment
+    LlmData.annIvfProbeFrom(spark, dir, root)
+      .inputFiles.exists(_.contains("graft-ivf-index")) shouldBe true
+  }
 }
