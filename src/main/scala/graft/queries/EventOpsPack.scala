@@ -94,22 +94,43 @@ object EventOpsPack extends QueryPack {
     * map-side combinable and keyed on the high-cardinality user id — no
     * window, no per-user event sort, no self-join explosion; the scalar
     * stage counts broadcast into one summary row. */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select("user_id", "ts", "event_type")
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("tv"))
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("tv"))
-      .groupBy("user_id").agg(min("ts").as("tc"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("tc"))
-      .groupBy("user_id").agg(min("ts").as("tp"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
-      .select(col("n_view"), col("n_click"), col("n_purchase"),
-        round(col("n_click") / col("n_view"), 6).as("view_to_click"),
-        round(col("n_purchase") / col("n_click"), 6).as("click_to_purchase"))
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+
+  /** The funnel over ANY event frame and ANY ordered stage list (≥2
+    * distinct stages) — one sequential user-keyed min-agg per stage,
+    * each map-side combinable on the high-cardinality user key; the
+    * per-stage scalar counts broadcast into one summary row with
+    * `n_<stage>` and `<a>_to_<b>` conversion columns. Cost is
+    * |stages| keyed aggregates — stages is a config-sized list, never
+    * data-sized. */
+  def funnelStepsOf(events: DataFrame, stages: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2,
+      s"funnel needs >= 2 ordered stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(",")}")
+    val e = events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+      col(typeCol).as("event_type"))
+    // qualifying first-time per stage: an event counts only AFTER the
+    // user's qualifying previous-stage time (strict event order)
+    val perStage = stages.tail.scanLeft(
+      e.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("ts") > col("tp"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    val counts = perStage.zip(stages).map { case (df, st) =>
+      df.agg(count(lit(1)).as(s"n_$st")) }
+    val joined = counts.reduceLeft((a, b) => a.crossJoin(broadcast(b)))
+    val convCols = stages.sliding(2).map { case Seq(a, b) =>
+      round(col(s"n_$b") / col(s"n_$a"), 6).as(s"${a}_to_$b")
+    }.toSeq
+    joined.select(stages.map(st => col(s"n_$st")) ++ convCols: _*)
   }
 
   /** First-touch revenue attribution: every purchase's value credited to

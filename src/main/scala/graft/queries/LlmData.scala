@@ -634,11 +634,27 @@ object LlmData extends QueryPack {
     * query set, stream the corpus partition-parallel; at 100 TB the
     * candidate generation swaps to the ANN index ([[annLsh]]/[[annIvf]])
     * without changing the ranking or the output contract. */
-  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(Tables.embeddings(s, dir), col("vec_id") < 8)
+
+  /** Hard-negative mining over ANY (vec_id, label, embedding) frame with
+    * an ARBITRARY query-set predicate. The query set is broadcast, so its
+    * size is validated against `maxQueries` (a loud failure, not a silent
+    * executor OOM) — a larger query set belongs on the ANN index path
+    * ([[annIvfProbeFrom]]), which swaps in without changing the ranking
+    * or the output contract. */
+  def hardNegativesOf(emb: DataFrame,
+                      queryPred: org.apache.spark.sql.Column,
+                      maxQueries: Long = 4096): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("label"), vecNorm(col("embedding")).as("vn"))
-    val q = e.filter(col("vec_id") < 8)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("label").as("ql"), col("vn").as("qv"))
+    val nq = q.count()
+    require(nq > 0, "hard_negatives: query predicate selected no rows")
+    require(nq <= maxQueries,
+      s"hard_negatives: query set has $nq rows, over the broadcast bound " +
+        s"$maxQueries — use the persisted ANN index path for large query sets")
     val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"), col("vn").as("cv"))
     val scored = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("ql"), col("c_id"), col("cl"),

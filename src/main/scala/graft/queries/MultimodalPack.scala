@@ -137,19 +137,31 @@ object MultimodalPack extends QueryPack {
       .filter(col("n_frames") > 1)
       .orderBy("frame_md5")
 
+  /** Expected-pair budget for [[mediaNeardupSampled]]: the keep
+    * probability is DERIVED from this, not pinned — p = min(1,
+    * √(2·budget / n(n−1))), so the sampled pair count stays ≈ the budget
+    * (conservatively: within-kind pairs ≤ all pairs) no matter how large
+    * the corpus grows. At 10× the docs, p falls ~10× and the quadratic
+    * stage does the SAME work — the corpus size bounds nothing. */
+  private val NeardupPairBudget = 20000L
+
   /** The SAMPLED similarity histogram — [[mediaNeardup]]'s documented
     * 100 TB path made concrete: docs are kept by a DETERMINISTIC md5 coin
-    * (replayable in the oracle), pairs form only within the sample, and
-    * the histogram is the unbiased shape estimate at ~1/16 of the pair
-    * cost (¼ of docs → 1/16 of pairs). The exact twin stays the
-    * correctness baseline; this is the plan a 1000-executor run ships —
-    * sampling rate tuned so the surviving pair count, not the corpus
-    * size, bounds the quadratic stage. */
+    * (replayable in the oracle) whose rate comes from
+    * [[NeardupPairBudget]] and the (cheap, driver-side) doc count —
+    * the same O(1)-state derivation as `adaptiveCoarseK`. Pairs form
+    * only within the sample, and the histogram is the unbiased shape
+    * estimate whose cost is bounded by the PAIR BUDGET, not the corpus
+    * size. The exact twin stays the correctness baseline; this is the
+    * plan a 1000-executor run ships. */
   def mediaNeardupSampled(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
-    val feats = mediaFrom(s, dir).toDF()
-      .filter(expr(
-        "conv(substring(md5(cast(media_id AS string)), 1, 8), 16, 10) % 4 = 0"))
+    val media = mediaFrom(s, dir).toDF()
+    val n = media.count()
+    val p = keepProbability(n)
+    val feats = media
+      .filter(conv(substring(md5(col("media_id").cast("string")), 1, 8),
+        16, 10).cast("double") / 4294967296.0 < lit(p))
       .select(col("media_id"), col("kind"),
         expr("cast(content AS string)").as("t"))
       .withColumn("fv", expr(
@@ -170,6 +182,14 @@ object MultimodalPack extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("kind", "bucket_pct")
   }
+
+  /** p = min(1, √(2·budget / n(n−1))) — expected sampled pairs ≈ p²·C(n,2)
+    * ≈ the budget. Pure IEEE-double arithmetic, replayed verbatim by the
+    * oracle's `least(1.0, sqrt(2.0 * budget / (n * (n - 1.0))))` CTE. */
+  private[queries] def keepProbability(n: Long): Double =
+    if (n < 2) 1.0
+    else math.min(1.0,
+      math.sqrt(2.0 * NeardupPairBudget / (n.toDouble * (n - 1.0))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frames" -> mediaFrames,
@@ -244,11 +264,15 @@ object MultimodalPack extends QueryPack {
         | count(*)::BIGINT AS n_pairs
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "media_neardup_sampled" ->
-      """WITH m AS (SELECT doc_id AS media_id,
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        | pp AS (SELECT CASE WHEN n < 2 THEN 1.0 ELSE
+        |     least(1.0, sqrt(2.0 * 20000 / (n * (n - 1.0)))) END AS p FROM nn),
+        | m AS (SELECT doc_id AS media_id,
         |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |        ELSE 'video' END AS kind,
-        |   text AS t FROM documents
-        |   WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+        |   text AS t FROM documents, pp
+        |   WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |       / 4294967296.0 < p),
         | f AS (SELECT media_id, kind,
         |   list_transform(range(0, 16), j ->
         |     coalesce(list_sum(list_transform(
