@@ -1920,6 +1920,69 @@ object LlmData extends QueryPack {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney trigram perplexity — the next rung of the
+    * fidelity ladder toward CCNet's 5-gram KenLM scoring ([[unigramPpl]]
+    * → [[bigramPpl]] → this): absolute discount D=0.75 at the trigram
+    * level, KN CONTINUATION counts (type counts, not token counts) at
+    * the bigram/unigram levels, fully interpolated:
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2)
+    *              + D·N1+(w1w2·)/c(w1w2) · p(w3|w2)
+    *   p(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *              + D·N1+(w2·)/N1+(·w2·) · p_cont(w3)
+    *   p_cont(w3) = N1+(·w3)/N1+(··)       (over distinct (w2,w3) types)
+    *
+    * This is what ranks a FLUENT document below a shuffled-token one —
+    * unigram perplexity cannot separate them at all (same token
+    * multiset ⇒ identical score; LlmQualitySpec proves both claims).
+    *
+    * Scale shape: trigrams are a row-local transform of the token array;
+    * every LM table is a map-side-combining agg on uniform token keys
+    * (trigram/bigram/unigram types); scoring is one trigram-keyed join.
+    * The only driver/broadcast state is the 1-row N1+(··) scalar. */
+  def trigramPpl(s: SparkSession, dir: String): DataFrame =
+    trigramPplOf(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The KN trigram perplexity over ANY (id, text) frame. Docs shorter
+    * than 3 tokens have no trigrams and get no row. */
+  def trigramPplOf(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val D = 0.75
+    val tg = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .filter("size(toks) >= 3")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(2, size(toks) - 1),
+          |  i -> struct(toks[i - 2] AS w1, toks[i - 1] AS w2,
+          |              toks[i] AS w3))) AS g""".stripMargin)
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .cache() // feeds the LM build and the scoring join
+    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .cache() // the trigram TYPE table every KN count derives from
+    val c12 = c3.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("nt12"))
+    val m23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n23"))
+    val d2 = c3.groupBy("w2")
+      .agg(count(lit(1)).as("nd2"), countDistinct("w3").as("n2d"))
+    val c3c = c3.select("w2", "w3").distinct()
+      .groupBy("w3").agg(count(lit(1)).as("nd3"))
+    val ndd = c3.select("w2", "w3").distinct().agg(count(lit(1)).as("ndd"))
+    val lm = c3.join(c12, Seq("w1", "w2")).join(m23, Seq("w2", "w3"))
+      .join(d2, Seq("w2")).join(c3c, Seq("w3")).crossJoin(broadcast(ndd))
+      .select(col("w1"), col("w2"), col("w3"),
+        log(greatest(col("c3") - D, lit(0.0)) / col("c12") +
+          lit(D) * col("nt12") / col("c12") *
+            (greatest(col("n23") - D, lit(0.0)) / col("nd2") +
+              lit(D) * col("n2d") / col("nd2") *
+                (col("nd3") / col("ndd")))).as("lp"))
+    tg.join(lm, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
   /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the
     * corpus (tier 1 = lowest-perplexity "head" kept for training, tier 3 =
     * "tail" dropped or down-weighted). Exact tiering via the two-pass
@@ -2254,6 +2317,7 @@ object LlmData extends QueryPack {
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "unigram_ppl" -> unigramPpl,
     "bigram_ppl" -> bigramPpl,
+    "trigram_ppl" -> trigramPpl,
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3209,6 +3273,39 @@ object LlmData extends QueryPack {
         |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
         | count(*)::BIGINT AS n_bigrams
         |FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "trigram_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        | tg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+        |     toks[i + 2] AS w3
+        |   FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+        | c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3
+        |   FROM tg GROUP BY w1, w2, w3),
+        | c12 AS (SELECT w1, w2, sum(c3)::BIGINT AS c12,
+        |     count(*)::BIGINT AS nt12 FROM c3 GROUP BY w1, w2),
+        | m23 AS (SELECT w2, w3, count(*)::BIGINT AS n23
+        |   FROM c3 GROUP BY w2, w3),
+        | d2 AS (SELECT w2, count(*)::BIGINT AS nd2,
+        |     count(DISTINCT w3)::BIGINT AS n2d FROM c3 GROUP BY w2),
+        | c3c AS (SELECT w3, count(*)::BIGINT AS nd3
+        |   FROM (SELECT DISTINCT w2, w3 FROM c3) GROUP BY w3),
+        | ndd AS (SELECT count(*)::BIGINT AS ndd
+        |   FROM (SELECT DISTINCT w2, w3 FROM c3)),
+        | lm AS (SELECT c3.w1, c3.w2, c3.w3,
+        |     ln(greatest(c3.c3 - 0.75, 0.0) / c12.c12
+        |        + 0.75 * c12.nt12 / c12.c12 *
+        |          (greatest(m23.n23 - 0.75, 0.0) / d2.nd2
+        |           + 0.75 * d2.n2d / d2.nd2 *
+        |             (c3c.nd3 / ndd.ndd))) AS lp
+        |   FROM c3
+        |     JOIN c12 ON c12.w1 = c3.w1 AND c12.w2 = c3.w2
+        |     JOIN m23 ON m23.w2 = c3.w2 AND m23.w3 = c3.w3
+        |     JOIN d2 ON d2.w2 = c3.w2
+        |     JOIN c3c ON c3c.w3 = c3.w3, ndd)
+        |SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS ppl,
+        | count(*)::BIGINT AS n_trigrams
+        |FROM tg JOIN lm USING (w1, w2, w3) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "source_report" ->
       """WITH d AS (SELECT source, lang, text,

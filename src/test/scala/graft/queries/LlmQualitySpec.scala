@@ -409,6 +409,29 @@ class LlmQualitySpec extends SparkSpec {
     r.getLong(5) should be <= nBins // n_full90
   }
 
+  behavior of "trigramPplOf"
+
+  it should "rank a fluent doc below its token-shuffle where unigram ppl cannot separate them" in {
+    import spark.implicits._
+    // a corpus of repeated fluent patterns, plus one fluent probe doc and
+    // one probe with the SAME token multiset in scrambled order. Unigram
+    // perplexity depends only on the multiset — identical by construction
+    // — while the KN trigram model must prefer the fluent sequence.
+    val phrase = "the cat sat on the mat and the dog ran to the house"
+    val corpus = (0 until 20).map(i => (i.toLong, phrase))
+    val fluent = (100L, "the cat ran to the house and the dog sat on the mat")
+    val shuffled = (101L, "house the to cat the ran and mat the dog on sat the")
+    val docs = (corpus :+ fluent :+ shuffled).toDF("doc_id", "text")
+    val tri = LlmData.trigramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = LlmData.unigramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    uni(100L) shouldBe uni(101L) // unigram ppl is blind to word order
+    tri(100L) should be < tri(101L) // the KN trigram model is not
+    // and the in-distribution corpus docs score best of all
+    tri(0L) should be < tri(100L)
+  }
+
   behavior of "dedupNormalizedOf"
 
   it should "keep distinct non-Latin documents distinct while merging re-encoded copies" in {
