@@ -26,6 +26,14 @@ final case class LatestRow(
     user_id: Long, us: Long, last_event: Long, last_type: String,
     last_value: Double)
 
+final case class FunnelProgress(times: Seq[Long])
+
+final case class FunnelAdvance(
+    user_id: Long, stage_idx: Int, stage: String, us: Long)
+
+final case class TouchAttribution(
+    user_id: Long, first_touch: String, event_id: Long, value: Double)
+
 /** Structured-Streaming twins of the batch operators: the same logical
   * semantics expressed over an unbounded source (`readStream` → transform →
   * `writeStream`), with state bounded by watermarks where the operator
@@ -156,6 +164,74 @@ object StreamOps {
             } else memo = memo.copy(lastUs = us)
           }
           state.update(memo)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming funnel progress — the live twin of
+    * `EventOpsPack.funnelStepsOf`: per user, a stage qualifies only
+    * STRICTLY AFTER the user's qualifying previous-stage event (the same
+    * strict event order as the batch min-agg chain). Emits one
+    * [[FunnelAdvance]] the moment a user first reaches each stage, so
+    * `count(*) GROUP BY stage_idx` over the emitted stream IS the batch
+    * funnel's n_<stage> column on an in-order replay (StreamOpsSpec
+    * proves the equality). Per-user state is |stages| longs — a
+    * config-sized array, never event-sized. */
+  def funnelAdvances(events: Dataset[Event],
+                     stages: Seq[String]): Dataset[FunnelAdvance] = {
+    require(stages.size >= 2,
+      s"funnel needs >= 2 ordered stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(",")}")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(stages.size)(Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            idx.get(e.event_type).foreach { k =>
+              val us = e.ts.getTime * 1000
+              val prevOk = k == 0 ||
+                (times(k - 1) != Long.MinValue && us > times(k - 1))
+              if (times(k) == Long.MinValue && prevOk) {
+                times(k) = us
+                out += FunnelAdvance(uid, k, stages(k), us)
+              }
+            }
+          }
+          state.update(FunnelProgress(times.toSeq))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming first-touch attribution — the live twin of
+    * `EventOpsPack.firstTouchAttribution`: per-user state is ONE string
+    * (the first event type ever seen, set once, exactly the batch
+    * rn=1 window row); every purchase emits its revenue credited to that
+    * first touch. `GROUP BY first_touch: count, sum(value)` over the
+    * emitted stream equals the batch attribution on an in-order replay
+    * (StreamOpsSpec proves it). */
+  def firstTouchAttributions(events: Dataset[Event],
+                             purchaseType: String = "purchase")
+      : Dataset[TouchAttribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[String]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var first = state.getOption.orNull
+          val out = Seq.newBuilder[TouchAttribution]
+          sorted.foreach { e =>
+            if (first == null) { first = e.event_type; state.update(first) }
+            if (e.event_type == purchaseType)
+              out += TouchAttribution(uid, first, e.event_id, e.value)
+          }
           out.result().iterator
       }
   }

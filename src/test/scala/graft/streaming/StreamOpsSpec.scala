@@ -397,4 +397,85 @@ class StreamOpsSpec extends SparkSpec {
       streamed shouldBe batch
     } finally q.stop()
   }
+
+  it should "advance a streaming funnel equal to the batch funnel on an in-order replay" in {
+    // u1 completes all stages; u2 does the 2nd stage BEFORE the 1st (the
+    // strict-order trap — must not count); u3 stops after stage 1; u4
+    // starts at stage 2 with no stage-1 event (never counted); u1's last
+    // stage arrives in a LATER micro-batch than its earlier stages.
+    val stages = Seq("view", "click", "purchase")
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "click", 1.0),
+      Event(3, ts(0), 2, "click", 1.0), Event(4, ts(1), 2, "view", 1.0),
+      Event(5, ts(0), 3, "view", 1.0),
+      Event(6, ts(0), 4, "click", 1.0))
+    val batch2 = Seq(
+      Event(7, ts(2), 1, "purchase", 5.0),
+      Event(8, ts(2), 2, "click", 1.0),   // now AFTER u2's view → counts
+      Event(9, ts(3), 4, "purchase", 2.0)) // still no view → not counted
+    val in = MemoryStream[Event]
+    val q = StreamOps.funnelAdvances(in.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_adv")
+        .groupBy("stage_idx").count()
+        .as[(Int, Long)].collect().toMap
+      val batchRow = graft.queries.EventOpsPack
+        .funnelStepsOf((batch1 ++ batch2).toDF(), stages).collect().head
+      streamed.getOrElse(0, 0L) shouldBe batchRow.getLong(0)
+      streamed.getOrElse(1, 0L) shouldBe batchRow.getLong(1)
+      streamed.getOrElse(2, 0L) shouldBe batchRow.getLong(2)
+      // each user advances each stage at most once across ALL batches
+      spark.table("funnel_adv").groupBy("user_id", "stage_idx").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1)
+        .count() shouldBe 0L
+    } finally q.stop()
+  }
+
+  it should "credit streaming purchases to the first touch equal to the batch attribution" in {
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "view", 0.0), Event(2, ts(1), 1, "purchase", 10.0),
+      Event(3, ts(0), 2, "click", 0.0),
+      Event(4, ts(0), 3, "purchase", 7.0)) // purchase IS the first touch
+    val batch2 = Seq(
+      Event(5, ts(2), 1, "purchase", 5.0), // still credited to "view"
+      Event(6, ts(1), 2, "purchase", 3.0),
+      Event(7, ts(1), 3, "view", 0.0))
+    val in = MemoryStream[Event]
+    val q = StreamOps.firstTouchAttributions(in.toDS())
+      .writeStream.format("memory").queryName("first_touch_attr")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("first_touch_attr")
+        .groupBy("first_touch")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum("value"), 2).as("rev"))
+        .as[(String, Long, Double)].collect().toSet
+      // batch twin computed directly: rn=1 first touch per user → join
+      val all = (batch1 ++ batch2).toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(org.apache.spark.sql.functions.col("ts").asc,
+          org.apache.spark.sql.functions.col("event_id").asc)
+      val first = all
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter("rn = 1").select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type").as("first_touch"))
+      val batch = all.filter("event_type = 'purchase'")
+        .join(first, "user_id").groupBy("first_touch")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum("value"), 2).as("rev"))
+        .as[(String, Long, Double)].collect().toSet
+      streamed shouldBe batch
+      streamed.map(_._1) should contain allOf ("view", "click", "purchase")
+    } finally q.stop()
+  }
 }
