@@ -1983,6 +1983,92 @@ object LlmData extends QueryPack {
         count(lit(1)).as("n_trigrams"))
   }
 
+  /** Okapi BM25 top-k retrieval (k1=1.2, b=0.75, Lucene's non-negative
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))) for a bounded query term set —
+    * the retrieval primitive training-data curation leans on (find the
+    * docs most "about" a probe query: eval-set decontamination by
+    * retrievability, targeted domain harvesting, RAG index sanity).
+    *
+    * Scale shape: the token stream is a row-local explode filtered to
+    * the O(|terms|) query vocabulary BEFORE any shuffle, so tf is an agg
+    * over hits only, df is O(terms) rows, and the corpus-wide stats
+    * (N, avgdl) are one map-side-combining agg broadcast as a 1-row
+    * frame. Per-term scores land in FIXED-ORDER summed columns (not a
+    * group-order-dependent float sum), keeping the score bit-reproducible
+    * cross-engine; top-k is TakeOrderedAndProject on the rounded score —
+    * per-partition top-k merged on the driver, no global sort. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "join", "window"), 10)
+
+  /** BM25 over ANY (id, text) frame and ANY bounded term set. */
+  def bm25TopKOf(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"bm25: term set must be 1..64 terms, got ${terms.size}")
+    require(terms.distinct.size == terms.size, "bm25: terms must be distinct")
+    val d = docs.selectExpr(s"$idCol AS doc_id",
+      s"size(split($textCol, ' ')) AS dl").cache()
+    val st = d.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = docs
+      .selectExpr(s"$idCol AS doc_id", s"explode(split($textCol, ' ')) AS w")
+      .filter(col("w").isin(terms.map(t => t: Any): _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfq), "w").join(d, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("w"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("s"))
+    val score = terms.map(t =>
+      coalesce(max(when(col("w") === t, col("s"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    sc.groupBy("doc_id")
+      .agg(round(score, 6).as("score"), count(lit(1)).as("n_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** PMI collocation mining — the phrase-discovery pass a corpus curator
+    * runs to find multi-word expressions worth protecting from
+    * tokenization/shuffling: pointwise mutual information of adjacent
+    * token pairs, ln((c₂/N₂) / ((c₁(a)/N₁)·(c₁(b)/N₁))), floored at
+    * `minCount` co-occurrences so rare-pair noise can't dominate.
+    * Bigram/unigram counts are map-side-combining aggs on uniform token
+    * keys; the two totals ride in as a broadcast 1-row frame; top-k is
+    * TakeOrderedAndProject on the rounded score. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    pmiBigramsOf(Tables.documents(s, dir), "doc_id", "text",
+      minCount = 5, k = 20)
+
+  /** PMI over ANY (id, text) frame. */
+  def pmiBigramsOf(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val toks = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+    val uni = toks.selectExpr("explode(toks) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c1")).cache()
+    val bg = toks.filter("size(toks) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS b""".stripMargin)
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val totals = uni.agg(sum("c1").as("n1")).crossJoin(
+      broadcast(bg.agg(count(lit(1)).as("n2"))))
+    c2.join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2") / col("n2")) /
+          ((col("c1a") / col("n1")) * (col("c1b") / col("n1")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the
     * corpus (tier 1 = lowest-perplexity "head" kept for training, tier 3 =
     * "tail" dropped or down-weighted). Exact tiering via the two-pass
@@ -2318,6 +2404,8 @@ object LlmData extends QueryPack {
     "unigram_ppl" -> unigramPpl,
     "bigram_ppl" -> bigramPpl,
     "trigram_ppl" -> trigramPpl,
+    "bm25_topk" -> bm25TopK,
+    "pmi_bigrams" -> pmiBigrams,
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3274,6 +3362,45 @@ object LlmData extends QueryPack {
         | count(*)::BIGINT AS n_bigrams
         |FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+        |     len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        | st AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM d),
+        | tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+        |     SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |     FROM documents)
+        |   WHERE w IN ('spark', 'join', 'window') GROUP BY doc_id, w),
+        | dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+        | sc AS (SELECT tf.doc_id, tf.w,
+        |     ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS s
+        |   FROM tf JOIN dfq USING (w) JOIN d USING (doc_id), st),
+        | agg AS (SELECT doc_id,
+        |     coalesce(max(CASE WHEN w = 'spark' THEN s END), 0.0)
+        |     + coalesce(max(CASE WHEN w = 'join' THEN s END), 0.0)
+        |     + coalesce(max(CASE WHEN w = 'window' THEN s END), 0.0) AS score,
+        |     count(*)::BIGINT AS n_hit
+        |   FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(score, 6) AS score, n_hit FROM agg
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+    "pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents),
+        | uni AS (SELECT w, count(*)::BIGINT AS c1 FROM (
+        |     SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        | bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |   FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |   WHERE len(toks) >= 2),
+        | c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg
+        |   GROUP BY w1, w2 HAVING count(*) >= 5),
+        | tot AS (SELECT (SELECT sum(c1)::BIGINT FROM uni) AS n1,
+        |   (SELECT count(*)::BIGINT FROM bg) AS n2)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        | round(ln((c2.c2 / tot.n2) / ((a.c1 / tot.n1) * (b.c1 / tot.n1))), 6)
+        |   AS pmi
+        |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tot
+        |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin,
     "trigram_ppl" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |   FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -432,6 +432,51 @@ class LlmQualitySpec extends SparkSpec {
     tri(0L) should be < tri(100L)
   }
 
+  behavior of "bm25TopKOf"
+
+  it should "rank term-dense short docs first and honor idf across terms" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark join"),            // dense in query terms
+      (2L, "spark join " + ("filler " * 40).trim), // same hits, long doc
+      (3L, "rare rare rare rare"),               // no hits — must not appear
+      (4L, "spark join window"),                 // all three terms
+      (5L, "filler filler filler spark")
+    ).toDF("doc_id", "text")
+    val out = LlmData
+      .bm25TopKOf(docs, "doc_id", "text", Seq("spark", "join", "window"), 10)
+      .collect()
+    val ids = out.map(_.getLong(0))
+    ids should not contain 3L
+    // all-terms doc beats the single-term filler doc; length norm makes
+    // the short dense doc beat the long doc with identical hits
+    ids.indexOf(4L) should be < ids.indexOf(5L)
+    ids.indexOf(1L) should be < ids.indexOf(2L)
+    // loud validation
+    intercept[IllegalArgumentException](
+      LlmData.bm25TopKOf(docs, "doc_id", "text", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      LlmData.bm25TopKOf(docs, "doc_id", "text", Seq("a", "a"), 5))
+  }
+
+  behavior of "pmiBigramsOf"
+
+  it should "surface a planted collocation above independent co-occurrences" in {
+    import spark.implicits._
+    // "hong kong" always co-occur (perfect collocation); "the data" both
+    // frequent but independent
+    val base = "the data the model the data the value"
+    val docs = (0 until 10).map(i => (i.toLong, s"hong kong $base"))
+      .toDF("doc_id", "text")
+    val rows = LlmData.pmiBigramsOf(docs, "doc_id", "text",
+        minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    rows.head._1 shouldBe "hong"
+    rows.head._2 shouldBe "kong"
+    val pmi = rows.map(r => (r._1, r._2) -> r._3).toMap
+    pmi(("hong", "kong")) should be > pmi(("the", "data"))
+  }
+
   behavior of "dedupNormalizedOf"
 
   it should "keep distinct non-Latin documents distinct while merging re-encoded copies" in {
