@@ -27,7 +27,11 @@ object ScalingBench {
     "doc_entropy",        // token-keyed + doc-keyed agg
     "unigram_ppl",        // corpus LM fit + per-doc score
     "span_scrub",         // block-hash first-occurrence + doc rebuild
-    "hard_negatives")     // broadcast-bounded query set × streamed corpus
+    "hard_negatives",     // broadcast-bounded query set × streamed corpus
+    "trigram_ppl",        // KN trigram LM fit + trigram-keyed score join
+    "interevent_gaps",    // keyed lag window + rank-selected percentiles
+    "ann_probe_persisted", // probe-only serving path over published index
+    "bm25_topk")          // filtered token stream + fixed-order score
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
