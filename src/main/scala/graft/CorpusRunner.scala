@@ -269,8 +269,7 @@ object CorpusRunner extends Logging {
         // function of the id — reproducible, stable under corpus growth
         val counts = df.groupBy(step.groupColumn)
           .agg(count(lit(1)).as("__n"))
-        val rv = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
-          .cast("double") * 100.0 / 4294967296.0
+        val rv = graft.functions.GraftFunctions.md5CoinPct(col(id))
         df.join(broadcast(counts), step.groupColumn)
           .filter(rv < lit(100.0) * lit(step.quota) / col("__n"))
           .drop("__n")
@@ -284,8 +283,7 @@ object CorpusRunner extends Logging {
           .withColumn("__p", round(least(lit(1.0),
             lit(step.quota) * pow(col("__n"), step.alpha - 1) / col("__tot")), 6))
           .select(col(step.groupColumn), col("__p"))
-        val rv = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
-          .cast("double") / 4294967296.0
+        val rv = graft.functions.GraftFunctions.md5Coin(col(id))
         df.join(broadcast(probs), step.groupColumn)
           .filter(rv < col("__p")).drop("__p")
       case "token_mix" =>
@@ -302,8 +300,7 @@ object CorpusRunner extends Logging {
           .withColumn("__p", round(least(lit(1.0),
             lit(step.quota) * pow(col("__t"), step.alpha - 1) / col("__tot")), 6))
           .select(col(step.groupColumn), col("__p"))
-        val coin = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
-          .cast("double") / 4294967296.0
+        val coin = graft.functions.GraftFunctions.md5Coin(col(id))
         withTok.join(broadcast(probs), step.groupColumn)
           .filter(coin < col("__p")).drop("__p", "__ntok")
       case other =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.{call_function, conv, lit, md5, substring}
 
 /** Registration of the graft native expressions as SQL functions through
   * the public `SparkSessionExtensions` hook (wired by `GraftSession` via
@@ -61,4 +61,21 @@ object GraftFunctions {
   /** winnowing rolling-hash fingerprint of a string column. */
   def textWinnow(s: Column, k: Int, w: Int): Column =
     call_function("text_winnow", s, lit(k), lit(w))
+
+  /** Deterministic uniform-[0,1) coin from a column's md5 (first 8 hex
+    * digits / 2³²) — the reproducible, partition-independent Bernoulli
+    * every sampling/split operator uses, replayable in any engine.
+    * DuckDB twin: `('0x' || substr(md5(x::VARCHAR), 1, 8))::BIGINT
+    * / 4294967296.0`. ONE definition — the coin and its oracle twin
+    * must never drift per call site. */
+  def md5Coin(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** [[md5Coin]] scaled to [0,100) with the (h·100)/2³² evaluation
+    * order the percent-threshold oracles replay (NOT (h/2³²)·100 —
+    * the FP rounding differs in the last bit). */
+  def md5CoinPct(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("double") * 100.0 / 4294967296.0
 }

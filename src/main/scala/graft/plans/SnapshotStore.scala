@@ -54,8 +54,10 @@ object SnapshotStore {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  private def fsOf(root: String): FileSystem =
-    new Path(root).getFileSystem(conf())
+  private def fsOf(root: String, c: Configuration): FileSystem =
+    new Path(root).getFileSystem(c)
+
+  private def fsOf(root: String): FileSystem = fsOf(root, conf())
 
   /** Publish `df` as version `v`: data into a fresh nonce directory
     * first, manifest last (temp + atomic rename-with-overwrite), so the
@@ -72,7 +74,13 @@ object SnapshotStore {
     // must describe what a reader will actually see
     val written = spark.read.parquet(dataDir.toString)
     val m = Manifest(v, written.count(), written.schema.json, dirName)
-    val fs = fsOf(root)
+    // conf from the DataFrame's OWN session, not the thread-local active
+    // session: the manifest must resolve the same FileSystem (same
+    // fs.s3a.* credentials etc.) as the data write — a driver-side
+    // thread pool has no active session and a bare Configuration would
+    // silently target a different/unconfigured FS
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(root, hc)
     fs.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".v$v-$nonce.tmp")
     val out = fs.create(tmp, true)
@@ -82,7 +90,7 @@ object SnapshotStore {
     finally out.close()
     // FileContext.rename(OVERWRITE): atomic manifest replacement on HDFS
     // and local FS alike — THE commit point
-    val fc = FileContext.getFileContext(new Path(root).toUri, conf())
+    val fc = FileContext.getFileContext(new Path(root).toUri, hc)
     fc.rename(tmp, manifestPath(root, v), Options.Rename.OVERWRITE)
     m
   }
@@ -133,20 +141,36 @@ object SnapshotStore {
     """"dir":"([^"]+)"""".r.findFirstMatchIn(readManifest(root, v))
       .map(_.group(1)).getOrElse(s"v=$v")
 
-  /** Reclaim unreferenced data directories: every `v=*` child of root
-    * not named by any committed manifest (crashed writers, superseded
-    * re-publishes). Run when no reader is still holding a pre-republish
-    * manifest; returns the deleted directory names. */
-  def vacuum(root: String): Seq[String] = {
+  /** Reclaim unreferenced storage: `v=*` data directories not named by
+    * any committed manifest (crashed writers, superseded re-publishes)
+    * and stale `.v*.tmp` manifest temp files. Only items whose
+    * modification time is older than `graceMs` are touched — an
+    * IN-FLIGHT publish's data directory has no manifest yet and must
+    * never be swept out from under it, so the grace window must exceed
+    * the longest plausible publish (default 1h). Run when no reader is
+    * still holding a pre-republish manifest; returns the deleted names. */
+  def vacuum(root: String, graceMs: Long = 3600000L): Seq[String] = {
     val fs = fsOf(root)
     val live = versions(root).map(dataDirOf(root, _)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) Seq.empty
-    else fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath)
-      .filterNot(p => live.contains(p.getName))
-      .map { p => fs.delete(p, true); p.getName }
+    else {
+      val orphanDirs = fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+          st.getModificationTime < cutoff)
+        .map(_.getPath)
+        .filterNot(p => live.contains(p.getName))
+      val mDir = manifestDir(root)
+      val staleTmps =
+        if (!fs.exists(mDir)) Seq.empty
+        else fs.listStatus(mDir).toSeq
+          .filter(st => st.getPath.getName.startsWith(".v") &&
+            st.getPath.getName.endsWith(".tmp") &&
+            st.getModificationTime < cutoff)
+          .map(_.getPath)
+      (orphanDirs ++ staleTmps).map { p => fs.delete(p, true); p.getName }
+    }
   }
 
   private def readManifest(root: String, v: Long): String = {

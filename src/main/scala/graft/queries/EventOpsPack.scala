@@ -112,6 +112,10 @@ object EventOpsPack extends QueryPack {
       s"funnel needs >= 2 ordered stages, got ${stages.size}")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got ${stages.mkString(",")}")
+    // stage names become output column names (n_<stage>, <a>_to_<b>) —
+    // a dot or backtick would silently break col() resolution
+    require(stages.forall(_.matches("[A-Za-z0-9_]+")),
+      s"funnel stage names must be [A-Za-z0-9_]+, got ${stages.mkString(",")}")
     val e = events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
       col(typeCol).as("event_type"))
     // qualifying first-time per stage: an event counts only AFTER the

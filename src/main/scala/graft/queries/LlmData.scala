@@ -441,8 +441,7 @@ object LlmData extends QueryPack {
     val docs = Tables.documents(s, dir).select("doc_id")
     val lbl = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
-    val coin = conv(substring(md5(col("lbl").cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val coin = graft.functions.GraftFunctions.md5Coin(col("lbl"))
     val sided = lbl
       .withColumn("side", when(coin < trainFrac, "train").otherwise("eval"))
       .cache()
@@ -650,11 +649,14 @@ object LlmData extends QueryPack {
       .select(col("vec_id"), col("label"), vecNorm(col("embedding")).as("vn"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("label").as("ql"), col("vn").as("qv"))
-    val nq = q.count()
+      .cache() // shared by the bound check and the broadcast probe side
+    // bounded validation scan: limit(max+1) answers both "empty?" and
+    // "over the broadcast bound?" without a full count of the corpus
+    val nq = q.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
     require(nq > 0, "hard_negatives: query predicate selected no rows")
     require(nq <= maxQueries,
-      s"hard_negatives: query set has $nq rows, over the broadcast bound " +
-        s"$maxQueries — use the persisted ANN index path for large query sets")
+      s"hard_negatives: query set exceeds the broadcast bound $maxQueries " +
+        "— use the persisted ANN index path for large query sets")
     val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"), col("vn").as("cv"))
     val scored = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("ql"), col("c_id"), col("cl"),
@@ -1480,8 +1482,7 @@ object LlmData extends QueryPack {
   def sourceMixSample(s: SparkSession, dir: String, quota: Double = 10.0): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val rv = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") * 100.0 / 4294967296.0
+    val rv = graft.functions.GraftFunctions.md5CoinPct(col("doc_id"))
     docs.join(broadcast(counts), "source")
       .filter(rv < lit(100.0) * lit(quota) / col("n_src"))
       .select("source", "doc_id")
@@ -1508,8 +1509,7 @@ object LlmData extends QueryPack {
       .withColumn("keep_p", round(least(lit(1.0),
         lit(budget.toDouble) * pow(col("n_src"), alpha - 1) / col("tot")), 6))
       .select("source", "n_src", "keep_p")
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val u = graft.functions.GraftFunctions.md5Coin(col("doc_id"))
     docs.join(broadcast(probs), "source")
       .filter(u < col("keep_p"))
       .groupBy("source")
@@ -1536,8 +1536,7 @@ object LlmData extends QueryPack {
       .withColumn("keep_p", round(least(lit(1.0),
         lit(budgetTokens.toDouble) * pow(col("tok_src"), alpha - 1) / col("tot")), 6))
       .select("source", "tok_src", "keep_p")
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val u = graft.functions.GraftFunctions.md5Coin(col("doc_id"))
     docs.join(broadcast(probs), "source")
       .filter(u < col("keep_p"))
       .groupBy("source")

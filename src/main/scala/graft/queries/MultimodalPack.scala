@@ -160,8 +160,7 @@ object MultimodalPack extends QueryPack {
     val n = media.count()
     val p = keepProbability(n)
     val feats = media
-      .filter(conv(substring(md5(col("media_id").cast("string")), 1, 8),
-        16, 10).cast("double") / 4294967296.0 < lit(p))
+      .filter(graft.functions.GraftFunctions.md5Coin(col("media_id")) < lit(p))
       .select(col("media_id"), col("kind"),
         expr("cast(content AS string)").as("t"))
       .withColumn("fv", expr(

@@ -47,6 +47,15 @@ final case class TouchAttribution(
   */
 object StreamOps {
 
+  /** Exact event-time MICROS from a Timestamp. `getTime` truncates to
+    * milliseconds; the batch twins compare full-precision timestamps
+    * (the events table is nanosecond parquet), so sub-ms ordering — two
+    * events inside the same millisecond — would silently diverge
+    * between the stream and the batch without the getNanos term. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+
   /** Tumbling-window event counts with a watermark. State is bounded: late
     * rows beyond `watermark` are dropped, closed windows are evicted.
     * Batch twin: `events.groupBy(window(ts), event_type).count`. */
@@ -71,11 +80,11 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
           val touched = Seq.newBuilder[SessionUpdate]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
+            val us = micros(e.ts)
             st =
               if (st.lastUs == Long.MinValue || us - st.lastUs > gapUs) {
                 if (st.nEvents > 0)
@@ -106,7 +115,7 @@ object StreamOps {
         (uid: Long, evs: Iterator[Event], state: GroupState[Boolean]) =>
           if (state.getOption.contains(true)) Iterator.empty
           else {
-            val hit = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val hit = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
               .find(_.value >= threshold)
             hit match {
               case Some(e) =>
@@ -130,7 +139,7 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[LatestRow]) =>
-          val incoming = evs.map(e => LatestRow(uid, e.ts.getTime * 1000,
+          val incoming = evs.map(e => LatestRow(uid, micros(e.ts),
             e.event_id, e.event_type, e.value))
           val best = (state.getOption.iterator ++ incoming)
             .maxBy(r => (r.us, r.last_event))
@@ -153,11 +162,11 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[StateChangeMemo]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var memo = state.getOption.getOrElse(StateChangeMemo("", Long.MinValue))
           val out = Seq.newBuilder[StateChange]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
+            val us = micros(e.ts)
             if (memo.lastUs == Long.MinValue || e.event_type != memo.lastState) {
               out += StateChange(uid, e.event_type, us, e.event_id)
               memo = StateChangeMemo(e.event_type, us)
@@ -189,13 +198,13 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[FunnelProgress]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val times = state.getOption.map(_.times.toArray)
             .getOrElse(Array.fill(stages.size)(Long.MinValue))
           val out = Seq.newBuilder[FunnelAdvance]
           sorted.foreach { e =>
             idx.get(e.event_type).foreach { k =>
-              val us = e.ts.getTime * 1000
+              val us = micros(e.ts)
               val prevOk = k == 0 ||
                 (times(k - 1) != Long.MinValue && us > times(k - 1))
               if (times(k) == Long.MinValue && prevOk) {
@@ -224,7 +233,7 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[String]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var first = state.getOption.orNull
           val out = Seq.newBuilder[TouchAttribution]
           sorted.foreach { e =>

@@ -53,8 +53,7 @@ object QualityModel {
     val frac = math.min(1.0, nPos.toDouble / nRest)
     // deterministic Bernoulli coin on the id — reproducible across runs
     // and engines, unlike sample()'s partition-dependent RNG
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val coin = graft.functions.GraftFunctions.md5Coin(col(idCol))
     val neg = rest.filter(coin < lit(frac))
     val train = pos.withColumn("label", lit(1.0))
       .unionByName(neg.withColumn("label", lit(0.0)))

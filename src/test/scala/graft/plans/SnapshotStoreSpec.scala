@@ -70,11 +70,22 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root, 1).count() shouldBe 150
     SnapshotStore.manifestRows(root, 1) shouldBe 150
     SnapshotStore.versions(root) shouldBe Seq(1L)
-    // vacuum reclaims exactly the superseded directory
-    SnapshotStore.vacuum(root) shouldBe Seq(oldDir)
+    // default vacuum must NOT touch anything inside the grace window —
+    // an unreferenced young directory could be an in-flight publish
+    SnapshotStore.vacuum(root) shouldBe empty
+    new java.io.File(s"$root/$oldDir").exists() shouldBe true
+    // past the grace window (forced to 0 here) it reclaims exactly the
+    // superseded directory
+    SnapshotStore.vacuum(root, graceMs = 0L) shouldBe Seq(oldDir)
     new java.io.File(s"$root/$oldDir").exists() shouldBe false
     SnapshotStore.read(spark, root, 1).count() shouldBe 150
-    SnapshotStore.vacuum(root) shouldBe empty
+    SnapshotStore.vacuum(root, graceMs = 0L) shouldBe empty
+    // a crashed writer's stale manifest temp file is also reclaimed
+    val stale = java.nio.file.Paths.get(root, "_manifests", ".v9-dead0000.tmp")
+    java.nio.file.Files.writeString(stale, "{}")
+    SnapshotStore.vacuum(root) shouldBe empty // young → protected
+    SnapshotStore.vacuum(root, graceMs = 0L) shouldBe Seq(".v9-dead0000.tmp")
+    java.nio.file.Files.exists(stale) shouldBe false
   }
 
   it should "support the continuous-ingest loop: probe new docs against v1, publish v2, diff" in {

@@ -92,6 +92,8 @@ class AnalyticsOpsSpec extends SparkSpec {
       EventOpsPack.funnelStepsOf(events, Seq("browse")))
     intercept[IllegalArgumentException](
       EventOpsPack.funnelStepsOf(events, Seq("browse", "browse")))
+    intercept[IllegalArgumentException]( // dots would break col() names
+      EventOpsPack.funnelStepsOf(events, Seq("browse", "add.to.cart")))
   }
 
   behavior of "hardNegativesOf"

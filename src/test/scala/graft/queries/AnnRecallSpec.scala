@@ -187,8 +187,8 @@ class AnnRecallSpec extends SparkSpec {
     graft.plans.SnapshotStore.versions(s"$root/lists") shouldBe Seq(1L, 2L)
     rows(LlmData.annIvfProbeFrom(spark, dir, root)) shouldBe inline
     // reclaim superseded directories; the committed versions keep serving
-    graft.plans.SnapshotStore.vacuum(s"$root/centroids")
-    graft.plans.SnapshotStore.vacuum(s"$root/lists")
+    graft.plans.SnapshotStore.vacuum(s"$root/centroids", graceMs = 0L)
+    graft.plans.SnapshotStore.vacuum(s"$root/lists", graceMs = 0L)
     rows(LlmData.annIvfProbeFrom(spark, dir, root)) shouldBe inline
     // the probe actually reads the published artifact: the inverted
     // lists come from the index's parquet, not a rebuilt assignment
