@@ -2068,6 +2068,52 @@ object LlmData extends QueryPack {
       .limit(k)
   }
 
+  /** Per-source rank normalization of a quality signal — the step that
+    * makes one quality THRESHOLD comparable across sources (a web crawl
+    * and a books corpus have incomparable raw score scales; their
+    * percentile ranks are comparable by construction). pct_rank =
+    * (in-source 0-based rank)/(n−1) under a deterministic total order.
+    *
+    * Scale shape: same machinery as [[graft.queries.EventOpsPack]]'s
+    * gap percentiles — one global two-pass range-sort rank over
+    * (source, score, id), per-source offsets from an O(sources)
+    * broadcast agg; NO per-source window sort, no per-group state. */
+  def scoreRankNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      d, Seq(col("source"), col("n_chars"), col("doc_id")), "rn")
+    val stats = ranked.groupBy("source")
+      .agg(min("rn").as("rn0"), count(lit(1)).as("n"))
+    ranked.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("n") > 1,
+          round((col("rn") - col("rn0")).cast("double") / (col("n") - 1), 6))
+          .otherwise(lit(0.0)).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * deterministic): each doc draws the reproducible md5 coin u and gets
+    * key = ln(u)/w — the top-k keys ARE a weight-proportional sample
+    * without replacement. Here w = token count, i.e. "sample long docs
+    * preferentially" — the quality-weighted corpus subsample a curation
+    * pipeline draws without materializing the whole corpus.
+    *
+    * Scale shape: the key is a row-local expression; top-k is
+    * TakeOrderedAndProject (per-partition top-k, O(k) driver merge) on
+    * the 6-dp-rounded key with an id tie-break, so selection is
+    * deterministic cross-engine despite last-ulp ln() differences. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("u", greatest(
+        graft.functions.GraftFunctions.md5Coin(col("doc_id")), lit(1e-12)))
+      .select(col("doc_id"), col("source"), col("w"),
+        round(log(col("u")) / col("w"), 6).as("key"))
+      .orderBy(desc("key"), asc("doc_id"))
+      .limit(k)
+
   /** CCNet's head/middle/tail split: equi-depth perplexity tiers over the
     * corpus (tier 1 = lowest-perplexity "head" kept for training, tier 3 =
     * "tail" dropped or down-weighted). Exact tiering via the two-pass
@@ -2405,6 +2451,8 @@ object LlmData extends QueryPack {
     "trigram_ppl" -> trigramPpl,
     "bm25_topk" -> bm25TopK,
     "pmi_bigrams" -> pmiBigrams,
+    "score_rank_norm" -> scoreRankNorm,
+    "weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3400,6 +3448,24 @@ object LlmData extends QueryPack {
         |   AS pmi
         |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tot
         |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin,
+    "score_rank_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars, doc_id) AS rg,
+        |   count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        | CASE WHEN n > 1 THEN round((rg - 1.0) / (n - 1), 6)
+        |      ELSE 0.0 END AS pct_rank
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   len(string_split(text, ' '))::BIGINT AS w,
+        |   greatest(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |     / 4294967296.0, 1e-12) AS u
+        |  FROM documents)
+        |SELECT doc_id, source, w, round(ln(u) / w, 6) AS key
+        |FROM d ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     "trigram_ppl" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |   FROM documents WHERE len(string_split(text, ' ')) >= 3),

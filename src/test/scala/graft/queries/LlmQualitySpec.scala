@@ -432,6 +432,31 @@ class LlmQualitySpec extends SparkSpec {
     tri(0L) should be < tri(100L)
   }
 
+  behavior of "scoreRankNorm / weightedSample"
+
+  it should "normalize ranks per source to [0,1] and bias the sample toward heavy docs" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    import org.apache.spark.sql.functions.col
+    val norm = LlmData.scoreRankNorm(spark, dir).collect()
+    norm.length.toLong shouldBe graft.Tables.documents(spark, dir).count()
+    // every source spans the full [0,1] band (min 0, max 1) and each
+    // source's ranks are distinct — a total order, no tie plateaus
+    norm.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getDouble(3))
+      ps.min shouldBe 0.0
+      ps.max shouldBe 1.0
+      ps.distinct.length shouldBe ps.length
+    }
+    // A-ES weighting: mean token count of the weighted sample exceeds
+    // the corpus mean (long docs are preferentially kept)
+    val sampled = LlmData.weightedSample(spark, dir).collect()
+    sampled.length shouldBe 50
+    val sampleMeanW = sampled.map(_.getLong(2)).sum.toDouble / sampled.length
+    val corpusMeanW = graft.Tables.documents(spark, dir)
+      .selectExpr("avg(size(split(text, ' ')))").head().getDouble(0)
+    sampleMeanW should be > corpusMeanW
+  }
+
   behavior of "bm25TopKOf"
 
   it should "rank term-dense short docs first and honor idf across terms" in {
