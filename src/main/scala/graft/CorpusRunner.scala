@@ -47,6 +47,10 @@ import org.apache.spark.sql.functions._
   *                      target-vs-rest model on the trusted slice and
   *                      keep corpus docs that look like it
   *                      (text.QualityModel — the CCNet/GPT-3 filter)
+  *  - `rank_gate`       per-GROUP fairness gate: keep the top
+  *                      `threshold` fraction of EACH groupColumn slice
+  *                      by unigram entropy (score_rank_norm semantics —
+  *                      a global cutoff would empty weak sources)
   *  - `decontam`        drop docs whose shingle overlap with an external
   *                      eval set (read via evalSource scheme dispatch)
   *                      exceeds the threshold (decontam_overlap)
@@ -255,6 +259,22 @@ object CorpusRunner extends Logging {
           .filter(col("pct") <=
             math.max(1, math.round(step.threshold * 100).toInt))
           .select(col("doc_id").as(id))
+        df.join(keep, Seq(id), "left_semi")
+      case "rank_gate" =>
+        // per-GROUP fairness gate: keep the top `threshold` fraction of
+        // EACH groupColumn slice by unigram entropy (the text-only
+        // quality proxy) — a global ppl/entropy cutoff silently empties
+        // weak sources; percentile ranks gate each source against
+        // itself. One global range-sort rank + O(groups) broadcast
+        // offsets (LlmData.scoreRankNormOf) — no per-group window.
+        val ent = queries.LlmData
+          .docEntropyOf(df.select(col(id), col(text)), id, text)
+          .select(col("doc_id").as(id), col("entropy_bits"))
+        val scored = df.select(col(id), col(step.groupColumn)).join(ent, id)
+        val keep = queries.LlmData
+          .scoreRankNormOf(scored, id, step.groupColumn, "entropy_bits")
+          .filter(col("pct_rank") >= 1.0 - step.threshold)
+          .select(col(id))
         df.join(keep, Seq(id), "left_semi")
       case "model_gate" =>
         // CCNet/fastText-style CLASSIFIER gate (text.QualityModel): fit a

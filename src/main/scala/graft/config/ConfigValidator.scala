@@ -159,7 +159,8 @@ object ConfigValidator {
     val corpusOps = Set("dedup_exact", "dedup_minhash", "quality_gate",
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
-      "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix")
+      "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix",
+      "rank_gate")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -200,6 +201,9 @@ object ConfigValidator {
               "in [0, 59] (bits of a 60-bit signature; the band count is " +
               "derived as maxHamming + 1 so pigeonhole recall holds at " +
               "every radius)")
+          case "rank_gate" if s.threshold <= 0 || s.threshold > 1 =>
+            err("corpus", s"step $i: 'rank_gate' requires threshold in " +
+              "(0, 1] (the per-group fraction of top-ranked docs to keep)")
           case "entropy_gate" if s.threshold <= 0 =>
             err("corpus", s"step $i: 'entropy_gate' requires threshold > 0 " +
               "(the minimum unigram entropy in bits)")

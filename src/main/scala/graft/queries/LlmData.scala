@@ -2078,18 +2078,29 @@ object LlmData extends QueryPack {
     * gap percentiles — one global two-pass range-sort rank over
     * (source, score, id), per-source offsets from an O(sources)
     * broadcast agg; NO per-source window sort, no per-group state. */
-  def scoreRankNorm(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
-    val ranked = graft.plans.GlobalRank.withRowNumber(
-      d, Seq(col("source"), col("n_chars"), col("doc_id")), "rn")
-    val stats = ranked.groupBy("source")
-      .agg(min("rn").as("rn0"), count(lit(1)).as("n"))
-    ranked.join(broadcast(stats), "source")
+  def scoreRankNorm(s: SparkSession, dir: String): DataFrame =
+    scoreRankNormOf(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars")
       .select(col("doc_id"), col("source"), col("n_chars"),
-        when(col("n") > 1,
-          round((col("rn") - col("rn0")).cast("double") / (col("n") - 1), 6))
-          .otherwise(lit(0.0)).as("pct_rank"))
+        round(col("pct_rank"), 6).as("pct_rank"))
       .orderBy("doc_id")
+
+  /** The per-group rank normalization over ANY (id, group, score) frame —
+    * also what the `rank_gate` corpus step thresholds on. Deterministic
+    * total order (score, id); pct_rank ∈ [0,1], 0 for singleton groups. */
+  def scoreRankNormOf(d: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      d.select(col(idCol), col(groupCol), col(scoreCol)),
+      Seq(col(groupCol), col(scoreCol), col(idCol)), "rn")
+    val stats = ranked.groupBy(groupCol)
+      .agg(min("rn").as("rn0"), count(lit(1)).as("n"))
+    ranked.join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col("n") > 1,
+          (col("rn") - col("rn0")).cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"))
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,

@@ -161,6 +161,40 @@ class CorpusRunnerSpec extends SparkSpec {
     keptMax should be <= droppedMin
   }
 
+  it should "keep the top fraction of EACH source through rank_gate" in {
+    val cc = config.CorpusConf(steps = Seq(
+      config.CorpusStepConf(op = "rank_gate", threshold = 0.3,
+        groupColumn = "source")))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
+    // per-SOURCE fairness: every source keeps ≈30% of its own docs — a
+    // global cutoff would instead empty the low-entropy sources
+    val perSrcAll = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrcKept = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrcAll.foreach { case (src, n) =>
+      val k = perSrcKept.getOrElse(src, 0L).toDouble
+      k shouldBe (0.3 * n) +- math.max(2.0, 0.05 * n)
+    }
+    // and within each source the kept docs are exactly the TOP entropy
+    // ranks: max dropped entropy <= min kept entropy (ties by doc_id)
+    val ent = queries.LlmData.docEntropyOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    docs.select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).foreach { case (_, rows) =>
+        val (keptE, dropE) = rows.map(_.getLong(0))
+          .partition(keptIds.contains)
+        if (keptE.nonEmpty && dropE.nonEmpty)
+          keptE.map(ent).min should be >= dropE.map(ent).max - 1e-9
+      }
+    // validator rejects an out-of-range fraction
+    val errs = config.ConfigValidator.validate(conf(
+      """{"op": "rank_gate", "threshold": 1.5}"""))
+    errs.exists(_.message.contains("rank_gate")) shouldBe true
+  }
+
   it should "keep one representative per signature group in dedup_simhash" in {
     val cc = config.CorpusConf(steps = Seq(
       config.CorpusStepConf(op = "dedup_simhash", maxHamming = 0)))
