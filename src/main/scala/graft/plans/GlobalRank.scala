@@ -116,4 +116,48 @@ object GlobalRank {
         .otherwise(lit(rem) + floor((r0 - cut) / size) + 1)
     ranked.withColumn(outCol, bucket.cast("long")).drop(rn)
   }
+
+  /** Exact interpolated per-group percentiles (PERCENTILE_CONT /
+    * `percentile()` semantics) WITHOUT the per-group value buffer the
+    * exact aggregate carries: `percentile(v, p)` over a low-cardinality
+    * group key buffers EVERY group value in one aggregation buffer — at
+    * 100 TB, billions of values per group → executor OOM. Here the exact
+    * values come from the two-pass range-sort rank instead: global row
+    * number over (group, value), per-group 0-based rank via an
+    * O(groups) broadcast of min-rank offsets, the two rows flanking
+    * index p·(n−1) filtered out, and the standard interpolation
+    * v_lo + (h−⌊h⌋)·(v_hi−v_lo) as an |groups|-row final select. Every
+    * stage is partition-parallel; no unbounded aggregation state.
+    *
+    * Returns one row per group: (groupCol, n, p0, p1, … — one double
+    * column per requested percentile, in `ps` order). Values are NOT
+    * rounded — callers round for their oracle contract. */
+  def groupPercentilesExact(df: DataFrame, groupCol: String,
+                            valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got ${ps.mkString(",")}")
+    val ranked = withRowNumber(
+      df.select(col(groupCol), col(valueCol)),
+      Seq(col(groupCol), col(valueCol)), "__rn")
+    val stats = ranked.groupBy(groupCol)
+      .agg(min("__rn").as("__rn0"), count(lit(1)).as("__n"))
+    val j = ranked.join(broadcast(stats), groupCol)
+      .withColumn("__r0", (col("__rn") - col("__rn0")).cast("double"))
+    def idx(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    def flank(p: Double, hi: Boolean) =
+      col("__r0") === (if (hi) ceil(idx(p)) else floor(idx(p)))
+    val keep = ps.map(p => flank(p, hi = false) || flank(p, hi = true))
+      .reduceLeft(_ || _)
+    val aggs = max("__n").as("n") +: ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(min(when(flank(p, hi = false), col(valueCol))).cast("double").as(s"__l$i"),
+        min(when(flank(p, hi = true), col(valueCol))).cast("double").as(s"__h$i"))
+    }
+    val agged = j.filter(keep).groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val h = lit(p) * (col("n") - 1).cast("double")
+      (col(s"__l$i") + (h - floor(h)) * (col(s"__h$i") - col(s"__l$i")))
+        .as(s"p$i")
+    }
+    agged.select(col(groupCol) +: col("n") +: outs: _*)
+  }
 }

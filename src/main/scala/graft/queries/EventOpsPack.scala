@@ -182,35 +182,14 @@ object EventOpsPack extends QueryPack {
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
         (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
-    val ranked = graft.plans.GlobalRank.withRowNumber(
-      gaps, Seq(col("event_type"), col("gap_us")), "rn")
-    val stats = ranked.groupBy("event_type").agg(
-      min("rn").as("rn0"), count(lit(1)).as("n_gaps"),
-      avg("gap_us").as("avg_us"))
-    val j = ranked.join(broadcast(stats), "event_type")
-      .withColumn("r0", (col("rn") - col("rn0")).cast("double"))
-    // continuous-percentile index p·(n−1); keep only the flanking rows
-    def idx(p: Double) = lit(p) * (col("n_gaps") - 1).cast("double")
-    def flank(p: Double, hi: Boolean) =
-      col("r0") === (if (hi) ceil(idx(p)) else floor(idx(p)))
-    val picked = j
-      .filter(flank(0.5, false) || flank(0.5, true) ||
-        flank(0.95, false) || flank(0.95, true))
-      .groupBy("event_type")
-      .agg(max("n_gaps").as("n_gaps"), max("avg_us").as("avg_us"),
-        min(when(flank(0.5, false), col("gap_us"))).cast("double").as("v50l"),
-        min(when(flank(0.5, true), col("gap_us"))).cast("double").as("v50h"),
-        min(when(flank(0.95, false), col("gap_us"))).cast("double").as("v95l"),
-        min(when(flank(0.95, true), col("gap_us"))).cast("double").as("v95h"))
-    // v_lo + (h − ⌊h⌋)·(v_hi − v_lo): quantile_cont / exact percentile()
-    def interp(p: Double, lo: Column, hi: Column) = {
-      val h = lit(p) * (col("n_gaps") - 1).cast("double")
-      lo + (h - floor(h)) * (hi - lo)
-    }
-    picked.select(col("event_type"), col("n_gaps"),
-      round(col("avg_us") / 1e6, 4).as("avg_gap_s"),
-      round(interp(0.5, col("v50l"), col("v50h")) / 1e6, 4).as("p50_gap_s"),
-      round(interp(0.95, col("v95l"), col("v95h")) / 1e6, 4).as("p95_gap_s"))
+    val pct = graft.plans.GlobalRank
+      .groupPercentilesExact(gaps, "event_type", "gap_us", Seq(0.5, 0.95))
+    val avgs = gaps.groupBy("event_type").agg(avg("gap_us").as("avg_us"))
+    pct.join(broadcast(avgs), "event_type")
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(col("avg_us") / 1e6, 4).as("avg_gap_s"),
+        round(col("p0") / 1e6, 4).as("p50_gap_s"),
+        round(col("p1") / 1e6, 4).as("p95_gap_s"))
       .orderBy("event_type")
   }
 

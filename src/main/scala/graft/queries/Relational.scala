@@ -389,18 +389,20 @@ object Relational extends QueryPack {
       .orderBy("r_tier", "f_tier", "m_tier")
   }
 
-  /** Exact per-group percentiles (p50/p95) — `percentile` is Spark's exact
-    * linear-interpolation aggregate (same definition as SQL
-    * PERCENTILE_CONT / DuckDB quantile_cont). Grouped by a low-cardinality
-    * key, it is one partial-aggregating shuffle; the scale path for
-    * un-grouped or high-cardinality cases is percentile_approx (bounded
-    * sketch memory), which `exact_quantiles` contrasts. */
+  /** Exact per-group percentiles (p50/p95) with PERCENTILE_CONT /
+    * DuckDB-quantile_cont semantics — computed via the two-pass
+    * range-sort rank machinery ([[graft.plans.GlobalRank
+    * .groupPercentilesExact]]), NOT the exact `percentile()` aggregate:
+    * o_orderpriority has ~5 values, and the exact aggregate's per-group
+    * buffer would hold billions of prices at 100 TB. percentile_approx
+    * remains the documented sketch path when rank-exactness isn't
+    * required. */
   def groupPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+    graft.plans.GlobalRank.groupPercentilesExact(
+      Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+      Seq(0.5, 0.95))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p95"))
       .orderBy("o_orderpriority")
 
   /** Anti-join: customers with no orders. LEFT ANTI is the scale-correct
@@ -481,20 +483,23 @@ object Relational extends QueryPack {
       .orderBy("l_returnflag")
 
   /** Robust per-group outlier gate: |v − median| > 3·1.4826·MAD (the
-    * normal-consistent MAD z-score). Exact `percentile` is fine while
-    * group row-counts fit a sort buffer; the 100 TB path swaps in
-    * `approx_percentile` with identical plumbing — two aggregates and a
-    * broadcast join back, never a global sort. */
+    * normal-consistent MAD z-score). Both exact medians come from the
+    * rank machinery ([[graft.plans.GlobalRank.groupPercentilesExact]])
+    * — event_type is a ~5-value key, so the exact `percentile()`
+    * aggregate's per-group buffer would be corpus-sized at 100 TB. Two
+    * rank passes + broadcast joins back; never a per-group value buffer,
+    * never a global sort. */
   def robustOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val med = e.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val med = graft.plans.GlobalRank
+      .groupPercentilesExact(e, "event_type", "value", Seq(0.5))
+      .select(col("event_type"), col("p0").as("med"))
     val dev = e.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("value") - col("med")))
-    val stats = dev.groupBy("event_type")
-      .agg(first("med").as("med"),
-        percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.drop("med").join(broadcast(stats), Seq("event_type"))
+    val mad = graft.plans.GlobalRank
+      .groupPercentilesExact(dev, "event_type", "adev", Seq(0.5))
+      .select(col("event_type"), col("p0").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
       .agg(round(first("med"), 4).as("med"),
         round(first("mad"), 4).as("mad"),

@@ -50,4 +50,27 @@ class GlobalRankSpec extends SparkSpec {
       .select("id", "b")
     got.except(want).count() shouldBe 0
   }
+
+  it should "match the exact percentile() aggregate per group, ties and singletons included" in {
+    import spark.implicits._
+    // heavy ties (v % 4), a singleton group, and a 2-row group — the
+    // interpolation edge cases; the helper must equal the exact
+    // buffer-based aggregate it replaces, bit for bit
+    val vals = ((1 to 97).map(i => ("a", (i % 4).toDouble * 3 + i * 0.01)) ++
+      (1 to 10).map(i => ("b", i.toDouble)) ++
+      Seq(("single", 42.0), ("two", 1.0), ("two", 2.0))).toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val got = GlobalRank.groupPercentilesExact(vals, "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(2 + i))).toMap
+    val want = vals.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (g, xs) =>
+      xs.zip(want(g)).foreach { case (a, b) => a shouldBe b }
+    }
+    intercept[IllegalArgumentException](
+      GlobalRank.groupPercentilesExact(vals, "g", "v", Seq(1.5)))
+  }
 }
