@@ -261,21 +261,32 @@ object CorpusRunner extends Logging {
           .select(col("doc_id").as(id))
         df.join(keep, Seq(id), "left_semi")
       case "rank_gate" =>
-        // per-GROUP fairness gate: keep the top `threshold` fraction of
+        // per-GROUP fairness gate: keep the top ⌈threshold·n⌉ (min 1) of
         // EACH groupColumn slice by unigram entropy (the text-only
         // quality proxy) — a global ppl/entropy cutoff silently empties
-        // weak sources; percentile ranks gate each source against
-        // itself. One global range-sort rank + O(groups) broadcast
-        // offsets (LlmData.scoreRankNormOf) — no per-group window.
+        // weak sources; ranking gates each source against itself, and
+        // the ceil-with-floor-1 keep count means a single-doc source
+        // KEEPS its doc (a pct_rank >= 1-threshold cut would drop every
+        // singleton). One global range-sort rank + O(groups) broadcast
+        // offsets — no per-group window.
         val ent = queries.LlmData
           .docEntropyOf(df.select(col(id), col(text)), id, text)
           .select(col("doc_id").as(id), col("entropy_bits"))
         val scored = df.select(col(id), col(step.groupColumn)).join(ent, id)
-        val keep = queries.LlmData
-          .scoreRankNormOf(scored, id, step.groupColumn, "entropy_bits")
-          .filter(col("pct_rank") >= 1.0 - step.threshold)
+        val ranked = graft.plans.GlobalRank.withRowNumber(scored,
+          Seq(col(step.groupColumn), col("entropy_bits"), col(id)), "__rn")
+        val stats = ranked.groupBy(step.groupColumn)
+          .agg(min("__rn").as("__rn0"), count(lit(1)).as("__n"))
+        val keep = ranked.join(broadcast(stats), step.groupColumn)
+          // ascending rank ⇒ the top-entropy docs are the LAST k ranks
+          .filter(col("__rn") - col("__rn0") >=
+            col("__n") - greatest(ceil(col("__n") * step.threshold), lit(1L)))
           .select(col(id))
-        df.join(keep, Seq(id), "left_semi")
+        // materialize the survivors eagerly (run() truncates lineage per
+        // step anyway), then free the range-sorted rank intermediate
+        val out = df.join(keep, Seq(id), "left_semi").localCheckpoint(true)
+        ranked.unpersist()
+        out
       case "model_gate" =>
         // CCNet/fastText-style CLASSIFIER gate (text.QualityModel): fit a
         // target-vs-rest linear model on the trusted slice (keepLangs

@@ -129,18 +129,29 @@ object GlobalRank {
     * v_lo + (h−⌊h⌋)·(v_hi−v_lo) as an |groups|-row final select. Every
     * stage is partition-parallel; no unbounded aggregation state.
     *
-    * Returns one row per group: (groupCol, n, p0, p1, … — one double
-    * column per requested percentile, in `ps` order). Values are NOT
-    * rounded — callers round for their oracle contract. */
+    * NULL values are ignored, exactly as `percentile()` ignores them —
+    * ranking them would inflate n and shift (or null out) the flanks.
+    *
+    * Returns one row per group: (groupCol, n, [avg,] p0, p1, … — one
+    * double column per requested percentile, in `ps` order; `avg` only
+    * when `withAvg`, computed in the SAME stats pass so callers don't
+    * re-scan the input for it). Values are NOT rounded — callers round
+    * for their oracle contract. The output is EAGERLY materialized as a
+    * local checkpoint (it is O(groups) rows by this helper's very
+    * premise) so the range-sorted intermediate can be unpersisted here
+    * instead of leaking into the caller's session. */
   def groupPercentilesExact(df: DataFrame, groupCol: String,
-                            valueCol: String, ps: Seq[Double]): DataFrame = {
+                            valueCol: String, ps: Seq[Double],
+                            withAvg: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1], got ${ps.mkString(",")}")
     val ranked = withRowNumber(
-      df.select(col(groupCol), col(valueCol)),
+      df.select(col(groupCol), col(valueCol))
+        .filter(col(valueCol).isNotNull),
       Seq(col(groupCol), col(valueCol)), "__rn")
-    val stats = ranked.groupBy(groupCol)
-      .agg(min("__rn").as("__rn0"), count(lit(1)).as("__n"))
+    val statAggs = Seq(min("__rn").as("__rn0"), count(lit(1)).as("__n")) ++
+      (if (withAvg) Seq(avg(valueCol).as("__avg")) else Nil)
+    val stats = ranked.groupBy(groupCol).agg(statAggs.head, statAggs.tail: _*)
     val j = ranked.join(broadcast(stats), groupCol)
       .withColumn("__r0", (col("__rn") - col("__rn0")).cast("double"))
     def idx(p: Double) = lit(p) * (col("__n") - 1).cast("double")
@@ -148,16 +159,22 @@ object GlobalRank {
       col("__r0") === (if (hi) ceil(idx(p)) else floor(idx(p)))
     val keep = ps.map(p => flank(p, hi = false) || flank(p, hi = true))
       .reduceLeft(_ || _)
-    val aggs = max("__n").as("n") +: ps.zipWithIndex.flatMap { case (p, i) =>
-      Seq(min(when(flank(p, hi = false), col(valueCol))).cast("double").as(s"__l$i"),
-        min(when(flank(p, hi = true), col(valueCol))).cast("double").as(s"__h$i"))
-    }
+    val aggs = (max("__n").as("n") +:
+      (if (withAvg) Seq(max("__avg").as("avg")) else Nil)) ++
+      ps.zipWithIndex.flatMap { case (p, i) =>
+        Seq(min(when(flank(p, hi = false), col(valueCol))).cast("double").as(s"__l$i"),
+          min(when(flank(p, hi = true), col(valueCol))).cast("double").as(s"__h$i"))
+      }
     val agged = j.filter(keep).groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
     val outs = ps.zipWithIndex.map { case (p, i) =>
       val h = lit(p) * (col("n") - 1).cast("double")
       (col(s"__l$i") + (h - floor(h)) * (col(s"__h$i") - col(s"__l$i")))
         .as(s"p$i")
     }
-    agged.select(col(groupCol) +: col("n") +: outs: _*)
+    val keepCols = Seq(col(groupCol), col("n")) ++
+      (if (withAvg) Seq(col("avg")) else Nil) ++ outs
+    val out = agged.select(keepCols: _*).localCheckpoint(true)
+    ranked.unpersist()
+    out
   }
 }

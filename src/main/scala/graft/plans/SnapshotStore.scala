@@ -152,13 +152,15 @@ object SnapshotStore {
   def vacuum(root: String, graceMs: Long = 3600000L): Seq[String] = {
     val fs = fsOf(root)
     val live = versions(root).map(dataDirOf(root, _)).toSet
+    // inclusive cutoff: with graceMs=0 (tests, explicit force) an item
+    // written in the SAME millisecond tick must still be sweepable
     val cutoff = System.currentTimeMillis() - graceMs
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) Seq.empty
     else {
       val orphanDirs = fs.listStatus(rootPath).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
-          st.getModificationTime < cutoff)
+          st.getModificationTime <= cutoff)
         .map(_.getPath)
         .filterNot(p => live.contains(p.getName))
       val mDir = manifestDir(root)
@@ -167,7 +169,7 @@ object SnapshotStore {
         else fs.listStatus(mDir).toSeq
           .filter(st => st.getPath.getName.startsWith(".v") &&
             st.getPath.getName.endsWith(".tmp") &&
-            st.getModificationTime < cutoff)
+            st.getModificationTime <= cutoff)
           .map(_.getPath)
       (orphanDirs ++ staleTmps).map { p => fs.delete(p, true); p.getName }
     }

@@ -182,12 +182,11 @@ object EventOpsPack extends QueryPack {
       .filter(col("prev_us").isNotNull)
       .select(col("event_type"),
         (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
-    val pct = graft.plans.GlobalRank
-      .groupPercentilesExact(gaps, "event_type", "gap_us", Seq(0.5, 0.95))
-    val avgs = gaps.groupBy("event_type").agg(avg("gap_us").as("avg_us"))
-    pct.join(broadcast(avgs), "event_type")
+    graft.plans.GlobalRank
+      .groupPercentilesExact(gaps, "event_type", "gap_us", Seq(0.5, 0.95),
+        withAvg = true) // avg rides the same stats pass — no second scan
       .select(col("event_type"), col("n").as("n_gaps"),
-        round(col("avg_us") / 1e6, 4).as("avg_gap_s"),
+        round(col("avg") / 1e6, 4).as("avg_gap_s"),
         round(col("p0") / 1e6, 4).as("p50_gap_s"),
         round(col("p1") / 1e6, 4).as("p95_gap_s"))
       .orderBy("event_type")

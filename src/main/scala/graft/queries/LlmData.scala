@@ -647,16 +647,20 @@ object LlmData extends QueryPack {
                       maxQueries: Long = 4096): DataFrame = {
     val e = emb
       .select(col("vec_id"), col("label"), vecNorm(col("embedding")).as("vn"))
-    val q = e.filter(queryPred)
+    val q0 = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("label").as("ql"), col("vn").as("qv"))
-      .cache() // shared by the bound check and the broadcast probe side
     // bounded validation scan: limit(max+1) answers both "empty?" and
     // "over the broadcast bound?" without a full count of the corpus
-    val nq = q.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
+    val nq = q0.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
     require(nq > 0, "hard_negatives: query predicate selected no rows")
     require(nq <= maxQueries,
-      s"hard_negatives: query set exceeds the broadcast bound $maxQueries " +
-        "— use the persisted ANN index path for large query sets")
+      s"hard_negatives: query set has more than $maxQueries rows (the " +
+        "broadcast bound) — use the persisted ANN index path for large " +
+        "query sets")
+    // the VALIDATED query set is <= maxQueries narrow rows: materialize it
+    // once (local checkpoint — no catalog-cache entry to leak) so the
+    // probe side doesn't re-run the predicate scan
+    val q = q0.localCheckpoint(true)
     val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"), col("vn").as("cv"))
     val scored = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("ql"), col("c_id"), col("cl"),

@@ -162,20 +162,29 @@ class CorpusRunnerSpec extends SparkSpec {
   }
 
   it should "keep the top fraction of EACH source through rank_gate" in {
+    import spark.implicits._
     val cc = config.CorpusConf(steps = Seq(
       config.CorpusStepConf(op = "rank_gate", threshold = 0.3,
         groupColumn = "source")))
+    // stage a SINGLE-doc source: per-source fairness means it must keep
+    // its one doc (the ⌈threshold·n⌉-with-floor-1 keep count), where a
+    // pct_rank >= 1-threshold cut would silently empty it
     val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((90000L, "lone survivor doc of its source",
+        "en", "tiny_src", 31L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc).cache()
-    // per-SOURCE fairness: every source keeps ≈30% of its own docs — a
+    kept.filter(col("source") === "tiny_src").count() shouldBe 1L
+    // per-SOURCE fairness: every source keeps ⌈30%⌉ of its own docs — a
     // global cutoff would instead empty the low-entropy sources
     val perSrcAll = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val perSrcKept = kept.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     perSrcAll.foreach { case (src, n) =>
-      val k = perSrcKept.getOrElse(src, 0L).toDouble
-      k shouldBe (0.3 * n) +- math.max(2.0, 0.05 * n)
+      perSrcKept.getOrElse(src, 0L) shouldBe
+        math.max(1L, math.ceil(0.3 * n).toLong)
     }
     // and within each source the kept docs are exactly the TOP entropy
     // ranks: max dropped entropy <= min kept entropy (ties by doc_id)

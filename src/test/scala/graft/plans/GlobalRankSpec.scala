@@ -56,9 +56,13 @@ class GlobalRankSpec extends SparkSpec {
     // heavy ties (v % 4), a singleton group, and a 2-row group — the
     // interpolation edge cases; the helper must equal the exact
     // buffer-based aggregate it replaces, bit for bit
+    // NULL values must be ignored exactly as percentile() ignores them
     val vals = ((1 to 97).map(i => ("a", (i % 4).toDouble * 3 + i * 0.01)) ++
       (1 to 10).map(i => ("b", i.toDouble)) ++
-      Seq(("single", 42.0), ("two", 1.0), ("two", 2.0))).toDF("g", "v")
+      Seq(("single", 42.0), ("two", 1.0), ("two", 2.0)))
+      .map { case (g, v) => (g, Some(v)) }
+      .++(Seq(("a", Option.empty[Double]), ("b", Option.empty[Double])))
+      .toDF("g", "v")
     val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
     val got = GlobalRank.groupPercentilesExact(vals, "g", "v", ps)
       .collect().map(r => r.getString(0) ->
