@@ -1967,11 +1967,13 @@ object LlmData extends QueryPack {
     val c12 = c3.groupBy("w1", "w2")
       .agg(sum("c3").as("c12"), count(lit(1)).as("nt12"))
     val m23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n23"))
-    val d2 = c3.groupBy("w2")
-      .agg(count(lit(1)).as("nd2"), countDistinct("w3").as("n2d"))
-    val c3c = c3.select("w2", "w3").distinct()
-      .groupBy("w3").agg(count(lit(1)).as("nd3"))
-    val ndd = c3.select("w2", "w3").distinct().agg(count(lit(1)).as("ndd"))
+      .cache() // m23's rows ARE the distinct (w2,w3) types: every
+               // lower-order continuation count derives from it below,
+               // so no countDistinct/distinct expansion is ever needed
+    val d2 = c3.groupBy("w2").agg(count(lit(1)).as("nd2"))
+      .join(m23.groupBy("w2").agg(count(lit(1)).as("n2d")), "w2")
+    val c3c = m23.groupBy("w3").agg(count(lit(1)).as("nd3"))
+    val ndd = m23.agg(count(lit(1)).as("ndd"))
     val lm = c3.join(c12, Seq("w1", "w2")).join(m23, Seq("w2", "w3"))
       .join(d2, Seq("w2")).join(c3c, Seq("w3")).crossJoin(broadcast(ndd))
       .select(col("w1"), col("w2"), col("w3"),
