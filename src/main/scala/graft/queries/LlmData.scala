@@ -2074,6 +2074,39 @@ object LlmData extends QueryPack {
       .limit(k)
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family ([[decontamOverlap]] catches shingle/lexical
+    * overlap; this catches PARAPHRASED eval leakage that shares no
+    * n-grams): every corpus vector is scored by its max cosine to any
+    * eval vector, and the rows clearing the threshold are the flagged
+    * contamination with their nearest eval doc as evidence. Eval set =
+    * the same `% 97` staging convention as the shingle decontam.
+    *
+    * Scale shape: the eval set is BOUNDED (an eval suite, not a corpus)
+    * and broadcasts; the corpus streams partition-parallel with one
+    * codegen vec_dot per (corpus, eval) pair — the [[annTopK]] plan. At
+    * 100 TB the candidate generation swaps to the persisted ANN index
+    * ([[annIvfProbeFrom]]) without changing the output contract. */
+  def semanticDecontam(s: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+    val ev = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("e_id"), col("vn").as("evn"))
+    // min(struct(-cos, e_id)): max cosine with a deterministic min-id
+    // tie-break, no value buffer — one partial-aggregating shuffle
+    val best = e.filter(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        struct((-round(vecDot(col("vn"), col("evn")), 4)).as("nc"),
+          col("e_id")).as("s"))
+      .groupBy("vec_id").agg(min("s").as("f"))
+    best.select(col("vec_id"), col("f.e_id").as("near_eval"),
+        (-col("f.nc")).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+      .orderBy("vec_id")
+  }
+
   /** Per-source rank normalization of a quality signal — the step that
     * makes one quality THRESHOLD comparable across sources (a web crawl
     * and a books corpus have incomparable raw score scales; their
@@ -2470,6 +2503,7 @@ object LlmData extends QueryPack {
     "pmi_bigrams" -> pmiBigrams,
     "score_rank_norm" -> scoreRankNorm,
     "weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "semantic_decontam" -> ((s, d) => semanticDecontam(s, d)),
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3465,6 +3499,24 @@ object LlmData extends QueryPack {
         |   AS pmi
         |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tot
         |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin,
+    "semantic_decontam" ->
+      """WITH e AS (SELECT vec_id,
+        |     list_transform(embedding::DOUBLE[], x -> x) AS v
+        |   FROM embeddings),
+        | n AS (SELECT vec_id,
+        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |   FROM e),
+        | ev AS (SELECT vec_id AS e_id, vn AS evn FROM n
+        |   WHERE vec_id % 97 = 0),
+        | c AS (SELECT vec_id, vn FROM n WHERE vec_id % 97 <> 0),
+        | p AS (SELECT c.vec_id, ev.e_id,
+        |     round(list_dot_product(c.vn, ev.evn), 4) AS cos
+        |   FROM c, ev),
+        | m AS (SELECT vec_id,
+        |     min(struct_pack(nc := -cos, e_id := e_id)) AS f FROM p
+        |   GROUP BY vec_id)
+        |SELECT vec_id, f.e_id AS near_eval, -f.nc AS max_cos
+        |FROM m WHERE -f.nc >= 0.3 ORDER BY vec_id""".stripMargin,
     "score_rank_norm" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |   row_number() OVER (PARTITION BY source
