@@ -253,12 +253,16 @@ object CorpusRunner extends Logging {
         // two-pass range-sort ntile — no single-partition window.
         val ppl = queries.LlmData
           .unigramPplOf(df.select(col(id), col(text)), id, text)
-        val pct = graft.plans.GlobalRank
-          .withNtile(ppl, Seq(col("ppl"), col("doc_id")), 100, "pct")
+        val (pct, pctP) = graft.plans.GlobalRank
+          .withNtilePersisted(ppl, Seq(col("ppl"), col("doc_id")), 100, "pct")
+        // narrow id keep-set: checkpoint it eagerly so the ntile sort
+        // cache is released on its exact persisted handle
         val keep = pct
           .filter(col("pct") <=
             math.max(1, math.round(step.threshold * 100).toInt))
           .select(col("doc_id").as(id))
+          .localCheckpoint(true)
+        pctP.unpersist()
         df.join(keep, Seq(id), "left_semi")
       case "rank_gate" =>
         // per-GROUP fairness gate: keep the top ⌈threshold·n⌉ (min 1) of
@@ -273,7 +277,8 @@ object CorpusRunner extends Logging {
           .docEntropyOf(df.select(col(id), col(text)), id, text)
           .select(col("doc_id").as(id), col("entropy_bits"))
         val scored = df.select(col(id), col(step.groupColumn)).join(ent, id)
-        val ranked = graft.plans.GlobalRank.withRowNumber(scored,
+        val (ranked, rankedP) = graft.plans.GlobalRank.withRowNumberPersisted(
+          scored,
           Seq(col(step.groupColumn), col("entropy_bits"), col(id)), "__rn")
         val stats = ranked.groupBy(step.groupColumn)
           .agg(min("__rn").as("__rn0"), count(lit(1)).as("__n"))
@@ -283,9 +288,11 @@ object CorpusRunner extends Logging {
             col("__n") - greatest(ceil(col("__n") * step.threshold), lit(1L)))
           .select(col(id))
         // materialize the survivors eagerly (run() truncates lineage per
-        // step anyway), then free the range-sorted rank intermediate
+        // step anyway), then free the range-sorted rank intermediate —
+        // on the exact persisted handle (unpersist on the derived frame
+        // is a sameResult-miss no-op)
         val out = df.join(keep, Seq(id), "left_semi").localCheckpoint(true)
-        ranked.unpersist()
+        rankedP.unpersist()
         out
       case "model_gate" =>
         // CCNet/fastText-style CLASSIFIER gate (text.QualityModel): fit a

@@ -109,12 +109,17 @@ object StandardMetrics {
     * decile≤decile self-join on the 10-row summary, not a global window. */
   def gainsDeciles(df: DataFrame, labelCol: String, scoreCol: String,
                    tieCol: String): DataFrame = {
-    val ranked = graft.plans.GlobalRank.withNtile(
+    val (ranked, rankedP) = graft.plans.GlobalRank.withNtilePersisted(
       df, Seq(col(scoreCol).desc, col(tieCol)), 10, "decile")
     val per = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("n_pos"))
-      .cache() // tiny (10 rows): both sides of the cumulative self-join
+      // tiny (10 rows): eagerly materialized for both sides of the
+      // cumulative self-join, which also lets the ntile sort cache be
+      // released HERE (unpersist on the exact persisted handle — on the
+      // derived frame it would be a sameResult-miss no-op)
+      .localCheckpoint(true)
+    rankedP.unpersist()
     val tot = per.agg(sum("n_pos").as("__tot"))
     per.as("a")
       .join(per.select(col("decile").as("__d"), col("n_pos").as("__p")),

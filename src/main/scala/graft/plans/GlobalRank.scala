@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Scalable exact global ordering ops.
@@ -24,14 +25,35 @@ import org.apache.spark.storage.StorageLevel
   * Every stage is partition-parallel; driver state is O(partitions). The
   * sorted frame is persisted (memory-and-disk) so both passes see one
   * materialization — also what you'd do on a cluster to avoid re-sorting.
+  *
+  * CACHE LIFECYCLE. The persisted frame is an INTERNAL intermediate, and
+  * `Dataset.unpersist` on the RETURNED frame does NOT release it (the
+  * extra Project nodes defeat the sameResult cache lookup). Callers that
+  * want deterministic release must either use [[withRowNumberPersisted]]
+  * (which exposes the exact persisted handle) or the [[rowNumbered]]
+  * consume-and-release wrapper; plain [[withRowNumber]] leaves the cache
+  * entry alive for the session — acceptable for one-shot jobs, not for a
+  * long-lived service.
   */
 object GlobalRank {
+
+  import scala.jdk.CollectionConverters._
 
   private val RowMask = (1L << 33) - 1
 
   /** Adds `outCol` = exact 1-based global row number under `sortCols`.
-    * The returned frame is persisted; `unpersist()` it when consumed. */
-  def withRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+    * The returned frame depends on an internally persisted sort; use
+    * [[withRowNumberPersisted]] or [[rowNumbered]] when the caller needs
+    * to release that cache entry deterministically. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame =
+    withRowNumberPersisted(df, sortCols, outCol)._1
+
+  /** [[withRowNumber]] plus the EXACT persisted intermediate as a handle:
+    * `unpersist()` THAT (after the result is materialized — a local
+    * checkpoint, a parquet write, a collect) to release the cache entry.
+    * Unpersisting on the returned RESULT frame is a silent no-op. */
+  def withRowNumberPersisted(df: DataFrame, sortCols: Seq[Column],
+                             outCol: String): (DataFrame, DataFrame) = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -44,9 +66,24 @@ object GlobalRank {
     val offsetExpr = element_at(
       typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
       pid)
-    sorted
+    val out = sorted
       .withColumn(outCol, offsetExpr + col("__mid").bitwiseAND(RowMask) + 1)
       .drop("__mid")
+    (out, sorted)
+  }
+
+  /** Consume-and-release wrapper: row-number `df`, apply `consume`, EAGERLY
+    * materialize its result as a local checkpoint, and unpersist the
+    * internal sorted frame before returning. The right shape whenever the
+    * consumer's output is much smaller than its input (a final aggregate,
+    * a quantile row, a keep-set) — the checkpoint is cheap and the
+    * range-sorted cache entry is provably released. */
+  def rowNumbered(df: DataFrame, sortCols: Seq[Column], outCol: String)
+                 (consume: DataFrame => DataFrame): DataFrame = {
+    val (ranked, persisted) = withRowNumberPersisted(df, sortCols, outCol)
+    val out = consume(ranked).localCheckpoint(true)
+    persisted.unpersist()
+    out
   }
 
   /** Adds, for each `(inCol, outCol)` in `sums`, the inclusive running sum
@@ -100,21 +137,39 @@ object GlobalRank {
 
   /** Adds `outCol` = SQL-standard NTILE(k) bucket (1-based) under
     * `sortCols`, computed from the exact global row number — the scalable
-    * twin of `ntile(k).over(Window.orderBy(...))`. */
-  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int, outCol: String): DataFrame = {
-    val rn = "__rn"
-    val ranked = withRowNumber(df, sortCols, rn)
-    val n = ranked.count()
+    * twin of `ntile(k).over(Window.orderBy(...))`. The total row count
+    * rides the SAME tiny per-partition-counts job the row number already
+    * runs — no separate `count()` pass over the sorted frame. */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int, outCol: String): DataFrame =
+    withNtilePersisted(df, sortCols, k, outCol)._1
+
+  /** [[withNtile]] plus the exact persisted intermediate (see
+    * [[withRowNumberPersisted]] for the release contract). */
+  def withNtilePersisted(df: DataFrame, sortCols: Seq[Column], k: Int,
+                         outCol: String): (DataFrame, DataFrame) = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__mid"), 33).cast("int")
+    val counts = sorted.groupBy(pid.as("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val n = offsets.last
+    val offsetExpr = element_at(
+      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
+      pid)
     // SQL NTILE: first (n % k) buckets hold ceil(n/k) rows, the rest floor.
     val size = n / k
     val rem = n % k
     val cut = rem * (size + 1) // rows in the oversized buckets
-    val r0 = col(rn) - 1 // 0-based
+    val r0 = offsetExpr + col("__mid").bitwiseAND(RowMask) // 0-based rank
     val bucket =
       if (size == 0) r0 + 1 // fewer rows than buckets: row i → bucket i+1
       else when(r0 < cut, floor(r0 / (size + 1)) + 1)
         .otherwise(lit(rem) + floor((r0 - cut) / size) + 1)
-    ranked.withColumn(outCol, bucket.cast("long")).drop(rn)
+    (sorted.withColumn(outCol, bucket.cast("long")).drop("__mid"), sorted)
   }
 
   /** Exact interpolated per-group percentiles (PERCENTILE_CONT /
@@ -122,38 +177,90 @@ object GlobalRank {
     * exact aggregate carries: `percentile(v, p)` over a low-cardinality
     * group key buffers EVERY group value in one aggregation buffer — at
     * 100 TB, billions of values per group → executor OOM. Here the exact
-    * values come from the two-pass range-sort rank instead: global row
-    * number over (group, value), per-group 0-based rank via an
-    * O(groups) broadcast of min-rank offsets, the two rows flanking
-    * index p·(n−1) filtered out, and the standard interpolation
-    * v_lo + (h−⌊h⌋)·(v_hi−v_lo) as an |groups|-row final select. Every
-    * stage is partition-parallel; no unbounded aggregation state.
+    * values come from the two-pass range-sort rank instead, in exactly
+    * TWO jobs over one materialization of the sorted frame:
+    *
+    *   1. one tiny per-(partition, group) aggregate — row count, first
+    *      row id, and (when `withAvg`) the value sum — materializes the
+    *      persisted sort AND gives the driver everything else it needs:
+    *      per-partition rank offsets, each group's minimum global rank,
+    *      size and mean (O(partitions × groups) driver rows, small by
+    *      this helper's low-cardinality-group premise);
+    *   2. the two rows flanking index p·(n−1) are filtered out of the
+    *      sorted frame (rank and per-group offset are row-local
+    *      expressions against an O(groups) broadcast-joined stats frame)
+    *      and the standard interpolation v_lo + (h−⌊h⌋)·(v_hi−v_lo)
+    *      lands as an |groups|-row final select.
     *
     * NULL values are ignored, exactly as `percentile()` ignores them —
     * ranking them would inflate n and shift (or null out) the flanks.
     *
     * Returns one row per group: (groupCol, n, [avg,] p0, p1, … — one
     * double column per requested percentile, in `ps` order; `avg` only
-    * when `withAvg`, computed in the SAME stats pass so callers don't
-    * re-scan the input for it). Values are NOT rounded — callers round
-    * for their oracle contract. The output is EAGERLY materialized as a
-    * local checkpoint (it is O(groups) rows by this helper's very
-    * premise) so the range-sorted intermediate can be unpersisted here
-    * instead of leaking into the caller's session. */
+    * when `withAvg`, computed from the SAME tiny-aggregate pass so
+    * callers don't re-scan the input for it). Values are NOT rounded —
+    * callers round for their oracle contract. The output is EAGERLY
+    * materialized as a local checkpoint (it is O(groups) rows by this
+    * helper's very premise) and the range-sorted intermediate is
+    * unpersisted here — on the exact persisted reference, so the release
+    * is real, not the sameResult-miss no-op the naive
+    * `result.unpersist()` would be. */
   def groupPercentilesExact(df: DataFrame, groupCol: String,
                             valueCol: String, ps: Seq[Double],
                             withAvg: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1], got ${ps.mkString(",")}")
-    val ranked = withRowNumber(
-      df.select(col(groupCol), col(valueCol))
-        .filter(col(valueCol).isNotNull),
-      Seq(col(groupCol), col(valueCol)), "__rn")
-    val statAggs = Seq(min("__rn").as("__rn0"), count(lit(1)).as("__n")) ++
-      (if (withAvg) Seq(avg(valueCol).as("__avg")) else Nil)
-    val stats = ranked.groupBy(groupCol).agg(statAggs.head, statAggs.tail: _*)
-    val j = ranked.join(broadcast(stats), groupCol)
-      .withColumn("__r0", (col("__rn") - col("__rn0")).cast("double"))
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .repartitionByRange(parts, col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__mid"), 33).cast("int")
+    // job 1: the tiny per-(partition, group) aggregate
+    val chunkAggs = Seq(count(lit(1)).as("__c"), min("__mid").as("__m0")) ++
+      (if (withAvg) Seq(sum(col(valueCol)).as("__s")) else Nil)
+    val chunks = sorted.groupBy(pid.as("__pid"), col(groupCol))
+      .agg(chunkAggs.head, chunkAggs.tail: _*).collect()
+    // driver: per-partition rank offsets …
+    val partCounts = chunks.groupBy(_.getAs[Int]("__pid"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("__c")).sum }
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + partCounts.getOrElse(p, 0L))
+    // … and per-group (min rank, n, avg). Chunk sums are added in
+    // partition order — deterministic; integer inputs stay exact.
+    val statRows = chunks.groupBy(_.getAs[Any](groupCol)).toSeq
+      .map { case (g, rs) =>
+        val rn0 = rs.map(r => offsets(r.getAs[Int]("__pid")) +
+          (r.getAs[Long]("__m0") & RowMask) + 1).min
+        val n = rs.map(_.getAs[Long]("__c")).sum
+        val mean =
+          if (!withAvg) 0.0
+          else rs.sortBy(_.getAs[Int]("__pid"))
+            .map(_.getAs[Any]("__s") match {
+              case null => 0.0
+              case x: java.math.BigDecimal => x.doubleValue()
+              case x: Number => x.doubleValue()
+            }).sum / n
+        Row(g, rn0, n, mean)
+      }
+    val statsSchema = StructType(Seq(
+      sorted.schema(groupCol).copy(name = groupCol),
+      StructField("__rn0", LongType, nullable = false),
+      StructField("__n", LongType, nullable = false),
+      StructField("__avg", DoubleType, nullable = false)))
+    val stats = spark.createDataFrame(
+      new java.util.ArrayList[Row](statRows.asJava), statsSchema)
+    // job 2: flank filter + interpolation agg, eagerly checkpointed
+    val offsetExpr = element_at(
+      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
+      pid)
+    val j = sorted
+      .withColumn("__rank", offsetExpr + col("__mid").bitwiseAND(RowMask) + 1)
+      .join(broadcast(stats), groupCol)
+      .withColumn("__r0", (col("__rank") - col("__rn0")).cast("double"))
     def idx(p: Double) = lit(p) * (col("__n") - 1).cast("double")
     def flank(p: Double, hi: Boolean) =
       col("__r0") === (if (hi) ceil(idx(p)) else floor(idx(p)))
@@ -174,7 +281,7 @@ object GlobalRank {
     val keepCols = Seq(col(groupCol), col("n")) ++
       (if (withAvg) Seq(col("avg")) else Nil) ++ outs
     val out = agged.select(keepCols: _*).localCheckpoint(true)
-    ranked.unpersist()
+    sorted.unpersist()
     out
   }
 }

@@ -2130,16 +2130,23 @@ object LlmData extends QueryPack {
     * total order (score, id); pct_rank ∈ [0,1], 0 for singleton groups. */
   def scoreRankNormOf(d: DataFrame, idCol: String, groupCol: String,
                       scoreCol: String): DataFrame = {
-    val ranked = graft.plans.GlobalRank.withRowNumber(
+    val (ranked, rankedP) = graft.plans.GlobalRank.withRowNumberPersisted(
       d.select(col(idCol), col(groupCol), col(scoreCol)),
       Seq(col(groupCol), col(scoreCol), col(idCol)), "rn")
     val stats = ranked.groupBy(groupCol)
       .agg(min("rn").as("rn0"), count(lit(1)).as("n"))
-    ranked.join(broadcast(stats), groupCol)
+    // the output is corpus-sized, so the eager checkpoint IS a full
+    // materialization — but it replaces (not adds to) the range-sort
+    // persist it releases: same write volume, and the cache entry is
+    // freed on the exact persisted handle instead of leaking all session
+    val out = ranked.join(broadcast(stats), groupCol)
       .select(col(idCol), col(groupCol), col(scoreCol),
         when(col("n") > 1,
           (col("rn") - col("rn0")).cast("double") / (col("n") - 1))
           .otherwise(lit(0.0)).as("pct_rank"))
+      .localCheckpoint(true)
+    rankedP.unpersist()
+    out
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
@@ -2172,13 +2179,17 @@ object LlmData extends QueryPack {
   def qualityTiers(s: SparkSession, dir: String): DataFrame = {
     val ppl = unigramPplOf(Tables.documents(s, dir), "doc_id", "text")
       .select("doc_id", "ppl")
-    graft.plans.GlobalRank
-      .withNtile(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
+    val (tiered, tieredP) = graft.plans.GlobalRank
+      .withNtilePersisted(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
+    val out = tiered
       .groupBy("tier")
       .agg(count(lit(1)).as("n_docs"),
         round(min("ppl"), 4).as("min_ppl"),
         round(max("ppl"), 4).as("max_ppl"))
       .orderBy("tier")
+      .localCheckpoint(true) // 3 rows; frees the ntile sort cache below
+    tieredP.unpersist()
+    out
   }
 
   /** Deterministic global training-order shuffle: every document gets a
@@ -2199,10 +2210,17 @@ object LlmData extends QueryPack {
   def corpusShuffleOf(docs: DataFrame, idCol: String,
                       shards: Int): DataFrame = {
     val key = md5(concat(lit("shuf|"), col(idCol).cast("string")))
-    graft.plans.GlobalRank.withRowNumber(
-        docs.selectExpr(s"$idCol AS doc_id"), Seq(key, col("doc_id")), "pos")
+    val (ranked, rankedP) = graft.plans.GlobalRank.withRowNumberPersisted(
+      docs.selectExpr(s"$idCol AS doc_id"), Seq(key, col("doc_id")), "pos")
+    // corpus-sized output: the eager checkpoint replaces the range-sort
+    // persist it releases (narrow id/pos/shard rows — smaller than the
+    // sorted md5-keyed frame it frees)
+    val out = ranked
       .withColumn("shard", (col("pos") - 1) % shards)
       .select("doc_id", "pos", "shard")
+      .localCheckpoint(true)
+    rankedP.unpersist()
+    out
   }
 
   /** Corpus profile per (lang, source). */
@@ -2351,20 +2369,21 @@ object LlmData extends QueryPack {
     val freq = Tables.documents(s, dir)
       .selectExpr("explode(split(text, ' ')) AS w")
       .groupBy("w").agg(count(lit(1)).as("f"))
-    val ranked = graft.plans.GlobalRank
-      .withRowNumber(freq, Seq(col("f").desc, col("w")), "r")
-    val x = log(col("r").cast("double"))
-    val y = log(col("f").cast("double"))
-    val m = ranked.agg(
-      count(lit(1)).as("n"), sum("f").as("n_tokens"),
-      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
-      sum(x * x).as("sxx"), sum(y * y).as("syy"))
-    val cov = m("n") * m("sxy") - m("sx") * m("sy")
-    val varX = m("n") * m("sxx") - m("sx") * m("sx")
-    val varY = m("n") * m("syy") - m("sy") * m("sy")
-    m.select(col("n").as("n_vocab"), col("n_tokens"),
-      round(cov / varX, 4).as("zipf_slope"),
-      round(cov * cov / (varX * varY), 4).as("zipf_r2"))
+    graft.plans.GlobalRank
+      .rowNumbered(freq, Seq(col("f").desc, col("w")), "r") { ranked =>
+        val x = log(col("r").cast("double"))
+        val y = log(col("f").cast("double"))
+        val m = ranked.agg(
+          count(lit(1)).as("n"), sum("f").as("n_tokens"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        val cov = m("n") * m("sxy") - m("sx") * m("sy")
+        val varX = m("n") * m("sxx") - m("sx") * m("sx")
+        val varY = m("n") * m("syy") - m("sy") * m("sy")
+        m.select(col("n").as("n_vocab"), col("n_tokens"),
+          round(cov / varX, 4).as("zipf_slope"),
+          round(cov * cov / (varX * varY), 4).as("zipf_r2"))
+      }
   }
 
   /** Semantic-dedup threshold calibration: pair counts of the

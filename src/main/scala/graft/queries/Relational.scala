@@ -175,19 +175,19 @@ object Relational extends QueryPack {
     * the exactness does NOT cost a single-partition sort. The approximate
     * scale path stays `approxQuantile` (features.Binning equiarea); this is
     * the exact path for when quantiles feed a contract (bin edges, SLAs). */
-  def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
-    val ranked = graft.plans.GlobalRank.withRowNumber(
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GlobalRank.rowNumbered(
       Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
-      Seq(col("o_totalprice"), col("o_orderkey")), "rn")
-    val n = ranked.count()
-    val targets = Seq(0.25, 0.5, 0.75).map(p => p -> math.ceil(p * n).toLong)
-    val pExpr = targets.foldLeft(lit(null).cast("double")) {
-      case (acc, (p, t)) => when(col("rn") === t, lit(p)).otherwise(acc)
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn") { ranked =>
+      val n = ranked.count()
+      val targets = Seq(0.25, 0.5, 0.75).map(p => p -> math.ceil(p * n).toLong)
+      val pExpr = targets.foldLeft(lit(null).cast("double")) {
+        case (acc, (p, t)) => when(col("rn") === t, lit(p)).otherwise(acc)
+      }
+      ranked.filter(col("rn").isin(targets.map(_._2): _*))
+        .select(pExpr.as("p"), round(col("o_totalprice"), 2).as("v"))
+        .orderBy("p")
     }
-    ranked.filter(col("rn").isin(targets.map(_._2): _*))
-      .select(pExpr.as("p"), round(col("o_totalprice"), 2).as("v"))
-      .orderBy("p")
-  }
 
   /** lead() window — the reference's one window use: time-on-page from
     * cumulative session time (dal/DataReader.scala:143-156). Here: dwell
@@ -288,14 +288,18 @@ object Relational extends QueryPack {
     * (feature-generation binning); this is the exact path, and it also
     * scales (every stage partition-parallel). */
   def ntileBins(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GlobalRank.withNtile(
-        Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
-        Seq(col("o_totalprice"), col("o_orderkey")), 10, "bucket")
+    val (binned, binnedP) = graft.plans.GlobalRank.withNtilePersisted(
+      Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
+      Seq(col("o_totalprice"), col("o_orderkey")), 10, "bucket")
+    val out = binned
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bucket")
+      .localCheckpoint(true) // 10 rows; frees the ntile sort cache
+    binnedP.unpersist()
+    out
   }
 
   /** Random-variable derivation through the real reader code
@@ -378,15 +382,24 @@ object Relational extends QueryPack {
       .agg(max("o_orderdate").as("recency"),
         count(lit(1)).as("freq"),
         round(sum("o_totalprice") * 100).cast("long").as("cents"))
+    val handles = Seq.newBuilder[DataFrame]
     val tiered = Seq(
       ("recency", "r_tier"), ("freq", "f_tier"), ("cents", "m_tier"))
       .foldLeft(rfm) { case (df, (c, out)) =>
-        GlobalRank.withNtile(df, Seq(col(c), col("o_custkey")), 4, out)
+        val (t, h) = GlobalRank.withNtilePersisted(
+          df, Seq(col(c), col("o_custkey")), 4, out)
+        handles += h
+        t
       }
-    tiered.groupBy("r_tier", "f_tier", "m_tier")
+    // ≤64-row final agg: eagerly checkpoint it so all three chained ntile
+    // sort caches can be released on their exact persisted handles
+    val out = tiered.groupBy("r_tier", "f_tier", "m_tier")
       .agg(count(lit(1)).as("n_cust"),
         round(avg("cents")).cast("long").as("avg_cents"))
       .orderBy("r_tier", "f_tier", "m_tier")
+      .localCheckpoint(true)
+    handles.result().foreach(_.unpersist())
+    out
   }
 
   /** Exact per-group percentiles (p50/p95) with PERCENTILE_CONT /
