@@ -27,11 +27,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   * of pre-republish manifests remain).
   *
   * All metadata IO goes through the Hadoop FileSystem / FileContext
-  * APIs resolved from the root path's scheme, so the commit contract is
-  * the same on `file://`, `hdfs://`, or any Hadoop-compatible store —
-  * not just the local filesystem. (`FileContext.rename(OVERWRITE)` is
-  * the atomic single-file commit primitive; plain `FileSystem.rename`
-  * cannot atomically replace an existing manifest.)
+  * APIs resolved from the root path's scheme. The commit contract holds
+  * ONLY on filesystems with an atomic single-file rename — local,
+  * HDFS, viewfs. (`FileContext.rename(OVERWRITE)` is the atomic
+  * commit primitive there; plain `FileSystem.rename` cannot atomically
+  * replace an existing manifest.) Object stores (s3a, gs, abfs, …)
+  * emulate rename as copy+delete — a reader could observe a missing or
+  * half-copied manifest — so [[publish]] FAILS FAST on those schemes
+  * rather than silently degrading to a non-atomic commit; an
+  * object-store deployment needs a different commit primitive
+  * (e.g. S3 conditional PUT) that this store deliberately does not
+  * pretend to provide.
   *
   * Scale notes: the manifest is O(1) metadata — the data write is a
   * normal partitioned parquet write with all of Spark's parallelism;
@@ -44,6 +50,12 @@ object SnapshotStore {
 
   final case class Manifest(version: Long, rows: Long, schemaJson: String,
                             dir: String)
+
+  /** Schemes whose `rename` is copy+delete (or otherwise non-atomic):
+    * the manifest-commit contract cannot hold there — see class doc. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+      "cosn", "swift")
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def manifestPath(root: String, v: Long) =
@@ -65,6 +77,12 @@ object SnapshotStore {
     * all-at-once. Returns the manifest. */
   def publish(df: DataFrame, root: String, v: Long): Manifest = {
     require(v >= 0, s"version must be >= 0, got $v")
+    val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+    require(!NonAtomicRenameSchemes.contains(scheme.toLowerCase),
+      s"SnapshotStore.publish requires atomic rename; scheme '$scheme' " +
+        "emulates rename as copy+delete, so the manifest commit would " +
+        "not be atomic — publish to HDFS/local and mirror afterwards, " +
+        "or use a store-native conditional-write commit instead")
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"v=$v-$nonce"
@@ -136,9 +154,14 @@ object SnapshotStore {
 
   /** The data directory (relative to root) the manifest for `v` commits
     * to. Manifests written before the nonce scheme carry no `dir` field
-    * and resolve to the legacy `v=<n>` layout. */
+    * and resolve to the legacy `v=<n>` layout. The match is ANCHORED to
+    * this writer's fixed key order (version, rows, dir, schema) so a
+    * literal `"dir":"…"` inside a legacy manifest's embedded schema JSON
+    * (e.g. a column-metadata key named `dir`) can never be mistaken for
+    * the top-level field. */
   def dataDirOf(root: String, v: Long): String =
-    """"dir":"([^"]+)"""".r.findFirstMatchIn(readManifest(root, v))
+    """^\{"version":\d+,"rows":\d+,"dir":"([^"]+)"""".r
+      .findFirstMatchIn(readManifest(root, v))
       .map(_.group(1)).getOrElse(s"v=$v")
 
   /** Reclaim unreferenced storage: `v=*` data directories not named by

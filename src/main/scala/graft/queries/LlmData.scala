@@ -936,13 +936,34 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
-  /** In-JVM registry of published IVF index roots, keyed by corpus dir.
-    * Production similarity search builds its index ONCE and probes many
-    * times; the registry gives Verify/Bench that exact shape — the first
-    * call (bench's unmeasured warmup) pays build+publish, every later
-    * call is probe-only against the committed artifact. */
+  /** In-JVM registry of published IVF index roots, keyed by
+    * (corpus dir, corpus file signature, publish root). Production
+    * similarity search builds its index ONCE and probes many times; the
+    * registry gives Verify/Bench that exact shape — the first call
+    * (bench's unmeasured warmup) pays build+publish, every later call is
+    * probe-only against the committed artifact. The signature keys the
+    * cache on corpus CONTENT metadata (file names, lengths, mtimes), so
+    * a rewritten corpus at the same path invalidates the entry instead
+    * of silently serving a stale index. */
   private val ivfIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** File-level corpus signature: (name, length, mtime) of the embeddings
+    * table's files, hashed. O(files) driver-side metadata listing — the
+    * same scheme-dispatched Hadoop FS the read itself uses, so it works
+    * on any store a cluster would read from. */
+  private def embeddingsSignature(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val parts =
+      (if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st))
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(16)
+  }
 
   /** Build the trained-IVF index for `dir` and PUBLISH it as a pair of
     * [[graft.plans.SnapshotStore]] tables under one root — `centroids`
@@ -950,26 +971,45 @@ object LlmData extends QueryPack {
     * rows: member id, cell id, unit vector) — returning the root. The
     * artifact is everything a probe needs: serving requires NO access to
     * the training pipeline, and a rebuild publishes the next version
-    * atomically while running probes keep reading the committed one. */
-  def ivfIndexPublish(s: SparkSession, dir: String): String =
-    ivfIndexRoots.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
-      val n = Tables.embeddings(s, dir).count()
-      val (e, cents) = kmeansFit(s, dir, adaptiveCoarseK(n))
-      import s.implicits._
-      val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
-        .toDF("cid", "cv")
-      val vn = Tables.embeddings(s, dir)
-        .select(col("vec_id"), vecNorm(col("embedding")).as("cvn"))
-      val lists = assignBest(e, cents)
-        .select(col("vec_id"), col("cid").as("cent_id"))
-        .join(vn, "vec_id")
-        .select(col("vec_id").as("c_id"), col("cent_id"), col("cvn"))
-      graft.plans.SnapshotStore.publish(centDf, s"$root/centroids", 1L)
-      graft.plans.SnapshotStore.publish(lists, s"$root/lists", 1L)
+    * atomically while running probes keep reading the committed one.
+    *
+    * `publishRoot` (or `spark.graft.index.root`) names the SHARED
+    * filesystem location a cluster deployment publishes under — each
+    * corpus signature gets its own subdirectory, and an index already
+    * committed there (by this or any other driver) is reused without a
+    * rebuild. With neither set, the index lands in a driver-local temp
+    * directory: correct in local mode (the only place executors share
+    * the driver's disk), which is what Verify/Bench run. */
+  def ivfIndexPublish(s: SparkSession, dir: String,
+                      publishRoot: Option[String] = None): String = {
+    val confRoot = s.conf.getOption("spark.graft.index.root")
+    val base = publishRoot.orElse(confRoot)
+    val sig = embeddingsSignature(s, dir)
+    ivfIndexRoots.computeIfAbsent(s"$dir#$sig#${base.getOrElse("")}", _ => {
+      val root = base.map(b => s"$b/ivf-$sig").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)
+      val committed = // cross-driver reuse: a committed index IS the build
+        graft.plans.SnapshotStore.latestVersion(s"$root/centroids")
+          .isDefined &&
+          graft.plans.SnapshotStore.latestVersion(s"$root/lists").isDefined
+      if (!committed) {
+        val n = Tables.embeddings(s, dir).count()
+        val (e, cents) = kmeansFit(s, dir, adaptiveCoarseK(n))
+        import s.implicits._
+        val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+          .toDF("cid", "cv")
+        val vn = Tables.embeddings(s, dir)
+          .select(col("vec_id"), vecNorm(col("embedding")).as("cvn"))
+        val lists = assignBest(e, cents)
+          .select(col("vec_id"), col("cid").as("cent_id"))
+          .join(vn, "vec_id")
+          .select(col("vec_id").as("c_id"), col("cent_id"), col("cvn"))
+        graft.plans.SnapshotStore.publish(centDf, s"$root/centroids", 1L)
+        graft.plans.SnapshotStore.publish(lists, s"$root/lists", 1L)
+      }
       root
     })
+  }
 
   /** Probe-only ANN over the PUBLISHED index — the serving path of
     * [[annIvfTrained]], with no index build anywhere in the plan: the

@@ -147,9 +147,10 @@ object MultimodalPack extends QueryPack {
 
   /** The SAMPLED similarity histogram — [[mediaNeardup]]'s documented
     * 100 TB path made concrete: docs are kept by a DETERMINISTIC md5 coin
-    * (replayable in the oracle) whose rate comes from
-    * [[NeardupPairBudget]] and the (cheap, driver-side) doc count —
-    * the same O(1)-state derivation as `adaptiveCoarseK`. Pairs form
+    * (replayable in the oracle) whose rate p = min(1, √(2·budget/n(n−1)))
+    * is derived from [[NeardupPairBudget]] and the corpus count INSIDE
+    * the plan (a single-row broadcast — expected sampled pairs ≈
+    * p²·C(n,2) ≈ the budget, and no eager scan at plan build). Pairs form
     * only within the sample, and the histogram is the unbiased shape
     * estimate whose cost is bounded by the PAIR BUDGET, not the corpus
     * size. The exact twin stays the correctness baseline; this is the
@@ -157,10 +158,17 @@ object MultimodalPack extends QueryPack {
   def mediaNeardupSampled(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.vecDot
     val media = mediaFrom(s, dir).toDF()
-    val n = media.count()
-    val p = keepProbability(n)
+    // p derived IN-PLAN from the corpus count (single-row broadcast) —
+    // no driver-side eager scan at plan-build time, and the identical
+    // IEEE-double expression tree as the oracle's `pp` CTE
+    val pRow = media.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") < 2, lit(1.0)).otherwise(
+        least(lit(1.0), sqrt(lit(2.0) * lit(NeardupPairBudget) /
+          (col("__n") * (col("__n") - lit(1.0)))))).as("__p"))
     val feats = media
-      .filter(graft.functions.GraftFunctions.md5Coin(col("media_id")) < lit(p))
+      .crossJoin(broadcast(pRow))
+      .filter(graft.functions.GraftFunctions.md5Coin(col("media_id")) <
+        col("__p"))
       .select(col("media_id"), col("kind"),
         expr("cast(content AS string)").as("t"))
       .withColumn("fv", expr(
@@ -181,14 +189,6 @@ object MultimodalPack extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("kind", "bucket_pct")
   }
-
-  /** p = min(1, √(2·budget / n(n−1))) — expected sampled pairs ≈ p²·C(n,2)
-    * ≈ the budget. Pure IEEE-double arithmetic, replayed verbatim by the
-    * oracle's `least(1.0, sqrt(2.0 * budget / (n * (n - 1.0))))` CTE. */
-  private[queries] def keepProbability(n: Long): Double =
-    if (n < 2) 1.0
-    else math.min(1.0,
-      math.sqrt(2.0 * NeardupPairBudget / (n.toDouble * (n - 1.0))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frames" -> mediaFrames,
@@ -263,9 +263,9 @@ object MultimodalPack extends QueryPack {
         | count(*)::BIGINT AS n_pairs
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "media_neardup_sampled" ->
-      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
         | pp AS (SELECT CASE WHEN n < 2 THEN 1.0 ELSE
-        |     least(1.0, sqrt(2.0 * 20000 / (n * (n - 1.0)))) END AS p FROM nn),
+        |     least(1.0, sqrt(2.0 * $NeardupPairBudget / (n * (n - 1.0)))) END AS p FROM nn),
         | m AS (SELECT doc_id AS media_id,
         |   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |        ELSE 'video' END AS kind,

@@ -114,6 +114,14 @@ class SnapshotStoreSpec extends SparkSpec {
     diff.get("removed") shouldBe None
   }
 
+  it should "fail fast on schemes without atomic rename" in {
+    val docs = graft.Tables.region(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.publish(docs, "s3a://bucket/corpus", 1)
+    }
+    e.getMessage should include("atomic rename")
+  }
+
   it should "diff two committed versions through the id-keyed corpus diff" in {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val root = freshRoot()
