@@ -54,6 +54,12 @@ import org.apache.spark.sql.functions._
   *  - `decontam`        drop docs whose shingle overlap with an external
   *                      eval set (read via evalSource scheme dispatch)
   *                      exceeds the threshold (decontam_overlap)
+  *  - `semantic_decontam` drop docs whose EMBEDDING's max cosine to any
+  *                      external eval embedding (evalSource +
+  *                      vectorSource scheme dispatch) clears the
+  *                      threshold — the paraphrase-leakage scrub
+  *                      (semantic_decontam semantics; eval side
+  *                      validated against the broadcast bound)
   *
   * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
   * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
@@ -192,6 +198,30 @@ object CorpusRunner extends Logging {
           .filter(col("frac") > step.threshold)
           .select(col("doc_id").as(id))
         df.join(over, Seq(id), "left_anti")
+      case "semantic_decontam" =>
+        // PARAPHRASE decontamination: corpus docs whose embedding's max
+        // cosine to any EXTERNAL eval embedding clears the threshold are
+        // dropped. Both vector frames arrive through the same scheme
+        // dispatch as the main source; the eval side is validated against
+        // the broadcast bound inside semanticDecontamOf (loud failure —
+        // an oversized eval suite belongs on the persisted-ANN path).
+        val vecs = SourceReader
+          .readSource(df.sparkSession, step.vectorSource)
+          .getOrElse(throw new IllegalArgumentException(
+            s"semantic_decontam: unreadable vectorSource " +
+              s"'${step.vectorSource}'"))
+        val eval = SourceReader
+          .readSource(df.sparkSession, step.evalSource)
+          .getOrElse(throw new IllegalArgumentException(
+            s"semantic_decontam: unreadable evalSource " +
+              s"'${step.evalSource}'"))
+        val corpusVecs = vecs
+          .join(df.select(col(id).cast("long").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val flagged = queries.LlmData
+          .semanticDecontamOf(corpusVecs, eval, step.threshold)
+          .select(col("vec_id").as(id))
+        df.join(flagged, Seq(id), "left_anti")
       case "span_scrub" =>
         // C4-style duplicated-span REMOVAL (LlmData.spanScrubOf): globally
         // duplicated w-token blocks keep only their first occurrence and

@@ -31,7 +31,8 @@ object ScalingBench {
     "trigram_ppl",        // KN trigram LM fit + trigram-keyed score join
     "interevent_gaps",    // keyed lag window + rank-selected percentiles
     "ann_probe_persisted", // probe-only serving path over published index
-    "bm25_topk")          // filtered token stream + fixed-order score
+    "bm25_topk",          // filtered token stream + fixed-order score
+    "semantic_decontam_ann") // eval probes × inverted lists, no crossJoin
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(

@@ -160,7 +160,7 @@ object ConfigValidator {
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
       "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix",
-      "rank_gate")
+      "rank_gate", "semantic_decontam")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -190,6 +190,16 @@ object ConfigValidator {
           case "decontam" if s.threshold <= 0 || s.threshold > 1 =>
             err("corpus", s"step $i: 'decontam' requires threshold in " +
               "(0, 1] (the max tolerated eval-shingle overlap fraction)")
+          case "semantic_decontam" if s.evalSource.isEmpty =>
+            err("corpus", s"step $i: 'semantic_decontam' requires " +
+              "evalSource (scheme://path of the eval EMBEDDINGS)")
+          case "semantic_decontam" if s.vectorSource.isEmpty =>
+            err("corpus", s"step $i: 'semantic_decontam' requires " +
+              "vectorSource (scheme://path of the corpus embeddings, " +
+              "vec_id keyed by the corpus id column)")
+          case "semantic_decontam" if s.threshold <= 0 || s.threshold > 1 =>
+            err("corpus", s"step $i: 'semantic_decontam' requires " +
+              "threshold in (0, 1] (the max tolerated eval cosine)")
           case "dsir_sample" if s.keepLangs.isEmpty =>
             err("corpus", s"step $i: 'dsir_sample' requires keepLangs[] " +
               "(the target slice the importance weights are fit against)")

@@ -153,7 +153,11 @@ final case class CorpusStepConf(
     alpha: Double = 0.5,            // temp_mix: flattening temperature (α<1
                                     // upweights rare groups; quota = budget)
     evalSource: String = "",        // decontam: scheme://path of the eval
-                                    // set (same text column as the corpus)
+                                    // set (same text column as the corpus);
+                                    // semantic_decontam: eval embeddings
+                                    // (vec_id, embedding)
+    vectorSource: String = "",      // semantic_decontam: corpus embeddings
+                                    // (vec_id keyed by the corpus id col)
     pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
 
 final case class CorpusConf(

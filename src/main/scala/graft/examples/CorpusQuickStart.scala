@@ -10,7 +10,9 @@ import graft.queries.LlmData
   * near-dup dedup → C4-style duplicated-span REMOVAL (docs rewritten) →
   * corpus-wide duplicated-span gate → quality gate → unigram-entropy
   * gate → CCNet perplexity gate → language filter → benchmark
-  * decontamination against an external eval file → DSIR importance
+  * decontamination against an external eval file → SEMANTIC
+  * (paraphrase) decontamination against the eval set's embeddings →
+  * DSIR importance
   * gate → deterministic source-mix downsampling → TOKEN-budget
   * temperature mixing → cleaned-corpus savepoint, then the
   * deterministic training-order shuffle + token-budget packing over
@@ -30,6 +32,13 @@ object CorpusQuickStart {
     spark.read.parquet(s"$dir/documents.parquet")
       .filter(org.apache.spark.sql.functions.col("doc_id") % 101 === 0)
       .select("text").write.mode("overwrite").parquet(evalPath)
+    // ... and the eval suite's EMBEDDINGS for the semantic (paraphrase)
+    // decontam step — same staging convention, vector side
+    val evalVecPath = "/tmp/graft-corpus-demo-eval-vec"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 101 === 0)
+      .select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(evalVecPath)
 
     val confJson =
       s"""{
@@ -46,6 +55,8 @@ object CorpusQuickStart {
         |    {"op": "ppl_gate", "threshold": 0.9},
         |    {"op": "lang_filter", "keepLangs": ["en", "de", "fr", "es"]},
         |    {"op": "decontam", "evalSource": "parquet://$evalPath", "threshold": 0.5},
+        |    {"op": "semantic_decontam", "evalSource": "parquet://$evalVecPath",
+        |     "vectorSource": "parquet://$dir/embeddings.parquet", "threshold": 0.3},
         |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},
         |    {"op": "source_mix", "quota": 15, "groupColumn": "source"},
         |    {"op": "token_mix", "quota": 4000, "alpha": 0.5}

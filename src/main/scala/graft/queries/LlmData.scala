@@ -2119,26 +2119,97 @@ object LlmData extends QueryPack {
     * overlap; this catches PARAPHRASED eval leakage that shares no
     * n-grams): every corpus vector is scored by its max cosine to any
     * eval vector, and the rows clearing the threshold are the flagged
-    * contamination with their nearest eval doc as evidence. Eval set =
-    * the same `% 97` staging convention as the shingle decontam.
-    *
-    * Scale shape: the eval set is BOUNDED (an eval suite, not a corpus)
-    * and broadcasts; the corpus streams partition-parallel with one
-    * codegen vec_dot per (corpus, eval) pair — the [[annTopK]] plan. At
-    * 100 TB the candidate generation swaps to the persisted ANN index
-    * ([[annIvfProbeFrom]]) without changing the output contract. */
+    * contamination with their nearest eval doc as evidence. This contract
+    * query stages the eval set by the same `% 97` convention as the
+    * shingle decontam (what the oracle replays); the production shape —
+    * an EXTERNAL eval set read through scheme dispatch — is the
+    * `semantic_decontam` corpus step, which routes the same
+    * [[semanticDecontamOf]]. */
   def semanticDecontam(s: SparkSession, dir: String,
                        threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    semanticDecontamOf(
+      e.filter(col("vec_id") % 97 =!= 0),
+      e.filter(col("vec_id") % 97 === 0), threshold)
+  }
+
+  /** Exact semantic decontam over ANY corpus/eval (vec_id, embedding)
+    * frames. The eval set broadcasts, so its size is validated against
+    * `maxEvalRows` the way [[hardNegativesOf]] validates its query set —
+    * a LOUD failure, not a silent executor OOM; an eval set over the
+    * bound belongs on the persisted-ANN candidate path
+    * ([[semanticDecontamAnn]]), which swaps in without changing the
+    * output contract.
+    *
+    * Scale shape: the validated eval set (≤ maxEvalRows narrow rows) is
+    * materialized once and broadcast; the corpus streams
+    * partition-parallel with one codegen vec_dot per (corpus, eval)
+    * pair, folded by min(struct(-cos, e_id)) — max cosine with a
+    * deterministic min-id tie-break, no value buffer, one
+    * partial-aggregating shuffle. */
+  def semanticDecontamOf(corpus: DataFrame, evalVecs: DataFrame,
+                         threshold: Double,
+                         maxEvalRows: Long = 4096): DataFrame = {
+    val ev0 = evalVecs.select(col("vec_id").as("e_id"),
+      vecNorm(col("embedding")).as("evn"))
+    // bounded validation scan: limit(max+1) answers both "empty?" and
+    // "over the broadcast bound?" without a full count of the eval frame
+    val ne = ev0.limit(math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt)
+      .count()
+    require(ne > 0, "semantic_decontam: eval set is empty")
+    require(ne <= maxEvalRows,
+      s"semantic_decontam: eval set has more than $maxEvalRows rows (the " +
+        "broadcast bound) — use the persisted-ANN candidate path " +
+        "(semanticDecontamAnn) for large eval sets")
+    val ev = ev0.localCheckpoint(true)
+    val best = corpus
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
-    val ev = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("e_id"), col("vn").as("evn"))
-    // min(struct(-cos, e_id)): max cosine with a deterministic min-id
-    // tie-break, no value buffer — one partial-aggregating shuffle
-    val best = e.filter(col("vec_id") % 97 =!= 0)
       .crossJoin(broadcast(ev))
       .select(col("vec_id"),
         struct((-round(vecDot(col("vn"), col("evn")), 4)).as("nc"),
+          col("e_id")).as("s"))
+      .groupBy("vec_id").agg(min("s").as("f"))
+    best.select(col("vec_id"), col("f.e_id").as("near_eval"),
+        (-col("f.nc")).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+      .orderBy("vec_id")
+  }
+
+  /** The persisted-ANN candidate path of semantic decontam — the shape
+    * an UNBOUNDED eval suite (or a 100 TB corpus re-scan) ships: instead
+    * of corpus × eval, each eval vector probes its `nprobe` nearest
+    * coarse cells of the PUBLISHED IVF index ([[ivfIndexPublish]] — the
+    * committed centroids ride in as an O(k·dim) literal, the inverted
+    * lists are one parquet scan joined on the cell id), and only list
+    * members of probed cells are cosine-scored. Candidate volume is
+    * bounded by |eval|·(corpus/k)·nprobe instead of |eval|·corpus; a
+    * corpus vector in no probed cell is reported clean (the standard
+    * ANN recall trade, tunable via nprobe). Same output contract as
+    * [[semanticDecontam]]. */
+  def semanticDecontamAnn(s: SparkSession, dir: String,
+                          threshold: Double = 0.3): DataFrame = {
+    val root = ivfIndexPublish(s, dir)
+    val cents: Seq[(Long, Array[Double])] =
+      graft.plans.SnapshotStore.readLatest(s, s"$root/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    val np = adaptiveNprobe(cents.size)
+    val probes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("x2", vecDot(col("v"), col("v")))
+      .withColumn("pr", slice(array_sort(transform(centArrOf(cents), c =>
+        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid")))), 1, np))
+      .select(col("vec_id").as("e_id"), explode(col("pr")).as("p"))
+      .select(col("e_id"), col("p.cid").as("cent_id"))
+    val lists = graft.plans.SnapshotStore.readLatest(s, s"$root/lists")
+      .filter(col("c_id") % 97 =!= 0) // eval members are not corpus rows
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("e_id"), vecNorm(col("embedding")).as("evn"))
+    val best = probes.join(lists, "cent_id")
+      .join(broadcast(qv), "e_id")
+      .select(col("c_id").as("vec_id"),
+        struct((-round(vecDot(col("evn"), col("cvn")), 4)).as("nc"),
           col("e_id")).as("s"))
       .groupBy("vec_id").agg(min("s").as("f"))
     best.select(col("vec_id"), col("f.e_id").as("near_eval"),
@@ -2563,6 +2634,7 @@ object LlmData extends QueryPack {
     "score_rank_norm" -> scoreRankNorm,
     "weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "semantic_decontam" -> ((s, d) => semanticDecontam(s, d)),
+    "semantic_decontam_ann" -> ((s, d) => semanticDecontamAnn(s, d)),
     "quality_tiers" -> qualityTiers,
     "corpus_diff" -> corpusDiff,
     "ann_sq8" -> ((s, d) => annSq8(s, d)),
@@ -3576,6 +3648,29 @@ object LlmData extends QueryPack {
         |   GROUP BY vec_id)
         |SELECT vec_id, f.e_id AS near_eval, -f.nc AS max_cos
         |FROM m WHERE -f.nc >= 0.3 ORDER BY vec_id""".stripMargin,
+    "semantic_decontam_ann" ->
+      s"""${kmeansCtesWith("(SELECT k FROM kk)", pre = s"$adaptiveKCte,\n ")},
+        | sq AS (SELECT e.vec_id, c.cid,
+        |     e.x2 + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(e.v, c.cv) AS d2
+        |   FROM e, c2 c WHERE e.vec_id % 97 = 0),
+        | probes AS (SELECT vec_id AS e_id, cid AS cent_id FROM (
+        |     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |       ORDER BY round(d2, 6), cid) AS rn FROM sq)
+        |   WHERE rn <= (SELECT np FROM kk)),
+        | lists AS (SELECT vec_id AS c_id, cid AS cent_id FROM a3
+        |   WHERE vec_id % 97 <> 0),
+        | nrm AS (SELECT vec_id,
+        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |   FROM e),
+        | cand AS (SELECT l.c_id AS vec_id,
+        |     min(struct_pack(nc := -round(list_dot_product(a.vn, b.vn), 4),
+        |                     e_id := p.e_id)) AS f
+        |   FROM probes p JOIN lists l USING (cent_id)
+        |     JOIN nrm a ON a.vec_id = p.e_id JOIN nrm b ON b.vec_id = l.c_id
+        |   GROUP BY l.c_id)
+        |SELECT vec_id, f.e_id AS near_eval, -f.nc AS max_cos
+        |FROM cand WHERE -f.nc >= 0.3 ORDER BY vec_id""".stripMargin,
     "score_rank_norm" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |   row_number() OVER (PARTITION BY source

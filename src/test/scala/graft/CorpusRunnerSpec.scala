@@ -273,6 +273,42 @@ class CorpusRunnerSpec extends SparkSpec {
     }
   }
 
+  it should "drop paraphrase-near docs through semantic_decontam" in {
+    // eval set = doc 7's own embedding: doc 7 scores cosine 1.0 to it
+    // and must be dropped; every kept doc's max eval cosine is below
+    // the threshold (checked against the library function directly)
+    val evalPath = "/tmp/graft-semdecontam-eval"
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 7L)
+      .select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(evalPath)
+    val cc = graft.config.CorpusConf(steps = Seq(
+      graft.config.CorpusStepConf(op = "semantic_decontam",
+        evalSource = s"parquet://$evalPath",
+        vectorSource = s"parquet://$dir/embeddings.parquet",
+        threshold = 0.9)))
+    val docs = Tables.documents(spark, dir)
+    val kept = CorpusRunner.applyStep(docs, cc.steps.head, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept should not contain 7L
+    val flagged = queries.LlmData.semanticDecontamOf(
+        Tables.embeddings(spark, dir), spark.read.parquet(evalPath), 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { d =>
+      kept.contains(d) shouldBe !flagged.contains(d)
+    }
+  }
+
+  it should "fail loudly when the semantic eval set exceeds the broadcast bound" in {
+    val e = Tables.embeddings(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      queries.LlmData.semanticDecontamOf(e, e, 0.3, maxEvalRows = 10)
+    }
+    ex.getMessage should include("broadcast bound")
+    intercept[IllegalArgumentException] {
+      queries.LlmData.semanticDecontamOf(e, e.filter(lit(false)), 0.3)
+    }.getMessage should include("empty")
+  }
+
   it should "rewrite duplicated blocks keep-first through span_scrub" in {
     import spark.implicits._
     // doc A owns block X; doc B = X + own tail; doc C = X alone (fully
