@@ -31,6 +31,7 @@ object ScalingBench {
     "trigram_ppl",        // KN trigram LM fit + trigram-keyed score join
     "interevent_gaps",    // keyed lag window + rank-selected percentiles
     "ann_probe_persisted", // probe-only serving path over published index
+    "ann_probe_pq",       // PQ-coded (ADC) probe over the published index
     "bm25_topk",          // filtered token stream + fixed-order score
     "semantic_decontam_ann") // eval probes × inverted lists, no crossJoin
 

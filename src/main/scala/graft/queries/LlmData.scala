@@ -989,9 +989,8 @@ object LlmData extends QueryPack {
       val root = base.map(b => s"$b/ivf-$sig").getOrElse(
         java.nio.file.Files.createTempDirectory("graft-ivf-index").toString)
       val committed = // cross-driver reuse: a committed index IS the build
-        graft.plans.SnapshotStore.latestVersion(s"$root/centroids")
-          .isDefined &&
-          graft.plans.SnapshotStore.latestVersion(s"$root/lists").isDefined
+        Seq("centroids", "lists", "codebook", "codes").forall(t =>
+          graft.plans.SnapshotStore.latestVersion(s"$root/$t").isDefined)
       if (!committed) {
         val n = Tables.embeddings(s, dir).count()
         val (e, cents) = kmeansFit(s, dir, adaptiveCoarseK(n))
@@ -1000,16 +999,69 @@ object LlmData extends QueryPack {
           .toDF("cid", "cv")
         val vn = Tables.embeddings(s, dir)
           .select(col("vec_id"), vecNorm(col("embedding")).as("cvn"))
-        val lists = assignBest(e, cents)
+        val assigned = assignBest(e, cents)
           .select(col("vec_id"), col("cid").as("cent_id"))
+        val lists = assigned
           .join(vn, "vec_id")
           .select(col("vec_id").as("c_id"), col("cent_id"), col("cvn"))
         graft.plans.SnapshotStore.publish(centDf, s"$root/centroids", 1L)
         graft.plans.SnapshotStore.publish(lists, s"$root/lists", 1L)
+        // PQ side of the artifact: per-subspace codebooks (the first-kcb
+        // unit subvectors — O(m·kcb·sub) rows) and each member's m codes
+        // riding next to its cell id. The ADC probe path reads ONLY these
+        // (id, cell, 4 small ints) rows; full vectors stay in `lists` for
+        // the bounded shortlist re-rank.
+        val cbSub = pqRawCodebook(s, dir)
+        val cbDf = cbSub.zipWithIndex.flatMap { case (cws, j) =>
+          cws.map { case (cid, cw) => (j, cid, cw.toSeq) }
+        }.toDF("j", "cid", "cw")
+        val codes = pqEncode(vn.select(col("vec_id"), col("cvn").as("vn")),
+          cbSub)
+          .join(assigned, "vec_id")
+          .select(col("vec_id").as("c_id") +: col("cent_id") +:
+            (0 until PqM).map(j => col(s"c$j")): _*)
+        graft.plans.SnapshotStore.publish(cbDf, s"$root/codebook", 1L)
+        graft.plans.SnapshotStore.publish(codes, s"$root/codes", 1L)
       }
       root
     })
   }
+
+  private val PqM = 4       // subspaces
+  private val PqSub = 16    // dims per subspace (64-dim embeddings)
+  private val PqKcb = 8     // codewords per subspace
+
+  /** The raw first-kcb PQ codebook over UNIT vectors: per subspace j, the
+    * j-th slices of the first kcb normalized embeddings. Deterministic and
+    * SF-stable — the same quantizer [[annIvfPq]] uses. */
+  private def pqRawCodebook(s: SparkSession,
+                            dir: String): Seq[Seq[(Long, Array[Double])]] = {
+    val cbVecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+      .filter(col("vec_id") < PqKcb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    (0 until PqM).map(j => cbVecs.map { case (cid, v) =>
+      (cid, v.slice(j * PqSub, (j + 1) * PqSub)) })
+  }
+
+  /** Row-local PQ encoding of a (vec_id, vn) frame: adds columns c0..c{m-1}
+    * = nearest-codeword id per subspace, ties on (round(d2,6), cid). */
+  private def pqEncode(vecs: DataFrame,
+                       cbSub: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    (0 until PqM).foldLeft(vecs) { (df, j) =>
+      val cbArr = array(cbSub(j).map { case (cid, cv) =>
+        struct(lit(cid).as("cid"),
+          array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x * x)).as("c2"))
+      }: _*)
+      val sv = slice(col("vn"), j * PqSub + 1, PqSub)
+      def d2(c: org.apache.spark.sql.Column) =
+        vecDot(sv, sv) + c("c2") - lit(2.0) * vecDot(sv, c("cv"))
+      df.withColumn(s"c$j", array_min(transform(cbArr, c =>
+        struct(round(d2(c), 6).as("rd2"), c("cid").as("cid"))))
+        .getField("cid"))
+    }
 
   /** Probe-only ANN over the PUBLISHED index — the serving path of
     * [[annIvfTrained]], with no index build anywhere in the plan: the
@@ -1047,6 +1099,74 @@ object LlmData extends QueryPack {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
       .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "c_id", "cos_sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** PQ-coded (ADC) probe over the PUBLISHED index — the serving path
+    * that never moves full vectors until the shortlist: probe selection
+    * is the committed-centroid literal (row-local, no shuffle), the
+    * candidate stream is the committed `codes` table — (id, cell, m
+    * small ints) rows only — ranked by asymmetric distance against the
+    * committed per-subspace codebook (an O(m·kcb·sub) literal of lookup
+    * maps), and only the top-`shortlistN` survivors join the full unit
+    * vectors in `lists` for the exact cosine re-rank. At 100 TB the
+    * full-vector traffic is |probes|×shortlist rows; everything upstream
+    * is codes. Same composition as [[annIvfPq]] but with the TRAINED
+    * coarse quantizer the published index commits, and no index build
+    * anywhere in the plan. */
+  def annIvfPqProbePersisted(s: SparkSession, dir: String,
+                             shortlistN: Int = 50, topK: Int = 3): DataFrame = {
+    val root = ivfIndexPublish(s, dir)
+    val cents: Seq[(Long, Array[Double])] =
+      graft.plans.SnapshotStore.readLatest(s, s"$root/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    val np = adaptiveNprobe(cents.size)
+    // committed codebook back as per-subspace literal lookup maps
+    val cbSub: Seq[Seq[(Long, Array[Double])]] = {
+      val rows = graft.plans.SnapshotStore.readLatest(s, s"$root/codebook")
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2).toArray))
+      (0 until PqM).map(j => rows.filter(_._1 == j)
+        .map { case (_, cid, cw) => (cid, cw) }.sortBy(_._1).toSeq)
+    }
+    val cwMap = (0 until PqM).map(j => typedlit(cbSub(j).map {
+      case (cid, cv) => cid -> cv.toSeq }.toMap))
+    val c2Map = (0 until PqM).map(j => typedlit(cbSub(j).map {
+      case (cid, cv) => cid -> cv.foldLeft(0.0)((a, x) => a + x * x) }.toMap))
+    val probes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("x2", vecDot(col("v"), col("v")))
+      .withColumn("pr", slice(array_sort(transform(centArrOf(cents), c =>
+        struct(round(centD2(c), 6).as("rd2"), c("cid").as("cid")))), 1, np))
+      .select(col("vec_id").as("q_id"), explode(col("pr")).as("p"))
+      .select(col("q_id"), col("p.cid").as("cent_id"))
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), vecNorm(col("embedding")).as("qv"))
+    val codes = graft.plans.SnapshotStore.readLatest(s, s"$root/codes")
+    val cand = probes.join(codes, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(qv), "q_id")
+    val adc = (0 until PqM).map { j =>
+      val qs = slice(col("qv"), j * PqSub + 1, PqSub)
+      vecDot(qs, qs) + element_at(c2Map(j), col(s"c$j")) -
+        lit(2.0) * vecDot(qs, element_at(cwMap(j), col(s"c$j")))
+    }.reduce(_ + _)
+    val short = cand.withColumn("adc", adc)
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("q_id").orderBy(round(col("adc"), 6), col("c_id"))))
+      .filter(col("srn") <= shortlistN)
+    val lists = graft.plans.SnapshotStore.readLatest(s, s"$root/lists")
+      .select(col("c_id"), col("cvn"))
+    short
+      .join(lists, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(vecDot(col("qv"), col("cvn")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("c_id"))))
+      .filter(col("rnk") <= topK)
       .select("q_id", "rnk", "c_id", "cos_sim")
       .orderBy("q_id", "rnk")
   }
@@ -2612,6 +2732,7 @@ object LlmData extends QueryPack {
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "ann_probe_persisted" -> annIvfProbePersisted,
+    "ann_probe_pq" -> ((s, d) => annIvfPqProbePersisted(s, d)),
     "merge_upsert" -> mergeUpsert,
     "text_normalize" -> textNormalize,
     "kmeans_balance" -> ((s, d) => kmeansBalance(s, d)),
@@ -3262,6 +3383,69 @@ object LlmData extends QueryPack {
     // the persisted probe must return byte-identical rows to the inline
     // trained IVF — ONE oracle checks both, which is the whole point
     "ann_probe_persisted" -> annIvfTrainedOracle,
+    "ann_probe_pq" -> {
+      // trained-coarse cells (the published index's kmeans CTEs) + the
+      // raw-first-8 PQ codebook on UNIT vectors: ADC shortlist, exact
+      // cosine re-rank — replays the committed codes/codebook/lists
+      // artifact end to end
+      val sub = 16
+      val codeCtes = (0 until 4).map { j =>
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        s"""p$j AS (SELECT vec_id, cid AS c$j FROM (
+           |   SELECT s.vec_id, b.cid,
+           |     list_dot_product(s.sv, s.sv) + list_dot_product(b.sc, b.sc)
+           |       - 2 * list_dot_product(s.sv, b.sc) AS d2
+           |   FROM (SELECT vec_id, list_slice(vn, $lo, $hi) AS sv FROM en) s,
+           |        (SELECT cid, list_slice(vn, $lo, $hi) AS sc FROM cb) b)
+           | QUALIFY row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY round(d2, 6), cid) = 1)""".stripMargin
+      }.mkString(",\n ")
+      val adcTerms = (0 until 4).map { j =>
+        val lo = j * sub + 1
+        val hi = (j + 1) * sub
+        s"""(list_dot_product(list_slice(q.vn, $lo, $hi), list_slice(q.vn, $lo, $hi))
+           |   + list_dot_product(list_slice(b$j.vn, $lo, $hi), list_slice(b$j.vn, $lo, $hi))
+           |   - 2 * list_dot_product(list_slice(q.vn, $lo, $hi), list_slice(b$j.vn, $lo, $hi)))""".stripMargin
+      }.mkString(" + ")
+      val cbJoins = (0 until 4)
+        .map(j => s"JOIN cb b$j ON b$j.cid = codes.c$j").mkString(" ")
+      s"""${kmeansCtesWith("(SELECT k FROM kk)", pre = s"$adaptiveKCte,\n ")},
+         | en AS (SELECT vec_id,
+         |   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |  FROM e),
+         | sq AS (SELECT e.vec_id, c.cid,
+         |     e.x2 + list_dot_product(c.cv, c.cv)
+         |       - 2 * list_dot_product(e.v, c.cv) AS d2
+         |   FROM e, c2 c WHERE e.vec_id < 8),
+         | probes AS (SELECT vec_id AS q_id, cid AS cent_id FROM (
+         |     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY round(d2, 6), cid) AS rn FROM sq)
+         |   WHERE rn <= (SELECT np FROM kk)),
+         | lists AS (SELECT vec_id AS c_id, cid AS cent_id FROM a3),
+         | cb AS (SELECT vec_id AS cid, vn FROM en WHERE vec_id < 8),
+         | $codeCtes,
+         | codes AS (SELECT vec_id AS c_id, c0, c1, c2, c3
+         |   FROM p0 JOIN p1 USING (vec_id) JOIN p2 USING (vec_id)
+         |     JOIN p3 USING (vec_id)),
+         | cand AS (SELECT p.q_id, l.c_id FROM probes p JOIN lists l
+         |   USING (cent_id) WHERE p.q_id <> l.c_id),
+         | adc AS (SELECT cand.q_id, cand.c_id, $adcTerms AS adc
+         |   FROM cand JOIN codes USING (c_id)
+         |     JOIN en q ON q.vec_id = cand.q_id $cbJoins),
+         | short AS (SELECT q_id, c_id FROM (
+         |     SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |       ORDER BY round(adc, 6), c_id) AS srn FROM adc)
+         |   WHERE srn <= 50),
+         | rer AS (SELECT s.q_id, s.c_id,
+         |     round(list_dot_product(q.vn, cv.vn), 4) AS cos_sim
+         |   FROM short s JOIN en q ON q.vec_id = s.q_id
+         |     JOIN en cv ON cv.vec_id = s.c_id)
+         |SELECT q_id, rnk, c_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, c_id) AS rnk FROM rer)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
     "merge_upsert" ->
       """WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
         | ch AS (SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100)

@@ -195,4 +195,43 @@ class AnnRecallSpec extends SparkSpec {
     LlmData.annIvfProbeFrom(spark, dir, root)
       .inputFiles.exists(_.contains("graft-ivf-index")) shouldBe true
   }
+
+  it should "keep the recall floor through the PQ-coded (ADC) probe" in {
+    // the ADC probe trades the full-vector candidate scan for a codes-only
+    // scan + bounded re-rank; its loss vs the trained-IVF probe is
+    // shortlist misses only, so the same floor must hold vs the exact
+    // top-k the other paths are graded against
+    val exact = resultSet(
+      LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))
+    val pq = resultSet(LlmData.annIvfPqProbePersisted(spark, dir))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"persisted PQ-ADC probe recall@3 = $recall%.3f " +
+      f"(${(exact intersect pq).size}/${exact.size})")
+    recall should be >= 0.4
+    // and vs the trained-IVF probe itself (same coarse cells): the only
+    // divergence allowed is what the ADC shortlist drops
+    val ivf = resultSet(LlmData.annIvfProbePersisted(spark, dir))
+    val vsIvf = (ivf intersect pq).size.toDouble / ivf.size
+    info(f"PQ-ADC probe agreement with trained-IVF probe = $vsIvf%.3f")
+    vsIvf should be >= 0.5
+  }
+
+  it should "scan measurably fewer index bytes on the ADC path" in {
+    // the point of PQ codes: the candidate stream the ADC probe reads
+    // (`codes`: id, cell, m uint8-scale ints) must be materially smaller
+    // on disk than the full-vector inverted lists the plain probe scans.
+    // Measured on the committed artifact itself, not estimated.
+    def bytes(table: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    val root = LlmData.ivfIndexPublish(spark, dir)
+    val listsB = bytes(s"$root/lists")
+    val codesB = bytes(s"$root/codes")
+    val cbB = bytes(s"$root/codebook")
+    info(f"index bytes: lists=$listsB%d codes=$codesB%d codebook=$cbB%d " +
+      f"(codes+codebook = ${100.0 * (codesB + cbB) / listsB}%.1f%% of lists)")
+    codesB + cbB should be < listsB
+  }
 }
