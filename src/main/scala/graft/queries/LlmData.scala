@@ -2148,6 +2148,106 @@ object LlmData extends QueryPack {
         count(lit(1)).as("n_trigrams"))
   }
 
+  /** Interpolated Kneser-Ney 4-gram perplexity with min-count PRUNING —
+    * the last rung of the CCNet fidelity ladder ([[unigramPpl]] →
+    * [[bigramPpl]] → [[trigramPpl]] → this). Same KN recursion as
+    * [[trigramPplOf]] shifted one order up — 4-gram token counts at the
+    * top, continuation (type) counts at every lower level, all derived
+    * from the single 4-gram TYPE table:
+    *
+    *   p4(w4|w1w2w3) = max(c4−D,0)/c123 + D·nt123/c123 · p3(w4|w2w3)
+    *   p3(w4|w2w3)   = max(N1+(·w2w3w4)−D,0)/N1+(·w2w3·)
+    *                 + D·N1+(w2w3·)/N1+(·w2w3·) · p2(w4|w3)
+    *   p2(w4|w3)     = max(N1+(··w3w4)−D,0)/N1+(··w3·)
+    *                 + D·N1+(·w3·)/N1+(··w3·) · pcont(w4)
+    *
+    * What keeps order 4 BOUNDED where order 3 was not a concern: the
+    * top-level table grows ~linearly in corpus size (most 4-grams are
+    * singletons), so the model keeps only types with c4 ≥ `minCount`;
+    * a scored 4-gram outside the kept table BACKS OFF to the full
+    * trigram-level KN probability p3 (keyed (w2,w3,w4) — order-3 state,
+    * the same scale class [[trigramPplOf]] already carries). Context
+    * totals c123/nt123 come from the UNPRUNED type table (a transient
+    * map-side agg, never part of the scoring artifact), so pruning
+    * changes no kept probability — it only reroutes rare-type mass to
+    * the backoff path, the standard drop-the-ngram/keep-the-backoff
+    * pruning shape.
+    *
+    * LlmQualitySpec proves the fidelity claim: a doc whose trigrams are
+    * all corpus-frequent but whose 4-gram is novel ties `trigram_ppl`
+    * exactly and only this model separates it.
+    *
+    * Scale shape: 4-grams are a row-local transform of the token array;
+    * every LM table is a map-side-combining agg on uniform n-gram keys;
+    * scoring is one always-hit trigram-keyed join plus one left join
+    * against the PRUNED 4-gram table; the only broadcast is the 1-row
+    * N1+(···) scalar. */
+  def fourgramPpl(s: SparkSession, dir: String): DataFrame =
+    fourgramPplOf(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Min-count prune threshold for [[fourgramPplOf]] — shared with the
+    * `fourgram_ppl` oracle string so the two sides cannot drift. */
+  val FourgramMinCount = 2
+
+  /** The pruned KN 4-gram perplexity over ANY (id, text) frame. Docs
+    * shorter than 4 tokens have no 4-grams and get no row. */
+  def fourgramPplOf(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Int = FourgramMinCount): DataFrame = {
+    require(minCount >= 1, s"fourgram: minCount must be >= 1, got $minCount")
+    val D = 0.75
+    val qg = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .filter("size(toks) >= 4")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(3, size(toks) - 1),
+          |  i -> struct(toks[i - 3] AS w1, toks[i - 2] AS w2,
+          |              toks[i - 1] AS w3, toks[i] AS w4))) AS g""".stripMargin)
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"), col("g.w4").as("w4"))
+      .cache() // feeds the LM build and the scoring join
+    val c4 = qg.groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4"))
+      .cache() // the 4-gram TYPE table every KN count derives from
+    val c123 = c4.groupBy("w1", "w2", "w3")
+      .agg(sum("c4").as("c123"), count(lit(1)).as("nt123"))
+    val m234 = c4.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("n234"))
+      .cache() // distinct (w2,w3,w4) continuation types — the backoff
+               // level's own "token" table, same derivation trick as
+               // trigramPplOf's m23: no countDistinct expansion anywhere
+    val d23 = c4.groupBy("w2", "w3").agg(count(lit(1)).as("nd23"))
+      .join(m234.groupBy("w2", "w3").agg(count(lit(1)).as("n23d")),
+        Seq("w2", "w3"))
+    val m34 = m234.groupBy("w3", "w4").agg(count(lit(1)).as("n34"))
+      .cache()
+    val d3 = m234.groupBy("w3").agg(count(lit(1)).as("nd3"))
+      .join(m34.groupBy("w3").agg(count(lit(1)).as("n3d")), Seq("w3"))
+    val cw4 = m34.groupBy("w4").agg(count(lit(1)).as("nw4"))
+    val ndd = m34.agg(count(lit(1)).as("ndd"))
+    // full trigram-level backoff LM keyed (w2,w3,w4) — always hits for a
+    // self-scored corpus (every scored 4-gram's suffix is a type)
+    val lm3 = m234.join(d23, Seq("w2", "w3")).join(m34, Seq("w3", "w4"))
+      .join(d3, Seq("w3")).join(cw4, Seq("w4")).crossJoin(broadcast(ndd))
+      .select(col("w2"), col("w3"), col("w4"),
+        (greatest(col("n234") - D, lit(0.0)) / col("nd23") +
+          lit(D) * col("n23d") / col("nd23") *
+            (greatest(col("n34") - D, lit(0.0)) / col("nd3") +
+              lit(D) * col("n3d") / col("nd3") *
+                (col("nw4") / col("ndd")))).as("p3"))
+    // pruned top level: ONLY types with c4 >= minCount survive into the
+    // scoring artifact; their probabilities use unpruned context totals
+    val lm4 = c4.filter(col("c4") >= minCount)
+      .join(c123, Seq("w1", "w2", "w3")).join(lm3, Seq("w2", "w3", "w4"))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"),
+        (greatest(col("c4") - D, lit(0.0)) / col("c123") +
+          lit(D) * col("nt123") / col("c123") * col("p3")).as("p4"))
+    qg.join(lm3, Seq("w2", "w3", "w4"))
+      .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
+      .groupBy("doc_id")
+      .agg(round(exp(-sum(log(coalesce(col("p4"), col("p3")))) /
+        count(lit(1))), 4).as("ppl"),
+        count(lit(1)).as("n_fourgrams"))
+  }
+
   /** Okapi BM25 top-k retrieval (k1=1.2, b=0.75, Lucene's non-negative
     * idf = ln(1 + (N−df+0.5)/(df+0.5))) for a bounded query term set —
     * the retrieval primitive training-data curation leans on (find the
@@ -2750,6 +2850,7 @@ object LlmData extends QueryPack {
     "unigram_ppl" -> unigramPpl,
     "bigram_ppl" -> bigramPpl,
     "trigram_ppl" -> trigramPpl,
+    "fourgram_ppl" -> fourgramPpl,
     "bm25_topk" -> bm25TopK,
     "pmi_bigrams" -> pmiBigrams,
     "score_rank_norm" -> scoreRankNorm,
@@ -3906,6 +4007,58 @@ object LlmData extends QueryPack {
         | count(*)::BIGINT AS n_trigrams
         |FROM tg JOIN lm USING (w1, w2, w3) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "fourgram_ppl" ->
+      // pruned interpolated KN at order 4: kept types (c4 >= minCount)
+      // score the full recursion, everything else backs off to the
+      // trigram-level continuation LM — p3 computed ONCE in its CTE and
+      // reused by both branches, exactly like the Spark plan
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        | qg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+        |     toks[i + 2] AS w3, toks[i + 3] AS w4
+        |   FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)),
+        | c4 AS (SELECT w1, w2, w3, w4, count(*)::BIGINT AS c4
+        |   FROM qg GROUP BY w1, w2, w3, w4),
+        | c123 AS (SELECT w1, w2, w3, sum(c4)::BIGINT AS c123,
+        |     count(*)::BIGINT AS nt123 FROM c4 GROUP BY w1, w2, w3),
+        | m234 AS (SELECT w2, w3, w4, count(*)::BIGINT AS n234
+        |   FROM c4 GROUP BY w2, w3, w4),
+        | d23 AS (SELECT w2, w3, count(*)::BIGINT AS nd23,
+        |     count(DISTINCT w4)::BIGINT AS n23d FROM c4 GROUP BY w2, w3),
+        | m34 AS (SELECT w3, w4, count(*)::BIGINT AS n34
+        |   FROM m234 GROUP BY w3, w4),
+        | d3 AS (SELECT w3, count(*)::BIGINT AS nd3,
+        |     count(DISTINCT w4)::BIGINT AS n3d FROM m234 GROUP BY w3),
+        | cw4 AS (SELECT w4, count(*)::BIGINT AS nw4
+        |   FROM (SELECT DISTINCT w3, w4 FROM m234) GROUP BY w4),
+        | ndd AS (SELECT count(*)::BIGINT AS ndd
+        |   FROM (SELECT DISTINCT w3, w4 FROM m234)),
+        | lm3 AS (SELECT m234.w2, m234.w3, m234.w4,
+        |     greatest(m234.n234 - 0.75, 0.0) / d23.nd23
+        |       + 0.75 * d23.n23d / d23.nd23 *
+        |         (greatest(m34.n34 - 0.75, 0.0) / d3.nd3
+        |          + 0.75 * d3.n3d / d3.nd3 *
+        |            (cw4.nw4 / ndd.ndd)) AS p3
+        |   FROM m234
+        |     JOIN d23 ON d23.w2 = m234.w2 AND d23.w3 = m234.w3
+        |     JOIN m34 ON m34.w3 = m234.w3 AND m34.w4 = m234.w4
+        |     JOIN d3 ON d3.w3 = m234.w3
+        |     JOIN cw4 ON cw4.w4 = m234.w4, ndd),
+        | lm4 AS (SELECT c4.w1, c4.w2, c4.w3, c4.w4,
+        |     greatest(c4.c4 - 0.75, 0.0) / c123.c123
+        |       + 0.75 * c123.nt123 / c123.c123 * lm3.p3 AS p4
+        |   FROM c4
+        |     JOIN c123 ON c123.w1 = c4.w1 AND c123.w2 = c4.w2
+        |       AND c123.w3 = c4.w3
+        |     JOIN lm3 ON lm3.w2 = c4.w2 AND lm3.w3 = c4.w3
+        |       AND lm3.w4 = c4.w4
+        |   WHERE c4.c4 >= $FourgramMinCount)
+        |SELECT doc_id, round(exp(-sum(ln(coalesce(lm4.p4, lm3.p3)))
+        |   / count(*)), 4) AS ppl,
+        | count(*)::BIGINT AS n_fourgrams
+        |FROM qg JOIN lm3 USING (w2, w3, w4)
+        |  LEFT JOIN lm4 USING (w1, w2, w3, w4)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "source_report" ->
       """WITH d AS (SELECT source, lang, text,
         |     string_split(text, ' ') AS toks FROM documents),

@@ -432,6 +432,49 @@ class LlmQualitySpec extends SparkSpec {
     tri(0L) should be < tri(100L)
   }
 
+  behavior of "fourgramPplOf"
+
+  it should "separate a trigram-fluent doc with a novel 4-gram that trigram_ppl scores identically" in {
+    import spark.implicits._
+    // two templates sharing the trigram junction "x y": "a x y b" and
+    // "c x y d", 20 copies each. The cross probe "a x y d" splices them:
+    // every trigram (axy, xyd) is corpus-frequent with EXACTLY the same
+    // counts as the in-template probe's (axy, xyb) — so the KN trigram
+    // model ties the two probes to the digit — but its one 4-gram
+    // "a x y d" never occurs, falls out of the pruned table, and scores
+    // through the trigram backoff alone, while "a x y b" rides the
+    // kept c4=21 path. Only order 4 separates them.
+    val a = (0 until 20).map(i => (i.toLong, "a x y b"))
+    val c = (0 until 20).map(i => (100L + i, "c x y d"))
+    val inTpl = (500L, "a x y b")
+    val cross = (501L, "a x y d")
+    val docs = (a ++ c :+ inTpl :+ cross).toDF("doc_id", "text")
+    val tri = LlmData.trigramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val four = LlmData.fourgramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    tri(500L) shouldBe tri(501L) // the trigram model cannot tell them apart
+    four(500L) should be < four(501L) // the pruned 4-gram model can
+  }
+
+  it should "prune rare 4-grams without changing kept-path probabilities" in {
+    import spark.implicits._
+    // pruning drops rows from the scoring artifact but computes kept
+    // probabilities from UNPRUNED context totals, so a doc made entirely
+    // of frequent 4-grams scores identically at any threshold that keeps
+    // them; a singleton-4-gram doc's score changes (backoff reroute).
+    val freq = (0 until 10).map(i => (i.toLong, "p q r s t"))
+    val rare = (200L, "p q r s u")
+    val docs = (freq :+ rare).toDF("doc_id", "text")
+    val at1 = LlmData.fourgramPplOf(docs, "doc_id", "text", minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val at2 = LlmData.fourgramPplOf(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    at1(0L) shouldBe at2(0L) // kept path untouched by the prune
+    at1(200L) should not be at2(200L) // rare mass rerouted to backoff
+    at2(200L) should be > at2(0L) // and still ranked worse than fluent
+  }
+
   behavior of "scoreRankNorm / weightedSample"
 
   it should "normalize ranks per source to [0,1] and bias the sample toward heavy docs" in {
