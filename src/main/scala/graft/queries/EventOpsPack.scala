@@ -137,6 +137,98 @@ object EventOpsPack extends QueryPack {
     joined.select(stages.map(st => col(s"n_$st")) ++ convCols: _*)
   }
 
+  /** Conversion window for [[funnelWindowed]] (microseconds): a chain
+    * counts only if its LAST stage lands within this much of its FIRST —
+    * shared with the oracle string so the two sides cannot drift. */
+  val FunnelWindowUs: Long = 86400L * 1000000L // 1 day
+
+  /** TIME-BOUNDED ordered funnel — [[funnelSteps]] with a conversion
+    * window: a user reaches stage k only if SOME chain of stage events
+    * e1 < e2 < … < ek (strictly increasing ts) fits inside
+    * `ts(ek) − ts(e1) <= windowUs`. This is where the sequential
+    * min-agg of the unbounded funnel is NO LONGER CORRECT: taking the
+    * earliest qualifying event at each stage can anchor the window too
+    * early (A@0, B@5, B@9, C@16, W=10 — greedy picks B@5 and misses the
+    * B@9→C@16 chain; the spec pins exactly this case), so the windowed
+    * form needs the max over ALL chains, not the greedy one. */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame =
+    funnelWindowedOf(Tables.events(s, dir),
+      Seq("view", "click", "purchase"), FunnelWindowUs)
+
+  /** The windowed funnel over ANY event frame and ANY ordered stage list.
+    *
+    * Exact one-pass DP instead of a stage self-join: per user, scan stage
+    * events in ts order keeping, for each funnel depth k, the LATEST
+    * chain-start time of any valid length-k chain seen so far — a later
+    * start is always at least as extendable (the window is the only
+    * start-dependent constraint), so one BIGINT per depth is a lossless
+    * summary and the state is O(|stages|), never O(events). Strictness
+    * (ts(e_{k-1}) < ts(e_k)) is enforced by double-buffering: `com` holds
+    * the state as of strictly-earlier timestamps, `acc` folds in the
+    * current one, so same-ts events can never chain off each other.
+    *
+    * Scale shape: one user-keyed shuffle (the same key the unbounded
+    * funnel shuffles on |stages| times), then the DP runs as a codegen'd
+    * `aggregate` HOF over each user's sorted stage events — no pair
+    * join, no per-stage re-shuffle, no UDF. The per-user
+    * `sort_array(collect_list(...))` buffer holds only that user's
+    * STAGE events (the type filter is pushed below the shuffle); a
+    * pathological hot user is capped by the same salting/cap treatment
+    * any per-user sequence analysis needs, and the funnel summary is a
+    * |stages|-column single row. */
+  def funnelWindowedOf(events: DataFrame, stages: Seq[String],
+                       windowUs: Long, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2,
+      s"funnel needs >= 2 ordered stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(",")}")
+    require(stages.forall(_.matches("[A-Za-z0-9_]+")),
+      s"funnel stage names must be [A-Za-z0-9_]+, got ${stages.mkString(",")}")
+    require(windowUs > 0, s"funnel window must be positive, got $windowUs")
+    val k = stages.size
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
+    }
+    val e = events
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("t"),
+        stageIdx.as("k"))
+      .filter(col("k") > 0) // stage filter BELOW the shuffle
+    // the fold state: cur = the timestamp being folded, com = best starts
+    // over events with ts < cur (what extensions may read), acc = best
+    // starts including ts = cur (what extensions write). NULL = no chain.
+    val com = "IF(e.t > s.cur, s.acc, s.com)"
+    val dp =
+      s"""aggregate(
+         |  evs,
+         |  named_struct('cur', CAST(NULL AS BIGINT),
+         |    'com', array_repeat(CAST(NULL AS BIGINT), $k),
+         |    'acc', array_repeat(CAST(NULL AS BIGINT), $k)),
+         |  (s, e) -> named_struct(
+         |    'cur', e.t,
+         |    'com', $com,
+         |    'acc', transform(s.acc, (v, j) -> IF(j = e.k - 1,
+         |      greatest(v, IF(e.k = 1, e.t,
+         |        IF(element_at($com, e.k - 1) IS NOT NULL
+         |           AND e.t - element_at($com, e.k - 1) <= ${windowUs}L,
+         |           element_at($com, e.k - 1), CAST(NULL AS BIGINT)))),
+         |      v))),
+         |  s -> aggregate(s.acc, 0, (n, v) -> IF(v IS NOT NULL, n + 1, n)))"""
+        .stripMargin
+    val levels = e.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("k")))).as("evs"))
+      .select(expr(dp).as("level")) // non-null acc is a prefix → count=depth
+    val counts = levels.agg(
+      count(when(col("level") >= 1, 1)).as(s"n_${stages.head}"),
+      stages.tail.zipWithIndex.map { case (st, i) =>
+        count(when(col("level") >= i + 2, 1)).as(s"n_$st") }: _*)
+    val convCols = stages.sliding(2).map { case Seq(a, b) =>
+      round(col(s"n_$b") / col(s"n_$a"), 6).as(s"${a}_to_$b")
+    }.toSeq
+    counts.select(stages.map(st => col(s"n_$st")) ++ convCols: _*)
+  }
+
   /** First-touch revenue attribution: every purchase's value credited to
     * the event type that FIRST brought its user in — the standard
     * marketing-attribution read. The first touch is one keyed window
@@ -381,6 +473,7 @@ object EventOpsPack extends QueryPack {
     "skew_profile" -> skewProfile,
     "cohort_retention" -> cohortRetention,
     "funnel_steps" -> funnelSteps,
+    "funnel_windowed" -> funnelWindowed,
     "first_touch" -> firstTouchAttribution,
     "interevent_gaps" -> intereventGaps)
 
@@ -527,6 +620,28 @@ object EventOpsPack extends QueryPack {
         |       / (SELECT count(*) FROM v), 6) AS view_to_click,
         | round((SELECT count(*) FROM p)::DOUBLE
         |       / (SELECT count(*) FROM c), 6) AS click_to_purchase""".stripMargin,
+    "funnel_windowed" ->
+      // INDEPENDENT formulation on purpose: the oracle is the O(pairs)
+      // brute-force existential join (fine at oracle scale), the Spark
+      // side is the O(events) one-pass DP — hash agreement proves the
+      // DP finds exactly the chains the declarative definition admits
+      s"""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        | c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        | l2 AS (SELECT DISTINCT v.user_id FROM v
+        |   JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |     AND epoch_us(c.ts) - epoch_us(v.ts) <= $FunnelWindowUs),
+        | l3 AS (SELECT DISTINCT v.user_id FROM v
+        |   JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |   JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |     AND epoch_us(p.ts) - epoch_us(v.ts) <= $FunnelWindowUs)
+        |SELECT (SELECT count(DISTINCT user_id) FROM v)::BIGINT AS n_view,
+        | (SELECT count(*) FROM l2)::BIGINT AS n_click,
+        | (SELECT count(*) FROM l3)::BIGINT AS n_purchase,
+        | round((SELECT count(*) FROM l2)::DOUBLE
+        |       / (SELECT count(DISTINCT user_id) FROM v), 6) AS view_to_click,
+        | round((SELECT count(*) FROM l3)::DOUBLE
+        |       / (SELECT count(*) FROM l2), 6) AS click_to_purchase""".stripMargin,
     "first_touch" ->
       """WITH f AS (SELECT user_id, event_type AS first_touch FROM (
         |   SELECT user_id, event_type,

@@ -96,6 +96,85 @@ class AnalyticsOpsSpec extends SparkSpec {
       EventOpsPack.funnelStepsOf(events, Seq("browse", "add.to.cart")))
   }
 
+  behavior of "funnelWindowedOf"
+
+  it should "find window-feasible chains the greedy earliest-stage anchor misses" in {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1: A@0, B@5, B@9, C@16, window 10s. Greedy (earliest qualifying
+    // per stage) anchors B@5 → C must land in (5,10] → misses C@16; the
+    // chain A@0→B@9 fails too (C@16−A@0=16>10)... but A@0 is the only A,
+    // so full conversion requires the DP to carry B@9 — which still
+    // starts at A@0, span 16 > 10. So u1 converts to level 2 only.
+    // u2: A@0, B@5, B@9, C@16 with a SECOND A@8: chain A@8→B@9→C@16
+    // spans 8s <= 10 — only a non-greedy scan finds it (greedy min-A
+    // anchors at 0). u2 must reach level 3.
+    val events = Seq(
+      (1L, t(0), "a"), (1L, t(5), "b"), (1L, t(9), "b"), (1L, t(16), "c"),
+      (2L, t(0), "a"), (2L, t(5), "b"), (2L, t(8), "a"), (2L, t(9), "b"),
+      (2L, t(16), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val row = EventOpsPack
+      .funnelWindowedOf(events, Seq("a", "b", "c"), windowUs = 10L * 1000000L)
+      .collect().head
+    row.getLong(0) shouldBe 2 // both saw 'a'
+    row.getLong(1) shouldBe 2 // both chain a→b within 10s
+    row.getLong(2) shouldBe 1 // only u2's late re-anchor completes a→b→c
+  }
+
+  it should "never chain same-timestamp events (strict event order)" in {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, t(5), "a"), (1L, t(5), "b"),  // simultaneous: no a→b chain
+      (2L, t(5), "a"), (2L, t(6), "b")   // ordered: chains
+    ).toDF("user_id", "ts", "event_type")
+    val row = EventOpsPack
+      .funnelWindowedOf(events, Seq("a", "b"), windowUs = 100L * 1000000L)
+      .collect().head
+    row.getLong(0) shouldBe 2
+    row.getLong(1) shouldBe 1 // u2 only
+  }
+
+  it should "match a brute-force chain search on randomized event streams" in {
+    import spark.implicits._
+    // seeded random streams; the spec-side truth is the O(n^3) existential
+    // scan the DuckDB oracle also uses — the DP must agree exactly
+    val rnd = new scala.util.Random(4242)
+    val types = Vector("a", "b", "c", "noise1", "noise2")
+    val winUs = 50L * 1000000L
+    val data = for {
+      u <- 1L to 40L
+      _ <- 1 to (5 + rnd.nextInt(25))
+    } yield (u, new java.sql.Timestamp(rnd.nextInt(200) * 1000L),
+      types(rnd.nextInt(types.size)))
+    def brute(evs: Seq[(Long, String)]): Int = { // (sec, type), any order
+      val s = evs.sortBy(_._1)
+      val abc = Seq("a", "b", "c")
+      def reach(k: Int): Boolean = {
+        def chains(depth: Int): Seq[(Long, Long)] = // (start, last)
+          if (depth == 0) Seq((Long.MinValue, Long.MinValue))
+          else for {
+            (st, la) <- chains(depth - 1)
+            (ts, ty) <- s
+            if ty == abc(depth - 1) && (depth == 1 ||
+              (ts > la && (ts - st) * 1000000L <= winUs))
+          } yield (if (depth == 1) ts else st, ts)
+        chains(k).nonEmpty
+      }
+      if (!reach(1)) 0 else if (!reach(2)) 1 else if (!reach(3)) 2 else 3
+    }
+    val truth = data.groupBy(_._1).view
+      .mapValues(evs => brute(evs.map(e => (e._2.getTime / 1000L, e._3))))
+      .values.toSeq
+    val expected = (1 to 3).map(k => truth.count(_ >= k).toLong)
+    val row = EventOpsPack
+      .funnelWindowedOf(data.toDF("user_id", "ts", "event_type"),
+        Seq("a", "b", "c"), winUs)
+      .collect().head
+    (0 until 3).map(row.getLong) shouldBe expected
+  }
+
   behavior of "hardNegativesOf"
 
   it should "mine positives/negatives for an arbitrary query predicate and bound the broadcast" in {
