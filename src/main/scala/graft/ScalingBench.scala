@@ -31,6 +31,7 @@ object ScalingBench {
     "trigram_ppl",        // KN trigram LM fit + trigram-keyed score join
     "fourgram_ppl",       // pruned KN 4-gram + trigram backoff scoring
     "funnel_windowed",    // one user-keyed shuffle + codegen HOF chain DP
+    "ppm_codec",          // row-local real encode/decode/resize throughput
     "interevent_gaps",    // keyed lag window + rank-selected percentiles
     "ann_probe_persisted", // probe-only serving path over published index
     "ann_probe_pq",       // PQ-coded (ADC) probe over the published index

@@ -22,10 +22,13 @@ final case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
   *
   * The Spark-side plumbing is real — schema, per-partition batched
   * processing, even partitioning by media id so one hot partition doesn't
-  * serialize the decode — while the codec itself is a STUB (this
-  * environment has no image/audio libraries): `decodeStub` derives a
-  * deterministic feature vector from the bytes, so every op is testable
-  * end-to-end and swapping in a real codec changes one function.
+  * serialize the decode — and so is the codec for the formats a bare JVM
+  * can decode: binary PPM images and RIFF/WAVE PCM audio go through the
+  * REAL parsers in [[Codecs]] (grid-luminance / windowed-amplitude
+  * features, nearest-neighbor resize). Only formats whose decoders aren't
+  * in this environment (jpeg/png/mp4) fall back to `decodeStub`, a
+  * deterministic fake, so every op stays testable end-to-end and swapping
+  * in a real jpeg codec changes one dispatch arm.
   *
   * At 100 TB: blobs stay in parquet binary columns (scan-pruned when a
   * query only needs `meta`), decode runs once per partition batch via
@@ -36,11 +39,11 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** STUB CODEC — deterministic fake standing in for a real image/audio
-    * decoder (none available in this container). Real implementation:
-    * decode bytes → pixels/samples → model features. The fake folds the
-    * bytes into `featureDim` accumulators so output depends on every input
-    * byte and is reproducible across engines and runs. */
+  /** STUB CODEC — deterministic fake standing in for the image/audio
+    * decoders NOT available in this container (jpeg/png/mp4); PPM and WAV
+    * blobs never reach it (see [[decode]]). The fake folds the bytes into
+    * `featureDim` accumulators so output depends on every input byte and
+    * is reproducible across engines and runs. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](featureDim)
     var i = 0
@@ -49,6 +52,51 @@ object Multimodal {
       i += 1
     }
     if (bytes.length > 0) acc.map(_ / bytes.length) else acc
+  }
+
+  /** Format-sniffing decode: containers self-identify by magic bytes
+    * (what a real lake trusts over user-supplied `meta.format`), so PPM
+    * (`P6`) and WAV (`RIFF`) route to the REAL codecs — a blob that
+    * matches a magic but fails to parse is a loud task error, never a
+    * silent stub fallback — and only genuinely undecodable formats hit
+    * the stub. Image features: 4x4 grid mean luminance in [0,1]; audio
+    * features: `featureDim` windowed mean |amplitude| in [0,1]. */
+  def decode(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      val (w, h, px) = Codecs.decodePpm(bytes)
+      val gw = math.min(4, w); val gh = math.min(4, h)
+      val cells = Codecs.gridLuminance(w, h, px, gw, gh)
+      // exact per-cell pixel counts under the same floor mapping —
+      // mean luminance stays in [0,1] even when 4 doesn't divide w or h
+      val counts = new Array[Long](gw * gh)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) { counts(r * gh / h * gw + c * gw / w) += 1; c += 1 }
+        r += 1
+      }
+      var i = 0
+      while (i < cells.length) {
+        out(i) = (cells(i).toDouble / (counts(i) * 3L * 255)).toFloat; i += 1
+      }
+      out
+    } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') {
+      val (_, samples) = Codecs.decodeWav(bytes)
+      if (samples.isEmpty) out
+      else {
+        val nW = math.min(featureDim, samples.length)
+        val wins = Codecs.windowAbsSum(samples, nW)
+        val per = math.max(1, samples.length / nW)
+        var i = 0
+        while (i < nW) {
+          val n = if (i == nW - 1) samples.length - per * (nW - 1) else per
+          out(i) = (wins(i).toDouble / (n.toLong * 32768)).toFloat; i += 1
+        }
+        out
+      }
+    } else decodeStub(bytes)
   }
 
   /** Batched feature extraction: one decode pass per partition, constant
@@ -63,19 +111,23 @@ object Multimodal {
     even.mapPartitions { it =>
       it.grouped(64).flatMap { batch => // bounded batch shape, arrow-like
         batch.iterator.map(m =>
-          MediaFeatures(m.media_id, m.kind, decodeStub(m.content)))
+          MediaFeatures(m.media_id, m.kind, decode(m.content)))
       }
     }
   }
 
-  /** Resize: new blob + updated meta. The pixel work is the stub (truncate/
-    * pad bytes to the target size deterministically); meta tracking and
-    * schema evolution are the real contract. */
+  /** Resize: new blob + updated meta, format-sniffed like [[decode]].
+    * PPM blobs get a REAL nearest-neighbor resample re-encoded as PPM at
+    * the new dimensions; opaque formats keep the deterministic
+    * truncate/pad stand-in. Meta tracks the new geometry either way. */
   def resize(media: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val target = w * h
-      val out = java.util.Arrays.copyOf(m.content, target)
+      val out =
+        if (m.content.length >= 2 && m.content(0) == 'P' && m.content(1) == '6') {
+          val (sw, sh, px) = Codecs.decodePpm(m.content)
+          Codecs.encodePpm(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
+        } else java.util.Arrays.copyOf(m.content, w * h)
       m.copy(content = out, meta = m.meta.copy(width = w, height = h))
     }
   }

@@ -190,7 +190,67 @@ object MultimodalPack extends QueryPack {
       .orderBy("kind", "bucket_pct")
   }
 
+  /** PPM codec ROUNDTRIP proof, cross-engine: stage 16x16 RGB images with
+    * pixel bytes cycled from the doc text, push them through the REAL
+    * binary-PPM encoder AND decoder ([[graft.multimodal.Codecs]]), then a
+    * REAL nearest-neighbor resize to 8x8, and emit integer grid-luminance
+    * masses from the DECODED pixels. The DuckDB oracle never sees a PPM
+    * byte — it computes the expected cell sums from `documents.text`
+    * directly — so hash parity proves decode(encode(x)) == x, header
+    * grammar included, and that the resize kernel samples exactly the
+    * floor-mapped source pixels. Decode is row-local typed-map work (the
+    * multimodal decode path); the output is 16 small rows per image. */
+  def ppmCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Codecs
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val blob = Codecs.encodePpm(W, H, rgb) // real encode...
+        val (w, h, px) = Codecs.decodePpm(blob) // ...and real decode
+        val full = Codecs.gridLuminance(w, h, px, 4, 4)
+        val small = Codecs.resizeNearest(w, h, px, 8, 8) // real NN resize
+        val rz = Codecs.gridLuminance(8, 8, small, 4, 4)
+        full.indices.map(cell =>
+          (id, cell.toLong, full(cell), rz(cell)))
+      }
+      .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8")
+      .orderBy("media_id", "cell")
+  }
+
+  /** WAV codec ROUNDTRIP proof, cross-engine: stage 256-sample 16-bit PCM
+    * mono clips (sample i = (textByte − 128)·256), push them through the
+    * REAL RIFF/WAVE encoder and chunk-walking decoder, and emit integer
+    * per-window |amplitude| masses from the DECODED samples plus the
+    * header fields read back from the file. The oracle recomputes from
+    * text — parity proves the PCM bytes and the fmt chunk survive the
+    * container roundtrip bit-exactly. */
+  def wavCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Codecs
+    val N = 256; val Rate = 16000
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = text.getBytes("UTF-8")
+        val samples = Array.tabulate[Short](N)(i =>
+          (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
+        val blob = Codecs.encodeWav(Rate, samples)
+        val (rate, decoded) = Codecs.decodeWav(blob)
+        val wins = Codecs.windowAbsSum(decoded, 16)
+        wins.indices.map(w => (id, w.toLong, wins(w),
+          rate.toLong, decoded.length.toLong))
+      }
+      .toDF("media_id", "win", "abs_sum", "sample_rate", "n_samples")
+      .orderBy("media_id", "win")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ppm_codec" -> ppmCodec,
+    "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
@@ -210,6 +270,42 @@ object MultimodalPack extends QueryPack {
       .orderBy("keep_id")
 
   val oracle: Map[String, String] = Map(
+    "ppm_codec" ->
+      // the oracle computes expected cell sums STRAIGHT from the text —
+      // it never parses PPM — so agreement proves the JVM encode/decode/
+      // resize chain is lossless. Full image: byte k -> pixel k//3 ->
+      // cell (r//4)*4 + c//4; resized 8x8: out pixel (r,c) samples source
+      // (2r,2c) under the floor mapping 16->8.
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |   length(text) AS len FROM documents),
+        | fk AS (SELECT media_id, i // 3 AS p,
+        |     ord(substr(text, (i % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 767)) AS u(i)),
+        | full16 AS (SELECT media_id,
+        |     ((p // 16) // 4) * 4 + ((p % 16) // 4) AS cell,
+        |     sum(b)::BIGINT AS lum_sum
+        |   FROM fk GROUP BY 1, 2),
+        | rk AS (SELECT media_id,
+        |     (r // 2) * 4 + (c // 2) AS cell,
+        |     ord(substr(text,
+        |       ((3 * ((2 * r) * 16 + 2 * c) + ch) % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 7)) AS ur(r),
+        |     unnest(generate_series(0, 7)) AS uc(c),
+        |     unnest(generate_series(0, 2)) AS uch(ch)),
+        | rz AS (SELECT media_id, cell, sum(b)::BIGINT AS lum_sum_8x8
+        |   FROM rk GROUP BY 1, 2)
+        |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8
+        |FROM full16 JOIN rz USING (media_id, cell)
+        |ORDER BY media_id, cell""".stripMargin,
+    "wav_codec" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |   length(text) AS len FROM documents),
+        | s AS (SELECT media_id, i // 16 AS win,
+        |     abs((ord(substr(text, (i % len) + 1, 1)) - 128) * 256)::BIGINT AS a
+        |   FROM d, unnest(generate_series(0, 255)) AS u(i))
+        |SELECT media_id, win::BIGINT AS win, sum(a)::BIGINT AS abs_sum,
+        | 16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples
+        |FROM s GROUP BY media_id, win ORDER BY media_id, win""".stripMargin,
     "media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
         |   n_chars * 10 AS duration_ms FROM documents),
