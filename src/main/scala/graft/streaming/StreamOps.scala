@@ -31,6 +31,12 @@ final case class FunnelProgress(times: Seq[Long])
 final case class FunnelAdvance(
     user_id: Long, stage_idx: Int, stage: String, us: Long)
 
+/** Windowed-funnel DP state: `com`/`acc` are the latest chain-start per
+  * depth strictly-before / up-to `curTs` (Long.MinValue = none);
+  * `emitted` counts depths already announced. */
+final case class WindowedFunnelProgress(
+    curTs: Long, com: Seq[Long], acc: Seq[Long], emitted: Int)
+
 final case class TouchAttribution(
     user_id: Long, first_touch: String, event_id: Long, value: Double)
 
@@ -214,6 +220,64 @@ object StreamOps {
             }
           }
           state.update(FunnelProgress(times.toSeq))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming TIME-BOUNDED funnel — the live twin of
+    * `EventOpsPack.funnelWindowedOf`: a user advances to stage k only if
+    * some strictly-ordered stage chain fits inside `windowUs` (last −
+    * first). The batch side's chain DP carries over VERBATIM: per user,
+    * the latest chain-start per depth (`acc`), double-buffered against a
+    * strictly-earlier copy (`com`) so same-timestamp events never chain —
+    * the state is 2·|stages| longs plus a watermark-free cursor, persisted
+    * across micro-batches, so the incremental scan IS the batch scan cut
+    * at batch boundaries. Emits one [[FunnelAdvance]] the first time each
+    * depth is reached; `count(*) GROUP BY stage_idx` over the emitted
+    * stream equals the batch funnel's n_<stage> on an in-order replay
+    * (StreamOpsSpec proves the equality, late re-anchor case included). */
+  def windowedFunnelAdvances(events: Dataset[Event], stages: Seq[String],
+                             windowUs: Long): Dataset[FunnelAdvance] = {
+    require(stages.size >= 2,
+      s"funnel needs >= 2 ordered stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(",")}")
+    require(windowUs > 0, s"funnel window must be positive, got $windowUs")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val k = stages.size
+    val none = Long.MinValue // sentinel: no chain at this depth yet
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[WindowedFunnelProgress]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val st = state.getOption.getOrElse(WindowedFunnelProgress(
+            none, Seq.fill(k)(none), Seq.fill(k)(none), 0))
+          var curTs = st.curTs
+          var com = st.com.toArray // best starts at ts < curTs (readable)
+          val acc = st.acc.toArray // best starts at ts <= curTs (writable)
+          var emitted = st.emitted
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            idx.get(e.event_type).foreach { d => // 0-based depth
+              val t = micros(e.ts)
+              if (t > curTs) { com = acc.clone(); curTs = t }
+              val cand =
+                if (d == 0) t
+                else {
+                  val p = com(d - 1)
+                  if (p != none && t - p <= windowUs) p else none
+                }
+              if (cand != none && cand > acc(d)) acc(d) = cand
+              while (emitted < k && acc(emitted) != none) {
+                out += FunnelAdvance(uid, emitted, stages(emitted), t)
+                emitted += 1
+              }
+            }
+          }
+          state.update(WindowedFunnelProgress(
+            curTs, com.toSeq, acc.toSeq, emitted))
           out.result().iterator
       }
   }

@@ -435,6 +435,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "advance a WINDOWED streaming funnel equal to the batch chain DP across micro-batches" in {
+    // the batch spec's late-re-anchor corpus, cut mid-chain: u1 (a@0,
+    // b@5, b@9, c@16, W=10min) converts to depth 2 only; u2 adds a@8 —
+    // the a@8→b@9→c@16 chain spans 8min and must be found even though
+    // a@8/b@9 arrive a micro-batch before c@16 (state carries the DP);
+    // u3's same-timestamp a/b pair must never chain.
+    val stages = Seq("a", "b", "c")
+    val winUs = 10L * 60 * 1000000L
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "a", 0.0), Event(2, ts(5), 1, "b", 0.0),
+      Event(3, ts(0), 2, "a", 0.0), Event(4, ts(5), 2, "b", 0.0),
+      Event(5, ts(8), 2, "a", 0.0),
+      Event(6, ts(5), 3, "a", 0.0), Event(7, ts(5), 3, "b", 0.0))
+    val batch2 = Seq(
+      Event(8, ts(9), 1, "b", 0.0), Event(9, ts(16), 1, "c", 0.0),
+      Event(10, ts(9), 2, "b", 0.0), Event(11, ts(16), 2, "c", 0.0))
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedFunnelAdvances(in.toDS(), stages, winUs)
+      .writeStream.format("memory").queryName("funnel_win_adv")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_win_adv")
+        .groupBy("stage_idx").count()
+        .as[(Int, Long)].collect().toMap
+      val batchRow = graft.queries.EventOpsPack
+        .funnelWindowedOf((batch1 ++ batch2).toDF(), stages, winUs)
+        .collect().head
+      streamed.getOrElse(0, 0L) shouldBe batchRow.getLong(0) // 3 users
+      streamed.getOrElse(1, 0L) shouldBe batchRow.getLong(1) // u1, u2
+      streamed.getOrElse(2, 0L) shouldBe batchRow.getLong(2) // u2 only
+      streamed.getOrElse(2, 0L) shouldBe 1L // pin the late re-anchor case
+      // each user advances each depth at most once across ALL batches
+      spark.table("funnel_win_adv").groupBy("user_id", "stage_idx").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1)
+        .count() shouldBe 0L
+    } finally q.stop()
+  }
+
   it should "credit streaming purchases to the first touch equal to the batch attribution" in {
     val batch1 = Seq(
       Event(1, ts(0), 1, "view", 0.0), Event(2, ts(1), 1, "purchase", 10.0),
