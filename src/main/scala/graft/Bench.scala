@@ -4,7 +4,8 @@ package graft
   * "errors" object — failures must be visible, never silently fast.
   *
   * Noise resistance: each query is warmed once (unmeasured — codegen, JIT,
-  * parquet footers) and then timed `SPARK_GRAFT_RUNS` times (default 3);
+  * parquet footers) and then timed `SPARK_GRAFT_RUNS` times (default 3;
+  * the exact-rank family gets at least 5 — see [[Bench.NoisyRankQueries]]);
   * the reported number is the MEDIAN, so one GC pause or contended-machine
   * blip cannot dominate a round's signal. The committed BENCH_LOCAL.json
   * additionally carries per-query {median,min,max} spread plus MEASURED
@@ -14,6 +15,18 @@ package graft
   * extra exchange or a spill regression between rounds.
   */
 object Bench {
+
+  /** The exact-rank (range-sort) query family measures noisier than the
+    * rest — each run launches a range-partitioner sample job plus the
+    * two-pass rank, so scheduler jitter compounds (observed ~11%
+    * builder-vs-driver drift at 3 runs where single-exchange queries
+    * agree within ~1.5%). These take extra timed runs so the committed
+    * medians and the driver's are pinned to the same distribution. */
+  private val NoisyRankQueries = Set(
+    "robust_outliers", "rfm_tiers", "group_percentiles", "ntile_bins",
+    "exact_quantiles", "quality_tiers", "score_rank_norm", "vocab_zipf",
+    "interevent_gaps", "psi_exact", "auroc_rank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3))
@@ -95,7 +108,8 @@ object Bench {
         attempt(name, fn) match { // warmup; a failure here skips the runs
           case None => name -> (Seq(-1.0), 0L, 0L)
           case Some(_) =>
-            val triples = (1 to runs).flatMap(_ => attempt(name, fn))
+            val nRuns = if (NoisyRankQueries(name)) math.max(runs, 5) else runs
+            val triples = (1 to nRuns).flatMap(_ => attempt(name, fn))
             if (triples.isEmpty) name -> (Seq(-1.0), 0L, 0L)
             else name -> (triples.map(_._1).sorted,
               triples.last._2, triples.last._3)
