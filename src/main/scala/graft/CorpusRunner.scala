@@ -215,9 +215,25 @@ object CorpusRunner extends Logging {
           .getOrElse(throw new IllegalArgumentException(
             s"semantic_decontam: unreadable evalSource " +
               s"'${step.evalSource}'"))
-        val corpusVecs = vecs
-          .join(df.select(col(id).cast("long").as("vec_id")),
-            Seq("vec_id"), "left_semi")
+        // a decontamination gate must never be silently DISABLED: an id
+        // column that doesn't cast to long, or a vectorSource keyed by
+        // different ids, would match zero embedding rows and pass every
+        // document while the run reports success. One tiny agg validates
+        // the cast; the scored count validates coverage.
+        val keyed = df.select(col(id).cast("long").as("vec_id"))
+        val kr = keyed.agg(count(lit(1)).as("n"),
+          count(col("vec_id")).as("nk")).head
+        val (nCorpus, nKeyed) = (kr.getLong(0), kr.getLong(1))
+        require(nCorpus == nKeyed,
+          s"semantic_decontam: id column '$id' does not cast to long for " +
+            s"${nCorpus - nKeyed} rows — those docs could never be scored")
+        val corpusVecs = vecs.join(keyed, Seq("vec_id"), "left_semi")
+        val nScored = corpusVecs.count()
+        require(nCorpus == 0 || nScored > 0,
+          s"semantic_decontam: vectorSource '${step.vectorSource}' covers " +
+            "NONE of the corpus ids — the gate would pass every document")
+        if (nScored < nCorpus) logInfo(s"semantic_decontam: " +
+          s"${nCorpus - nScored} docs have no embedding row; kept UNSCORED")
         val flagged = queries.LlmData
           .semanticDecontamOf(corpusVecs, eval, step.threshold)
           .select(col("vec_id").as(id))

@@ -16,14 +16,30 @@ package graft.multimodal
   */
 object Codecs {
 
+  /** True iff the blob is a binary-PPM candidate: `P6` followed by a
+    * header character (whitespace or comment) — `P6` followed by
+    * anything else is some other P-family or unrelated format. */
+  def isPpm(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 'P' && bytes(1) == '6' &&
+      (bytes(2) == ' ' || bytes(2) == '\t' || bytes(2) == '\n' ||
+        bytes(2) == '\r' || bytes(2) == '#')
+
+  /** True iff the blob is a RIFF container holding a WAVE form. RIFF
+    * alone is NOT enough — WebP (`RIFF....WEBP`) and AVI (`RIFF....AVI `)
+    * share the outer magic and must not be routed to the WAV decoder. */
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
   // ---------------------------------------------------------------- PPM
 
   /** Encode an interleaved-RGB pixel buffer as binary PPM (P6, maxval
     * 255): `P6\n<w> <h>\n255\n` + raw bytes. */
   def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(w > 0 && h > 0, s"ppm: bad dimensions ${w}x$h")
-    require(rgb.length == w * h * 3,
-      s"ppm: need ${w * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    require(rgb.length == w.toLong * h * 3, // Long: no overflow pass
+      s"ppm: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + rgb.length)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -68,10 +84,13 @@ object Codecs {
     require(pos < bytes.length && isWs(bytes(pos)),
       "ppm: missing raster separator")
     pos += 1
-    val need = w * h * 3
+    // Long math: a corrupt/hostile header like 65536x65536 overflows
+    // w*h*3 in Int (to 0 here — the truncation check would pass and the
+    // caller would crash out-of-contract later)
+    val need = w.toLong * h * 3
     require(bytes.length - pos >= need,
       s"ppm: raster truncated (need $need, have ${bytes.length - pos})")
-    val px = java.util.Arrays.copyOfRange(bytes, pos, pos + need)
+    val px = java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)
     (w, h, px)
   }
 
@@ -80,9 +99,10 @@ object Codecs {
     * standard NN kernel. Row-local, O(ow*oh). */
   def resizeNearest(w: Int, h: Int, rgb: Array[Byte],
                     ow: Int, oh: Int): Array[Byte] = {
-    require(rgb.length == w * h * 3,
-      s"resize: need ${w * h * 3} bytes for ${w}x$h, got ${rgb.length}")
-    require(ow > 0 && oh > 0, s"resize: bad target ${ow}x$oh")
+    require(rgb.length == w.toLong * h * 3,
+      s"resize: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    require(ow > 0 && oh > 0 && ow.toLong * oh * 3 <= Int.MaxValue,
+      s"resize: bad target ${ow}x$oh")
     val out = new Array[Byte](ow * oh * 3)
     var r = 0
     while (r < oh) {
@@ -107,8 +127,8 @@ object Codecs {
     * than the image. */
   def gridLuminance(w: Int, h: Int, rgb: Array[Byte],
                     gw: Int, gh: Int): Array[Long] = {
-    require(rgb.length == w * h * 3,
-      s"grid: need ${w * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    require(rgb.length == w.toLong * h * 3,
+      s"grid: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
     require(gw > 0 && gw <= w && gh > 0 && gh <= h,
       s"grid: ${gw}x$gh does not fit ${w}x$h")
     val acc = new Array[Long](gw * gh)

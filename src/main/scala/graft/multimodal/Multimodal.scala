@@ -56,14 +56,16 @@ object Multimodal {
 
   /** Format-sniffing decode: containers self-identify by magic bytes
     * (what a real lake trusts over user-supplied `meta.format`), so PPM
-    * (`P6`) and WAV (`RIFF`) route to the REAL codecs — a blob that
-    * matches a magic but fails to parse is a loud task error, never a
-    * silent stub fallback — and only genuinely undecodable formats hit
-    * the stub. Image features: 4x4 grid mean luminance in [0,1]; audio
-    * features: `featureDim` windowed mean |amplitude| in [0,1]. */
+    * (`P6` + header char) and WAV (`RIFF....WAVE` — RIFF alone also
+    * matches WebP/AVI, which belong on the stub path) route to the REAL
+    * codecs — a blob that matches a full magic but fails to parse is a
+    * loud task error, never a silent stub fallback — and only genuinely
+    * undecodable formats hit the stub. Image features: 4x4 grid mean
+    * luminance in [0,1]; audio: `featureDim` windowed mean |amplitude|
+    * in [0,1]. */
   def decode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+    if (Codecs.isPpm(bytes)) {
       val (w, h, px) = Codecs.decodePpm(bytes)
       val gw = math.min(4, w); val gh = math.min(4, h)
       val cells = Codecs.gridLuminance(w, h, px, gw, gh)
@@ -81,8 +83,7 @@ object Multimodal {
         out(i) = (cells(i).toDouble / (counts(i) * 3L * 255)).toFloat; i += 1
       }
       out
-    } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
-      bytes(2) == 'F' && bytes(3) == 'F') {
+    } else if (Codecs.isWav(bytes)) {
       val (_, samples) = Codecs.decodeWav(bytes)
       if (samples.isEmpty) out
       else {
@@ -124,7 +125,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map { m =>
       val out =
-        if (m.content.length >= 2 && m.content(0) == 'P' && m.content(1) == '6') {
+        if (Codecs.isPpm(m.content)) {
           val (sw, sh, px) = Codecs.decodePpm(m.content)
           Codecs.encodePpm(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
         } else java.util.Arrays.copyOf(m.content, w * h)

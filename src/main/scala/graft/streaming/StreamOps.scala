@@ -235,7 +235,12 @@ object StreamOps {
     * at batch boundaries. Emits one [[FunnelAdvance]] the first time each
     * depth is reached; `count(*) GROUP BY stage_idx` over the emitted
     * stream equals the batch funnel's n_<stage> on an in-order replay
-    * (StreamOpsSpec proves the equality, late re-anchor case included). */
+    * (StreamOpsSpec proves the equality, late re-anchor case included).
+    * Cross-batch LATE events (older than the user's cursor) are DROPPED:
+    * folding one into newer state could chain it onto a chain whose last
+    * event happened after it — a false advance append mode can never
+    * retract — so lateness may under-count (like any unretractable
+    * append stream) but never over-counts. */
   def windowedFunnelAdvances(events: Dataset[Event], stages: Seq[String],
                              windowUs: Long): Dataset[FunnelAdvance] = {
     require(stages.size >= 2,
@@ -262,17 +267,24 @@ object StreamOps {
           sorted.foreach { e =>
             idx.get(e.event_type).foreach { d => // 0-based depth
               val t = micros(e.ts)
-              if (t > curTs) { com = acc.clone(); curTs = t }
-              val cand =
-                if (d == 0) t
-                else {
-                  val p = com(d - 1)
-                  if (p != none && t - p <= windowUs) p else none
+              // DROP cross-batch late events (t < curTs): folding one into
+              // the ≥curTs state could chain it onto a stored chain whose
+              // last event happened AFTER it — emitting a FALSE advance
+              // that append mode can never retract. Skipping can only
+              // under-count (the acknowledged late-data mode), never over.
+              if (t >= curTs) {
+                if (t > curTs) { com = acc.clone(); curTs = t }
+                val cand =
+                  if (d == 0) t
+                  else {
+                    val p = com(d - 1)
+                    if (p != none && t - p <= windowUs) p else none
+                  }
+                if (cand != none && cand > acc(d)) acc(d) = cand
+                while (emitted < k && acc(emitted) != none) {
+                  out += FunnelAdvance(uid, emitted, stages(emitted), t)
+                  emitted += 1
                 }
-              if (cand != none && cand > acc(d)) acc(d) = cand
-              while (emitted < k && acc(emitted) != none) {
-                out += FunnelAdvance(uid, emitted, stages(emitted), t)
-                emitted += 1
               }
             }
           }

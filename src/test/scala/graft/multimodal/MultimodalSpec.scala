@@ -124,6 +124,20 @@ class MultimodalSpec extends SparkSpec {
     // opaque bytes (no magic) take the deterministic stub path
     val blob = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     Multimodal.decode(blob).toSeq shouldBe Multimodal.decodeStub(blob).toSeq
+    // RIFF-family NON-WAVE containers (WebP, AVI) must hit the stub, not
+    // crash in the WAV decoder; same for P6-prefixed non-PPM bytes
+    val webp = "RIFF\u0004\u0000\u0000\u0000WEBPVP8 ".getBytes("ISO-8859-1")
+    Multimodal.decode(webp).toSeq shouldBe Multimodal.decodeStub(webp).toSeq
+    val p6ish = "P6X not a ppm".getBytes("US-ASCII")
+    Multimodal.decode(p6ish).toSeq shouldBe Multimodal.decodeStub(p6ish).toSeq
+  }
+
+  it should "reject overflow-sized PPM headers loudly instead of crashing out-of-contract" in {
+    // 65536*65536*3 overflows Int to 0 — a naive length check would
+    // accept an EMPTY raster for a claimed 4-gigapixel image
+    val hostile = "P6\n65536 65536\n255\n".getBytes("US-ASCII")
+    val e = intercept[IllegalArgumentException](Codecs.decodePpm(hostile))
+    e.getMessage should include("truncated")
   }
 
   it should "really resample PPM blobs in resize (decodable at new dims)" in {

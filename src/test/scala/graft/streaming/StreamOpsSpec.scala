@@ -475,6 +475,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "drop cross-batch late events rather than emit false windowed advances" in {
+    // batch 1: a@0, b@20, a@30 — the a@30 rolls the strict-earlier buffer
+    // forward to include the (start=0, last=20) depth-2 chain. A LATE
+    // c@10 arriving in batch 2 must NOT chain onto it (the real order
+    // a@0, c@10, b@20 has no a→b→c chain): late events are dropped, and
+    // a subsequent in-order c@40 still converts within the window.
+    val stages = Seq("a", "b", "c")
+    val winUs = 100L * 60 * 1000000L
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedFunnelAdvances(in.toDS(), stages, winUs)
+      .writeStream.format("memory").queryName("funnel_win_late")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "a", 0.0), Event(2, ts(20), 1, "b", 0.0),
+        Event(3, ts(30), 1, "a", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(10), 1, "c", 0.0)) // LATE: must be dropped
+      q.processAllAvailable()
+      spark.table("funnel_win_late").filter("stage_idx = 2")
+        .count() shouldBe 0L
+      in.addData(Event(5, ts(40), 1, "c", 0.0)) // in-order: converts
+      q.processAllAvailable()
+      spark.table("funnel_win_late").filter("stage_idx = 2")
+        .count() shouldBe 1L
+    } finally q.stop()
+  }
+
   it should "credit streaming purchases to the first touch equal to the batch attribution" in {
     val batch1 = Seq(
       Event(1, ts(0), 1, "view", 0.0), Event(2, ts(1), 1, "purchase", 10.0),
