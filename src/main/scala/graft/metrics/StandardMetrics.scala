@@ -111,15 +111,14 @@ object StandardMetrics {
                    tieCol: String): DataFrame = {
     val (ranked, rankedP) = graft.plans.GlobalRank.withNtilePersisted(
       df, Seq(col(scoreCol).desc, col(tieCol)), 10, "decile")
-    val per = ranked.groupBy("decile")
-      .agg(count(lit(1)).as("n"),
-        sum(col(labelCol).cast("long")).as("n_pos"))
-      // tiny (10 rows): eagerly materialized for both sides of the
-      // cumulative self-join, which also lets the ntile sort cache be
-      // released HERE (unpersist on the exact persisted handle — on the
-      // derived frame it would be a sameResult-miss no-op)
-      .localCheckpoint(true)
-    rankedP.unpersist()
+    // tiny (10 rows): eagerly materialized for both sides of the
+    // cumulative self-join, which also lets the ntile sort cache be
+    // released HERE (unpersist on the exact persisted handle — on the
+    // derived frame it would be a sameResult-miss no-op)
+    val per = graft.plans.Eager.checkpoint(
+      ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col(labelCol).cast("long")).as("n_pos"))) { rankedP.unpersist() }
     val tot = per.agg(sum("n_pos").as("__tot"))
     per.as("a")
       .join(per.select(col("decile").as("__d"), col("n_pos").as("__p")),

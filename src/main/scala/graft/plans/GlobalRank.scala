@@ -41,6 +41,44 @@ object GlobalRank {
 
   private val RowMask = (1L << 33) - 1
 
+  /** Partition id recovered from `monotonically_increasing_id()`. */
+  private def pidCol: Column = shiftright(col("__mid"), 33).cast("int")
+
+  /** Pass 1, shared by every op here: range-partition on the sort keys,
+    * sort within partitions, capture `__mid` in the SAME narrow stage,
+    * persist. Everything else derives from this one materialization. */
+  private def rangeSorted(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Cumulative rank offsets from per-partition row counts: offsets(p) =
+    * rows in partitions < p; offsets(parts) = total row count. */
+  private def offsetsFrom(counts: Map[Int, Long], parts: Int): IndexedSeq[Long] =
+    (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+      .toIndexedSeq
+
+  /** The tiny pass-2 job: per-partition counts → cumulative offsets. */
+  private def countedOffsets(sorted: DataFrame): IndexedSeq[Long] = {
+    val parts = sorted.sparkSession.sessionState.conf.numShufflePartitions
+    val counts = sorted.groupBy(pidCol.as("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    offsetsFrom(counts, parts)
+  }
+
+  /** offsets as one O(1)-depth map literal + element_at lookup (a
+    * when-chain would grow the expression tree with the partition count —
+    * a codegen/analysis liability at thousands of partitions). */
+  private def offsetExprOf(offsets: IndexedSeq[Long]): Column = {
+    val parts = offsets.length - 1
+    element_at(
+      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
+      pidCol)
+  }
+
   /** Adds `outCol` = exact 1-based global row number under `sortCols`.
     * The returned frame depends on an internally persisted sort; use
     * [[withRowNumberPersisted]] or [[rowNumbered]] when the caller needs
@@ -54,20 +92,10 @@ object GlobalRank {
     * Unpersisting on the returned RESULT frame is a silent no-op. */
   def withRowNumberPersisted(df: DataFrame, sortCols: Seq[Column],
                              outCol: String): (DataFrame, DataFrame) = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pid = shiftright(col("__mid"), 33).cast("int")
-    val counts = sorted.groupBy(pid.as("__pid")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetExpr = element_at(
-      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
-      pid)
+    val sorted = rangeSorted(df, sortCols)
+    val offsets = countedOffsets(sorted)
     val out = sorted
-      .withColumn(outCol, offsetExpr + col("__mid").bitwiseAND(RowMask) + 1)
+      .withColumn(outCol, offsetExprOf(offsets) + col("__mid").bitwiseAND(RowMask) + 1)
       .drop("__mid")
     (out, sorted)
   }
@@ -79,11 +107,20 @@ object GlobalRank {
     * a quantile row, a keep-set) — the checkpoint is cheap and the
     * range-sorted cache entry is provably released. */
   def rowNumbered(df: DataFrame, sortCols: Seq[Column], outCol: String)
-                 (consume: DataFrame => DataFrame): DataFrame = {
-    val (ranked, persisted) = withRowNumberPersisted(df, sortCols, outCol)
-    val out = consume(ranked).localCheckpoint(true)
-    persisted.unpersist()
-    out
+                 (consume: DataFrame => DataFrame): DataFrame =
+    rowNumberedN(df, sortCols, outCol)((ranked, _) => consume(ranked))
+
+  /** [[rowNumbered]] whose consumer also receives the TOTAL row count —
+    * already on the driver from the offsets job, so rank-target consumers
+    * (quantile-by-rank, top-fraction cuts) need no extra `count()` job. */
+  def rowNumberedN(df: DataFrame, sortCols: Seq[Column], outCol: String)
+                  (consume: (DataFrame, Long) => DataFrame): DataFrame = {
+    val sorted = rangeSorted(df, sortCols)
+    val offsets = countedOffsets(sorted)
+    val ranked = sorted
+      .withColumn(outCol, offsetExprOf(offsets) + col("__mid").bitwiseAND(RowMask) + 1)
+      .drop("__mid")
+    Eager.checkpoint(consume(ranked, offsets.last)) { sorted.unpersist() }
   }
 
   /** Adds, for each `(inCol, outCol)` in `sums`, the inclusive running sum
@@ -99,19 +136,13 @@ object GlobalRank {
   def withRunningSums(df: DataFrame, sortCols: Seq[Column],
                       sums: Seq[(String, String)]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = rangeSorted(df, sortCols).withColumn("__pid", pidCol)
     // one tiny job: per-partition totals of every summed column
     val totalAggs = sums.map { case (in, _) => sum(col(in)).as(in) }
     val totals = sorted.groupBy(col("__pid")).agg(totalAggs.head, totalAggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
-    // offset(p) = Σ totals over partitions < p, emitted as one O(1)-depth
-    // map literal + element_at lookup (same form as withRowNumber) — a
-    // when-chain here would grow the expression tree with the partition
-    // count, a codegen/analysis liability at thousands of partitions
+    // offset(p) = Σ totals over partitions < p, same map-literal form as
+    // offsetExprOf but over per-column double totals
     def offsetExpr(in: String): Column = {
       val perPart = (0 until parts).map { p =>
         totals.get(p).map(_.getAs[Any](in)).getOrElse(null)
@@ -147,24 +178,14 @@ object GlobalRank {
     * [[withRowNumberPersisted]] for the release contract). */
   def withNtilePersisted(df: DataFrame, sortCols: Seq[Column], k: Int,
                          outCol: String): (DataFrame, DataFrame) = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pid = shiftright(col("__mid"), 33).cast("int")
-    val counts = sorted.groupBy(pid.as("__pid")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val sorted = rangeSorted(df, sortCols)
+    val offsets = countedOffsets(sorted)
     val n = offsets.last
-    val offsetExpr = element_at(
-      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
-      pid)
     // SQL NTILE: first (n % k) buckets hold ceil(n/k) rows, the rest floor.
     val size = n / k
     val rem = n % k
     val cut = rem * (size + 1) // rows in the oversized buckets
-    val r0 = offsetExpr + col("__mid").bitwiseAND(RowMask) // 0-based rank
+    val r0 = offsetExprOf(offsets) + col("__mid").bitwiseAND(RowMask) // 0-based
     val bucket =
       if (size == 0) r0 + 1 // fewer rows than buckets: row i → bucket i+1
       else when(r0 < cut, floor(r0 / (size + 1)) + 1)
@@ -212,23 +233,20 @@ object GlobalRank {
       s"percentiles must be in [0,1], got ${ps.mkString(",")}")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.select(col(groupCol), col(valueCol))
-      .filter(col(valueCol).isNotNull)
-      .repartitionByRange(parts, col(groupCol), col(valueCol))
-      .sortWithinPartitions(groupCol, valueCol)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pid = shiftright(col("__mid"), 33).cast("int")
-    // job 1: the tiny per-(partition, group) aggregate
+    val sorted = rangeSorted(
+      df.select(col(groupCol), col(valueCol)).filter(col(valueCol).isNotNull),
+      Seq(col(groupCol), col(valueCol)))
+    // job 1: the tiny per-(partition, group) aggregate — this op's
+    // REPLACEMENT for countedOffsets (the counts fall out of the same
+    // pass that collects each group's min rank and sum)
     val chunkAggs = Seq(count(lit(1)).as("__c"), min("__mid").as("__m0")) ++
       (if (withAvg) Seq(sum(col(valueCol)).as("__s")) else Nil)
-    val chunks = sorted.groupBy(pid.as("__pid"), col(groupCol))
+    val chunks = sorted.groupBy(pidCol.as("__pid"), col(groupCol))
       .agg(chunkAggs.head, chunkAggs.tail: _*).collect()
     // driver: per-partition rank offsets …
     val partCounts = chunks.groupBy(_.getAs[Int]("__pid"))
       .map { case (p, rs) => p -> rs.map(_.getAs[Long]("__c")).sum }
-    val offsets = (0 until parts)
-      .scanLeft(0L)((acc, p) => acc + partCounts.getOrElse(p, 0L))
+    val offsets = offsetsFrom(partCounts, parts)
     // … and per-group (min rank, n, avg). Chunk sums are added in
     // partition order — deterministic; integer inputs stay exact.
     val statRows = chunks.groupBy(_.getAs[Any](groupCol)).toSeq
@@ -254,11 +272,8 @@ object GlobalRank {
     val stats = spark.createDataFrame(
       new java.util.ArrayList[Row](statRows.asJava), statsSchema)
     // job 2: flank filter + interpolation agg, eagerly checkpointed
-    val offsetExpr = element_at(
-      typedlit(offsets.take(parts).zipWithIndex.map { case (o, p) => p -> o }.toMap),
-      pid)
     val j = sorted
-      .withColumn("__rank", offsetExpr + col("__mid").bitwiseAND(RowMask) + 1)
+      .withColumn("__rank", offsetExprOf(offsets) + col("__mid").bitwiseAND(RowMask) + 1)
       .join(broadcast(stats), groupCol)
       .withColumn("__r0", (col("__rank") - col("__rn0")).cast("double"))
     def idx(p: Double) = lit(p) * (col("__n") - 1).cast("double")
@@ -280,8 +295,6 @@ object GlobalRank {
     }
     val keepCols = Seq(col(groupCol), col("n")) ++
       (if (withAvg) Seq(col("avg")) else Nil) ++ outs
-    val out = agged.select(keepCols: _*).localCheckpoint(true)
-    sorted.unpersist()
-    out
+    Eager.checkpoint(agged.select(keepCols: _*)) { sorted.unpersist() }
   }
 }

@@ -2142,10 +2142,13 @@ object LlmData extends QueryPack {
             (greatest(col("n23") - D, lit(0.0)) / col("nd2") +
               lit(D) * col("n2d") / col("nd2") *
                 (col("nd3") / col("ndd")))).as("lp"))
-    tg.join(lm, Seq("w1", "w2", "w3"))
-      .groupBy("doc_id")
-      .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
-        count(lit(1)).as("n_trigrams"))
+    graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
+      tg.join(lm, Seq("w1", "w2", "w3"))
+        .groupBy("doc_id")
+        .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
+          count(lit(1)).as("n_trigrams"))) {
+      tg.unpersist(); c3.unpersist(); m23.unpersist()
+    }
   }
 
   /** Interpolated Kneser-Ney 4-gram perplexity with min-count PRUNING —
@@ -2240,12 +2243,15 @@ object LlmData extends QueryPack {
       .select(col("w1"), col("w2"), col("w3"), col("w4"),
         (greatest(col("c4") - D, lit(0.0)) / col("c123") +
           lit(D) * col("nt123") / col("c123") * col("p3")).as("p4"))
-    qg.join(lm3, Seq("w2", "w3", "w4"))
-      .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
-      .groupBy("doc_id")
-      .agg(round(exp(-sum(log(coalesce(col("p4"), col("p3")))) /
-        count(lit(1))), 4).as("ppl"),
-        count(lit(1)).as("n_fourgrams"))
+    graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
+      qg.join(lm3, Seq("w2", "w3", "w4"))
+        .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
+        .groupBy("doc_id")
+        .agg(round(exp(-sum(log(coalesce(col("p4"), col("p3")))) /
+          count(lit(1))), 4).as("ppl"),
+          count(lit(1)).as("n_fourgrams"))) {
+      qg.unpersist(); c4.unpersist(); m234.unpersist(); m34.unpersist()
+    }
   }
 
   /** Okapi BM25 top-k retrieval (k1=1.2, b=0.75, Lucene's non-negative
@@ -2372,16 +2378,19 @@ object LlmData extends QueryPack {
                          maxEvalRows: Long = 4096): DataFrame = {
     val ev0 = evalVecs.select(col("vec_id").as("e_id"),
       vecNorm(col("embedding")).as("evn"))
-    // bounded validation scan: limit(max+1) answers both "empty?" and
-    // "over the broadcast bound?" without a full count of the eval frame
-    val ne = ev0.limit(math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt)
-      .count()
+    // ONE bounded materialization answers "empty?", "over the broadcast
+    // bound?", AND stages the broadcast rows: limit(max+1) caps the scan,
+    // and when the count clears the bound the limit dropped nothing, so
+    // the checkpointed frame IS the eval set — the source is never read
+    // a second time for the broadcast.
+    val ev = ev0.limit(math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt)
+      .localCheckpoint(true)
+    val ne = ev.count()
     require(ne > 0, "semantic_decontam: eval set is empty")
     require(ne <= maxEvalRows,
       s"semantic_decontam: eval set has more than $maxEvalRows rows (the " +
         "broadcast bound) — use the persisted-ANN candidate path " +
         "(semanticDecontamAnn) for large eval sets")
-    val ev = ev0.localCheckpoint(true)
     val best = corpus
       .select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
       .crossJoin(broadcast(ev))
@@ -2470,14 +2479,12 @@ object LlmData extends QueryPack {
     // materialization — but it replaces (not adds to) the range-sort
     // persist it releases: same write volume, and the cache entry is
     // freed on the exact persisted handle instead of leaking all session
-    val out = ranked.join(broadcast(stats), groupCol)
-      .select(col(idCol), col(groupCol), col(scoreCol),
-        when(col("n") > 1,
-          (col("rn") - col("rn0")).cast("double") / (col("n") - 1))
-          .otherwise(lit(0.0)).as("pct_rank"))
-      .localCheckpoint(true)
-    rankedP.unpersist()
-    out
+    graft.plans.Eager.checkpoint(
+      ranked.join(broadcast(stats), groupCol)
+        .select(col(idCol), col(groupCol), col(scoreCol),
+          when(col("n") > 1,
+            (col("rn") - col("rn0")).cast("double") / (col("n") - 1))
+            .otherwise(lit(0.0)).as("pct_rank"))) { rankedP.unpersist() }
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
@@ -2512,15 +2519,13 @@ object LlmData extends QueryPack {
       .select("doc_id", "ppl")
     val (tiered, tieredP) = graft.plans.GlobalRank
       .withNtilePersisted(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
-    val out = tiered
-      .groupBy("tier")
-      .agg(count(lit(1)).as("n_docs"),
-        round(min("ppl"), 4).as("min_ppl"),
-        round(max("ppl"), 4).as("max_ppl"))
-      .orderBy("tier")
-      .localCheckpoint(true) // 3 rows; frees the ntile sort cache below
-    tieredP.unpersist()
-    out
+    graft.plans.Eager.checkpoint( // 3 rows; frees the ntile sort cache
+      tiered
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("ppl"), 4).as("min_ppl"),
+          round(max("ppl"), 4).as("max_ppl"))
+        .orderBy("tier")) { tieredP.unpersist() }
   }
 
   /** Deterministic global training-order shuffle: every document gets a
@@ -2546,12 +2551,10 @@ object LlmData extends QueryPack {
     // corpus-sized output: the eager checkpoint replaces the range-sort
     // persist it releases (narrow id/pos/shard rows — smaller than the
     // sorted md5-keyed frame it frees)
-    val out = ranked
-      .withColumn("shard", (col("pos") - 1) % shards)
-      .select("doc_id", "pos", "shard")
-      .localCheckpoint(true)
-    rankedP.unpersist()
-    out
+    graft.plans.Eager.checkpoint(
+      ranked
+        .withColumn("shard", (col("pos") - 1) % shards)
+        .select("doc_id", "pos", "shard")) { rankedP.unpersist() }
   }
 
   /** Corpus profile per (lang, source). */

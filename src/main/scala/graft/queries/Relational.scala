@@ -176,10 +176,10 @@ object Relational extends QueryPack {
     * scale path stays `approxQuantile` (features.Binning equiarea); this is
     * the exact path for when quantiles feed a contract (bin edges, SLAs). */
   def exactQuantiles(s: SparkSession, dir: String): DataFrame =
-    graft.plans.GlobalRank.rowNumbered(
+    graft.plans.GlobalRank.rowNumberedN(
       Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
-      Seq(col("o_totalprice"), col("o_orderkey")), "rn") { ranked =>
-      val n = ranked.count()
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn") { (ranked, n) =>
+      // n rides the offsets job the rank already ran — no count() pass
       val targets = Seq(0.25, 0.5, 0.75).map(p => p -> math.ceil(p * n).toLong)
       val pExpr = targets.foldLeft(lit(null).cast("double")) {
         case (acc, (p, t)) => when(col("rn") === t, lit(p)).otherwise(acc)
@@ -291,15 +291,13 @@ object Relational extends QueryPack {
     val (binned, binnedP) = graft.plans.GlobalRank.withNtilePersisted(
       Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
       Seq(col("o_totalprice"), col("o_orderkey")), 10, "bucket")
-    val out = binned
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        round(min("o_totalprice"), 2).as("lo"),
-        round(max("o_totalprice"), 2).as("hi"))
-      .orderBy("bucket")
-      .localCheckpoint(true) // 10 rows; frees the ntile sort cache
-    binnedP.unpersist()
-    out
+    graft.plans.Eager.checkpoint( // 10 rows; frees the ntile sort cache
+      binned
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")) { binnedP.unpersist() }
   }
 
   /** Random-variable derivation through the real reader code
@@ -393,13 +391,13 @@ object Relational extends QueryPack {
       }
     // ≤64-row final agg: eagerly checkpoint it so all three chained ntile
     // sort caches can be released on their exact persisted handles
-    val out = tiered.groupBy("r_tier", "f_tier", "m_tier")
-      .agg(count(lit(1)).as("n_cust"),
-        round(avg("cents")).cast("long").as("avg_cents"))
-      .orderBy("r_tier", "f_tier", "m_tier")
-      .localCheckpoint(true)
-    handles.result().foreach(_.unpersist())
-    out
+    graft.plans.Eager.checkpoint(
+      tiered.groupBy("r_tier", "f_tier", "m_tier")
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg("cents")).cast("long").as("avg_cents"))
+        .orderBy("r_tier", "f_tier", "m_tier")) {
+      handles.result().foreach(_.unpersist())
+    }
   }
 
   /** Exact per-group percentiles (p50/p95) with PERCENTILE_CONT /
