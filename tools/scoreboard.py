@@ -87,6 +87,71 @@ def scaling_summary(path):
             "small": small, "large": large, "growth": growth}
 
 
+def band_file(path, out):
+    """Derive a per-query timing band from the committed bench artifact's
+    min/max spread and write it next to it. The band makes cross-machine
+    drift MECHANICAL: a later run (e.g. the driver's BENCH_r{N}.json) is
+    in-family for a query iff its time lands inside [min/slack, max*slack]
+    — slack covers machine noise beyond the sampled spread."""
+    SLACK = 1.25
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return None
+    stats = d.get("stats", {})
+    if not stats:
+        return None
+    band = {k: {"lo": round(v["min"] / SLACK, 4),
+                "hi": round(v["max"] * SLACK, 4),
+                "median": v["median"]}
+            for k, v in stats.items()}
+    json.dump({"slack": SLACK, "runs": d.get("runs", 1),
+               "sf": d.get("sf"), "band": band},
+              open(out, "w"), indent=0, sort_keys=True)
+    return band
+
+
+def driver_queries(path):
+    """Per-query seconds from either bench shape: graft.Bench's own JSON
+    line, or the driver's BENCH_r{N}.json wrapper ({n, rc, tail, parsed})
+    whose `tail` is a TRUNCATED capture — scrape what survives."""
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return None
+    if "queries" in d:
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict):
+        return d["parsed"].get("queries", {})
+    tail = d.get("tail", "")
+    pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+    # the tail also carries the stats object; keep only first occurrences
+    # (the flat queries map precedes stats) and drop non-query keys
+    qs = {}
+    for k, v in pairs:
+        if k not in qs and k not in ("median", "min", "max",
+                                     "shuffle_mb", "spill_mb", "value"):
+            qs[k] = float(v)
+    return qs
+
+
+def drift_report(band, driver_bench):
+    """Name every query of a driver bench run outside its committed band."""
+    qs = driver_queries(driver_bench)
+    if qs is None:
+        return None
+    out = []
+    for q, sec in sorted(qs.items()):
+        b = band.get(q)
+        if b is None:
+            out.append(f"  NEW   {q}: {sec:.2f}s (no committed band)")
+        elif not (b["lo"] <= sec <= b["hi"]):
+            out.append(f"  DRIFT {q}: {sec:.2f}s outside "
+                       f"[{b['lo']:.2f}, {b['hi']:.2f}] "
+                       f"(committed median {b['median']:.2f}s)")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-log")
@@ -94,7 +159,24 @@ def main():
     ap.add_argument("--bench", default="bench/BENCH_LOCAL.json")
     ap.add_argument("--scaling", default="bench/SCALING_LOCAL.json")
     ap.add_argument("--survey", default="SURVEY.md")
+    ap.add_argument("--band-out", default="bench/BENCH_BAND.json")
+    ap.add_argument("--driver-bench", help="a BENCH_r{N}.json to check "
+                    "against the committed per-query band; prints drift "
+                    "lines and exits without touching SURVEY.md")
     args = ap.parse_args()
+
+    band = band_file(args.bench, args.band_out)
+    if args.driver_bench:
+        if not band:
+            sys.exit("no committed bench stats to derive a band from")
+        drifted = drift_report(band, args.driver_bench)
+        if drifted is None:
+            sys.exit(f"could not read {args.driver_bench}")
+        nq = len(driver_queries(args.driver_bench) or {})
+        print(f"{len(drifted)} of {nq} queries outside the committed band:")
+        for line in drifted:
+            print(line)
+        return
 
     b = bench_summary(args.bench)
     t = test_summary(args.test_log)
