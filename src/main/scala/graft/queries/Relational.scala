@@ -501,23 +501,29 @@ object Relational extends QueryPack {
     * rank passes + broadcast joins back; never a per-group value buffer,
     * never a global sort. */
   def robustOutliers(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    // one narrow materialization feeds all THREE passes (median rank,
+    // MAD rank, outlier count): each rank pass otherwise re-reads the
+    // source twice (range-boundary sampling + the shuffle itself), so
+    // without this the source is scanned ~5x per call
+    val base = Tables.events(s, dir).select(col("event_type"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = graft.plans.GlobalRank
-      .groupPercentilesExact(e, "event_type", "value", Seq(0.5))
+      .groupPercentilesExact(base, "event_type", "value", Seq(0.5))
       .select(col("event_type"), col("p0").as("med"))
-    val dev = e.join(broadcast(med), Seq("event_type"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("value") - col("med")))
     val mad = graft.plans.GlobalRank
       .groupPercentilesExact(dev, "event_type", "adev", Seq(0.5))
       .select(col("event_type"), col("p0").as("mad"))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .groupBy("event_type")
-      .agg(round(first("med"), 4).as("med"),
-        round(first("mad"), 4).as("mad"),
-        count(lit(1)).as("n"),
-        sum(when(col("adev") > lit(3 * 1.4826) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .orderBy("event_type")
+    graft.plans.Eager.checkpoint( // O(groups) rows; frees the base cache
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(round(first("med"), 4).as("med"),
+          round(first("mad"), 4).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")) { base.unpersist() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
