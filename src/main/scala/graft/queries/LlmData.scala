@@ -205,6 +205,32 @@ object LlmData extends QueryPack {
       .orderBy("da", "db")
   }
 
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT c(A→B) = |S(A)∩S(B)| / |S(A)|
+    * — catches a short doc quoted/embedded inside a long one, which
+    * symmetric Jaccard misses (the union term drowns the short side).
+    * Directed, so both (A,B) and (B,A) are scored in ONE self-join pass
+    * (`da =!= db` instead of `<`). Same 100 TB shape as [[neardupCapped]]:
+    * the inverted-index self-join runs over the DF-capped shingle universe
+    * (fan-out ≤ maxDf² per shingle), and the cap is part of the operator's
+    * exact semantics — the oracle applies the identical cap. */
+  def containmentPairs(s: SparkSession, dir: String,
+                       maxDf: Int = 50, minC: Double = 0.5): DataFrame = {
+    val shAll = shingles(s, dir)
+    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val sh = shAll.join(rare, Seq("s"), "left_semi").cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .withColumn("cont", round(col("ni") / col("na"), 6))
+      .filter(col("cont") >= minC)
+      .select("da", "db", "ni", "cont")
+      .orderBy("da", "db")
+  }
+
   /** MinHash signatures (12 universal hashes over one md5 per shingle),
     * banded 4×3 LSH: candidate pairs meet in a band-signature bucket
     * (shuffle on the band hash — never all-pairs), then exact-Jaccard
@@ -2812,6 +2838,7 @@ object LlmData extends QueryPack {
     "hard_negatives" -> hardNegatives,
     "neardup_pairs" -> neardupPairs,
     "neardup_capped" -> neardupCapped,
+    "containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "dedup_minhash" -> dedupMinhash,
     "dedup_clusters" -> dedupClusters,
     "simhash_sig" -> simhashSig,
@@ -3101,6 +3128,17 @@ object LlmData extends QueryPack {
         |SELECT da, db, round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jac
         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
         |WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "containment_pairs" ->
+      s"""WITH $shinglesSql,
+        | rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+        | shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, ni, round(ni::DOUBLE / sa.n, 6) AS cont
+        |FROM inter JOIN sizes sa ON da = sa.doc_id
+        |WHERE round(ni::DOUBLE / sa.n, 6) >= 0.5
         |ORDER BY da, db""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shinglesSql,

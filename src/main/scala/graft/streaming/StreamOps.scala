@@ -40,6 +40,13 @@ final case class WindowedFunnelProgress(
 final case class TouchAttribution(
     user_id: Long, first_touch: String, event_id: Long, value: Double)
 
+/** EWMA ring state: the last ≤ window+1 values (oldest first) + the
+  * running row number — O(window) per key, independent of stream length. */
+final case class EwmaMemo(recent: Seq[Double], rn: Long)
+
+final case class EwmaPoint(user_id: Long, rn: Long, event_id: Long,
+    ewma: Double)
+
 /** Structured-Streaming twins of the batch operators: the same logical
   * semantics expressed over an unbounded source (`readStream` → transform →
   * `writeStream`), with state bounded by watermarks where the operator
@@ -317,6 +324,44 @@ object StreamOps {
             if (e.event_type == purchaseType)
               out += TouchAttribution(uid, first, e.event_id, e.value)
           }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming bounded-window EWMA — the live twin of
+    * `AnalyticsPack.ewmaSmooth` (α = 1/2 over the last `window`+1 events
+    * per user). Per-key state is a ring of ≤ window+1 doubles plus one
+    * counter — O(window) regardless of stream length, the property that
+    * lets a smoothing score ride a year-long stream. Weights are exact
+    * powers of two, and the term order is fixed (oldest→newest), so the
+    * emitted points equal the batch twin's rows on any replay split. */
+  def ewmaSmooth(events: Dataset[Event], window: Int = 9): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[EwmaMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var memo = state.getOption.getOrElse(EwmaMemo(Vector.empty, 0L))
+          val out = Seq.newBuilder[EwmaPoint]
+          sorted.foreach { e =>
+            val recent = (memo.recent :+ e.value).takeRight(window + 1)
+            val rn = memo.rn + 1
+            val n = recent.length
+            var num = 0.0; var den = 0.0
+            var i = 0
+            while (i < n) {
+              val w = java.lang.Math.pow(0.5, (n - 1 - i).toDouble)
+              num += w * recent(i); den += w; i += 1
+            }
+            // match the batch twin's round(…, 6) exactly (HALF_UP, like
+            // Spark's Round expression — rint would round half-even)
+            out += EwmaPoint(uid, rn, e.event_id,
+              BigDecimal(num / den)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            memo = EwmaMemo(recent, rn)
+          }
+          state.update(memo)
           out.result().iterator
       }
   }

@@ -545,4 +545,36 @@ class StreamOpsSpec extends SparkSpec {
       streamed.map(_._1) should contain allOf ("view", "click", "purchase")
     } finally q.stop()
   }
+
+  behavior of "ewmaSmooth"
+
+  it should "equal the batch bounded-window EWMA across a micro-batch split" in {
+    import org.apache.spark.sql.functions.{abs => fabs, col}
+    // u1 has 13 events (crosses the 10-row window so the ring drops
+    // history); u2 has 2; the split lands mid-window for u1.
+    val evs = (1 to 13).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "view", i * 1.7)) ++
+      Seq(Event(20, ts(1), 2, "view", 10.0), Event(21, ts(2), 2, "click", 4.0))
+    val (batch1, batch2) = evs.splitAt(7)
+    val in = MemoryStream[Event]
+    val q = StreamOps.ewmaSmooth(in.toDS())
+      .writeStream.format("memory").queryName("ewma_pts")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("ewma_pts")
+        .select("user_id", "rn", "event_id", "ewma")
+      val batch = graft.queries.AnalyticsPack.ewmaSmoothOf(
+        evs.toDF().withColumn("us",
+          org.apache.spark.sql.functions.unix_micros(col("ts"))))
+      batch.count() shouldBe evs.length.toLong
+      streamed.count() shouldBe evs.length.toLong
+      // every (user, rn) point matches to within float-sum-order noise
+      val joined = streamed.withColumnRenamed("ewma", "se")
+        .join(batch, Seq("user_id", "rn", "event_id"))
+      joined.count() shouldBe evs.length.toLong
+      joined.filter(fabs(col("se") - col("ewma")) > 1e-9).count() shouldBe 0L
+    } finally q.stop()
+  }
 }
