@@ -55,34 +55,63 @@ object AnalyticsPack extends QueryPack {
     * across engines. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // partition AND sort the edge list on src ONCE: InMemoryRelation
+    // propagates both outputPartitioning and outputOrdering, so each
+    // iteration's sort-merge join against the (much smaller) rank frame
+    // reuses this layout instead of re-exchanging + re-sorting |edges|
+    // rows K times — the dominant cost of iterative graph workloads
     val edges = Tables.orders(s, dir)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("p:"), col("l_partkey")).as("dst"))
-      .distinct().cache()
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+      .cache()
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().cache()
-    val nCnt = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    val deg = edges.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("deg")).cache()
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    // the node's out-degree is STATIC — folding it into the node frame
+    // (and carrying it on every rank frame) removes the deg join AND the
+    // dangling anti-join from the loop body entirely: contribution weights
+    // and the dangling mass become row-local projections of the previous
+    // iteration's checkpointed frame. nodeMeta is partitioned + sorted on
+    // node once so each iteration's update join reuses the layout.
+    val nodeMeta = nodes.join(deg, Seq("node"), "left")
+      .repartition(col("node")).sortWithinPartitions("node").cache()
+    val nCnt = nodeMeta.agg(count(lit(1)).cast("double").as("n_nodes"))
 
-    var ranks = nodes.crossJoin(broadcast(nCnt))
-      .select(col("node"), round(lit(1.0) / col("n_nodes"), 8).as("r"))
-    for (_ <- 1 to PrIters) {
-      val contrib = ranks
-        .join(deg, ranks("node") === deg("src"))
+    var ranks = nodeMeta.crossJoin(broadcast(nCnt))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 8).as("r"),
+        col("deg"))
+    // AQE materializes every query stage as its own job; across K
+    // iterations of small fixed-shape stages that is ~10 driver
+    // round-trips per iteration of pure scheduling latency. The loop's
+    // stage sizes are known (O(nodes) frames, one pre-partitioned edge
+    // join), so run the ITERATION BODY with AQE off and restore after —
+    // the returned plan (and every other query) keeps AQE.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    if (graft.plans.Eager.enabled) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (_ <- 1 to PrIters) {
+      val contrib = ranks.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("r") / col("deg")).as("w"))
         .join(edges, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("r") / col("deg")).as("contrib"))
-      val dang = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+        .agg(sum(col("w")).as("contrib"))
+      val dang = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      ranks = nodes.crossJoin(broadcast(nCnt)).crossJoin(broadcast(dang))
+      ranks = nodeMeta.crossJoin(broadcast(nCnt)).crossJoin(broadcast(dang))
         .join(contrib, Seq("node"), "left")
         .select(col("node"), round(
           lit(0.15) / col("n_nodes") + lit(0.85) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n_nodes")),
-          8).as("r"))
-    }
+          8).as("r"), col("deg"))
+      // Each iteration references the previous ranks twice (contributions
+      // + dangling mass): left lazy, the plan tree grows exponentially and
+      // the early iterations recompute 2^K times. Materialize the O(nodes)
+      // frame per iteration (same graft.plans.lazy opt-out as the rank
+      // machinery — PlanDump keeps the full tree).
+      if (graft.plans.Eager.enabled) ranks = ranks.localCheckpoint(true)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }
 

@@ -220,14 +220,24 @@ object LlmData extends QueryPack {
       .filter(col("df") <= maxDf).select("s")
     val sh = shAll.join(rare, Seq("s"), "left_semi").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.select(col("doc_id").as("da"), col("s"))
+    // intersection counted ONCE per unordered pair (da < db halves the
+    // heavy aggregate); both directions are then emitted from the tiny
+    // |pairs| frame by exploding the two (src, dst, src-size) orientations
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
       .join(sh.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") =!= col("db"))
+      .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("ni"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .withColumn("cont", round(col("ni") / col("na"), 6))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    inter
+      .select(explode(array(
+        struct(col("da").as("da"), col("db").as("db"), col("ni"),
+          col("na").as("n_src")),
+        struct(col("db").as("da"), col("da").as("db"), col("ni"),
+          col("nb").as("n_src")))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"), col("p.ni").as("ni"),
+        round(col("p.ni") / col("p.n_src"), 6).as("cont"))
       .filter(col("cont") >= minC)
-      .select("da", "db", "ni", "cont")
       .orderBy("da", "db")
   }
 
