@@ -1501,6 +1501,102 @@ object LlmData extends QueryPack {
     * would merge within. Per-doc pretoken count + content hash, plus the
     * whitespace-token count for comparison. Row-local regex → codegen,
     * no shuffle except the final sort. */
+  /** Number of BPE merge-training iterations for [[bpeTrain]] — a model
+    * hyperparameter (real vocabularies run tens of thousands; 5 keeps the
+    * oracle's unrolled replay tractable while exercising the full loop). */
+  private val BpeMerges = 5
+
+  /** BPE VOCABULARY TRAINING (Sennrich et al., ACL'16): learn the first k
+    * merge rules over the corpus vocabulary — the step that turns
+    * [[tokenBpe]]'s pre-tokenizer into an actual trained tokenizer.
+    *
+    * Shape, per merge iteration:
+    *  1. adjacent-symbol pair counts: one shuffle over
+    *     O(|vocab| · avg word length) rows — the corpus itself is touched
+    *     ONCE (word frequencies), everything after runs on the vocabulary
+    *     table, which Heaps' law keeps sublinear in corpus size;
+    *  2. the argmax pair comes to the driver (O(1) state per iteration,
+    *     the same bounded-collect contract as the Lloyd codebooks);
+    *  3. the merge itself is a row-local array fold (`aggregate`) —
+    *     leftmost non-overlapping, provably equal to the sequential BPE
+    *     merge pass because a merged token can never equal its own left
+    *     constituent.
+    * Per-iteration frames are checkpointed (graft.plans.lazy opt-out) so
+    * the fold chain never re-executes. The oracle replays all k
+    * iterations as unrolled CTEs with a `list_reduce` fold.
+    * Ties are broken (count desc, lhs, rhs) — fully deterministic. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+    var syms =
+      if (graft.plans.Eager.enabled) words.localCheckpoint(true)
+      else words.cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val pairs = syms.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("z"))
+        .groupBy(col("z.a").as("a"), col("z.b").as("b"))
+        .agg(sum("freq").as("n"))
+      val top = pairs.orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: no adjacent pairs left at merge $k " +
+        "— corpus vocabulary is single-character words")
+      val (a, b) = (top(0).getString(0), top(0).getString(1))
+      merges += ((k, a, b, top(0).getLong(2)))
+      syms = syms.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+      if (graft.plans.Eager.enabled) syms = syms.localCheckpoint(true)
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "n").orderBy("step")
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the k merge iterations unrolled as
+    * chained CTEs; the array fold rides `list_reduce` over a
+    * unit-separator-encoded accumulator (symbols are [a-z]+ so chr(31)
+    * can never collide). */
+  private def bpeTrainSql: String = {
+    val base =
+      """w AS (
+        |  SELECT word, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        | s0 AS (SELECT word, freq,
+        |   list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+        |  FROM w)""".stripMargin
+    val steps = (1 to BpeMerges).map { k =>
+      val p = s"s${k - 1}"
+      s""" p$k AS (SELECT u[1] AS a, u[2] AS b, sum(freq)::BIGINT AS n
+         |   FROM $p, unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+         |                            list_slice(syms, 2, len(syms)))) AS z(u)
+         |   GROUP BY 1, 2),
+         | t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         | s$k AS (SELECT word, freq,
+         |   string_split(list_reduce(syms, (acc, x) -> CASE
+         |     WHEN string_split(acc, chr(31))[-1] = t.a AND x = t.b THEN
+         |       CASE WHEN strpos(acc, chr(31)) = 0 THEN t.a || t.b
+         |            ELSE left(acc, length(acc) - length(t.a)) || t.a || t.b END
+         |     ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |  FROM $p, t$k t)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to BpeMerges)
+      .map(k => s"SELECT $k AS step, a AS lhs, b AS rhs, n FROM t$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT * FROM (
+       |$tail
+       |) ORDER BY step""".stripMargin
+  }
+
   def tokenBpe(s: SparkSession, dir: String): DataFrame = {
     val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
     Tables.documents(s, dir)
@@ -2860,6 +2956,7 @@ object LlmData extends QueryPack {
     "embed_stats" -> embedStats,
     "text_stats" -> textStats,
     "token_bpe" -> tokenBpe,
+    "bpe_train" -> bpeTrain,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
     "doc_winnow" -> docWinnow,
@@ -3370,6 +3467,7 @@ object LlmData extends QueryPack {
         |SELECT doc_id, len(ws)::BIGINT AS n_ws, len(bpe)::BIGINT AS n_bpe,
         | md5(array_to_string(bpe, '|')) AS bpe_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    "bpe_train" -> bpeTrainSql,
     "langid_markers" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | sc AS (SELECT doc_id,

@@ -567,4 +567,26 @@ class LlmQualitySpec extends SparkSpec {
     groups.map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
       Array((1L, 2L), (4L, 2L))
   }
+
+  behavior of "bpeTrain"
+
+  it should "learn monotone non-increasing merges whose symbols chain correctly" in {
+    val merges = LlmData.bpeTrain(spark, "/root/testdata/sf0.001").collect()
+    merges.length shouldBe 5
+    // BPE invariant: a later merge's count can never exceed an earlier
+    // one's — merging only consumes pair occurrences, and any NEW pair
+    // type it creates appears at most as often as the merged pair did
+    val counts = merges.map(_.getAs[Long]("n"))
+    counts.zip(counts.tail).foreach { case (prev, next) =>
+      next should be <= prev
+    }
+    // every merge operand is built from single chars or previous merges
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.foreach { m =>
+      val (l, r) = (m.getAs[String]("lhs"), m.getAs[String]("rhs"))
+      (l.length == 1 || known(l)) shouldBe true
+      (r.length == 1 || known(r)) shouldBe true
+      known += l + r
+    }
+  }
 }
