@@ -458,7 +458,29 @@ object EventOpsPack extends QueryPack {
       .orderBy("event_type", "user_id")
   }
 
+  /** Rolling z-score anomaly gate: each event scored against the mean/std
+    * of its user's last 20 events (inclusive frame), flagged at |z| > 3 —
+    * the standard online outlier rule for metric streams. One keyed
+    * window, two codegen'd frame aggregates, a row-local score: fully
+    * partition-parallel at any scale (no global pass, no state beyond the
+    * 20-row frame). The batch form of a streaming monitor; threshold
+    * applies to the UNROUNDED score identically in both engines. */
+  def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-19, 0)
+    withUs(s, dir)
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(col("sd") > 0 && abs(col("z")) > 3)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 4).as("value"), round(col("z"), 4).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_zscore" -> rollingZscore,
     "heavy_hitters" -> heavyHitters,
     "salted_join_agg" -> saltedJoinAgg,
     "date_spine" -> dateSpine,
@@ -662,5 +684,16 @@ object EventOpsPack extends QueryPack {
         | round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_gap_s,
         | round(quantile_cont(gap_us, 0.95) / 1e6, 4) AS p95_gap_s
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rolling_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |   epoch_us(ts) AS us FROM events),
+        | r AS (SELECT user_id, event_id, value,
+        |   avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, round(value, 4) AS value,
+        | round((value - mu) / sd, 4) AS z
+        |FROM r WHERE sd > 0 AND abs((value - mu) / sd) > 3
+        |ORDER BY user_id, event_id""".stripMargin)
 }

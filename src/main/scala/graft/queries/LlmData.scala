@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1525,8 +1525,17 @@ object LlmData extends QueryPack {
     * the fold chain never re-executes. The oracle replays all k
     * iterations as unrolled CTEs with a `list_reduce` fold.
     * Ties are broken (count desc, lhs, rhs) — fully deterministic. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** One leftmost-non-overlapping merge pass of pair (a, b) over a symbol
+    * array — row-local, shared by training and application. */
+  private def bpeMergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The merge-learning loop shared by [[bpeTrain]] and [[bpeApply]]:
+    * returns the k learned merges (driver state O(k)). */
+  private def bpeFit(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val words = Tables.documents(s, dir)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -1549,21 +1558,56 @@ object LlmData extends QueryPack {
         "— corpus vocabulary is single-character words")
       val (a, b) = (top(0).getString(0), top(0).getString(1))
       merges += ((k, a, b, top(0).getLong(2)))
-      syms = syms.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))))
+      syms = syms.withColumn("syms", bpeMergeFold(col("syms"), a, b))
       if (graft.plans.Eager.enabled) syms = syms.localCheckpoint(true)
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "n").orderBy("step")
+    merges.toSeq
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeFit(s, dir).toDF("step", "lhs", "rhs", "n").orderBy("step")
+  }
+
+  /** BPE TOKENIZATION with the learned merges — the apply half of the
+    * train/apply lifecycle: per document, word/token/char accounting and
+    * the fertility (tokens per word) + compression (chars per token)
+    * ratios a tokenizer team watches per corpus slice.
+    *
+    * The merges are applied on the DISTINCT vocabulary (Heaps-bounded) as
+    * k row-local folds; the corpus-sized frame only pays a broadcast-sized
+    * join against that vocab table — at 100 TB the tokenization cost is
+    * the scan, not the merge table. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFit(s, dir)
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    var vocab = docWords.select("word").distinct()
+      .withColumn("syms", split(col("word"), ""))
+    merges.foreach { case (_, a, b, _) =>
+      vocab = vocab.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+    }
+    val tok = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("n_chr"))
+    docWords.join(broadcast(tok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
+        sum("n_chr").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB twin of [[bpeTrain]]: the k merge iterations unrolled as
     * chained CTEs; the array fold rides `list_reduce` over a
     * unit-separator-encoded accumulator (symbols are [a-z]+ so chr(31)
     * can never collide). */
-  private def bpeTrainSql: String = {
+  /** The shared CTE chain (word frequencies + k unrolled merge
+    * iterations) behind the bpe_train and bpe_apply oracles. */
+  private def bpeChainSql: String = {
     val base =
       """w AS (
         |  SELECT word, count(*)::BIGINT AS freq FROM (
@@ -1587,15 +1631,31 @@ object LlmData extends QueryPack {
          |     ELSE acc || chr(31) || x END), chr(31)) AS syms
          |  FROM $p, t$k t)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
+  private def bpeTrainSql: String = {
     val tail = (1 to BpeMerges)
       .map(k => s"SELECT $k AS step, a AS lhs, b AS rhs, n FROM t$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH $base,
-       |$steps
+    s"""WITH $bpeChainSql
        |SELECT * FROM (
        |$tail
        |) ORDER BY step""".stripMargin
   }
+
+  private def bpeApplySql: String =
+    s"""WITH $bpeChainSql,
+       | dw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$'))
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(syms))::BIGINT AS n_tokens,
+       |  round(sum(len(syms))::DOUBLE / count(*), 6) AS fertility,
+       |  round(sum(length(word))::DOUBLE / sum(len(syms)), 6) AS chars_per_token
+       |FROM dw JOIN s$BpeMerges USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def tokenBpe(s: SparkSession, dir: String): DataFrame = {
     val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
@@ -2957,6 +3017,7 @@ object LlmData extends QueryPack {
     "text_stats" -> textStats,
     "token_bpe" -> tokenBpe,
     "bpe_train" -> bpeTrain,
+    "bpe_apply" -> bpeApply,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
     "doc_winnow" -> docWinnow,
@@ -3468,6 +3529,7 @@ object LlmData extends QueryPack {
         | md5(array_to_string(bpe, '|')) AS bpe_md5
         |FROM t ORDER BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "bpe_apply" -> bpeApplySql,
     "langid_markers" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | sc AS (SELECT doc_id,
