@@ -212,10 +212,15 @@ object AnalyticsPack extends QueryPack {
     * `TABLESAMPLE`/`rand()` cannot give. The rank filter is pushed down
     * as WindowGroupLimit: each task keeps only k rows per group before
     * the exchange. */
-  def groupSample(s: SparkSession, dir: String): DataFrame = {
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    groupSampleOf(Tables.events(s, dir))
+
+  /** Same over any frame with (event_type, event_id, value) — the form
+    * the streaming-equality spec replays (twin: StreamOps.reservoirSample). */
+  def groupSampleOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type")
       .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    Tables.events(s, dir)
+    events
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= SamplePerGroup)
       .select(col("event_type"), col("rnk"), col("event_id"),

@@ -44,6 +44,14 @@ final case class TouchAttribution(
   * running row number — O(window) per key, independent of stream length. */
 final case class EwmaMemo(recent: Seq[Double], rn: Long)
 
+/** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
+  * so far for one group, plus an emission counter — O(k) per group. */
+final case class ReservoirMemo(
+    coins: Seq[String], ids: Seq[Long], values: Seq[Double], seq: Long)
+
+final case class ReservoirRow(
+    event_type: String, seq: Long, rnk: Int, event_id: Long, value: Double)
+
 final case class EwmaPoint(user_id: Long, rn: Long, event_id: Long,
     ewma: Double)
 
@@ -363,6 +371,43 @@ object StreamOps {
           }
           state.update(memo)
           out.result().iterator
+      }
+  }
+
+  /** Streaming deterministic reservoir — the live twin of
+    * `AnalyticsPack.groupSample`: per group, keep the k rows with the
+    * smallest (md5 coin, id) order keys seen so far. Because the coin is
+    * a pure function of the row, the reservoir CONVERGES to exactly the
+    * batch sample on any replay split — the determinism `rand()`-based
+    * reservoirs cannot give. State is O(k) per group; each micro-batch
+    * re-emits a group's current sample tagged with an emission sequence
+    * (Update-mode semantics: latest emission per group wins). */
+  def reservoirSample(events: Dataset[Event], k: Int = 3): Dataset[ReservoirRow] = {
+    import events.sparkSession.implicits._
+    def coinOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map("%02x".format(_)).mkString
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[Event], state: GroupState[ReservoirMemo]) =>
+          val memo = state.getOption.getOrElse(ReservoirMemo(Nil, Nil, Nil, 0L))
+          val existing = memo.coins.lazyZip(memo.ids).lazyZip(memo.values)
+            .map { case (c, i, v) => (c, i, v) }
+          // distinctBy makes redelivery harmless (at-least-once sources):
+          // a row's coin is deterministic, so a duplicate can only ever
+          // collide with itself
+          val merged = (existing ++ evs.map(e =>
+              (coinOf(e.event_id), e.event_id, e.value)))
+            .distinctBy(_._2).sortBy(t => (t._1, t._2)).take(k)
+          val next = ReservoirMemo(merged.map(_._1), merged.map(_._2),
+            merged.map(_._3), memo.seq + 1)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((_, id, v), i) =>
+            ReservoirRow(etype, next.seq, i + 1, id, v)
+          }
       }
   }
 

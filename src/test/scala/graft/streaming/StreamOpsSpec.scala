@@ -577,4 +577,34 @@ class StreamOpsSpec extends SparkSpec {
       joined.filter(fabs(col("se") - col("ewma")) > 1e-9).count() shouldBe 0L
     } finally q.stop()
   }
+
+  behavior of "reservoirSample"
+
+  it should "converge to the batch deterministic sample across micro-batches and redelivery" in {
+    import org.apache.spark.sql.functions.col
+    val evs = (1 to 40).map(i => Event(i.toLong, ts(i.toLong), i % 5,
+      if (i % 2 == 0) "view" else "click", i * 0.5))
+    val (b1, b2) = evs.splitAt(23)
+    val in = MemoryStream[Event]
+    val q = StreamOps.reservoirSample(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("reservoir")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      // redeliver part of batch 1 (at-least-once source) + batch 2
+      in.addData((b1.takeRight(5) ++ b2): _*); q.processAllAvailable()
+      // latest emission per group is the live sample (computed driver-side
+      // — a memory-sink self-join trips attribute dedup in this Spark)
+      val rows = spark.table("reservoir")
+        .select("event_type", "seq", "rnk", "event_id")
+        .as[(String, Long, Int, Long)].collect()
+      val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val streamed = rows.filter(r => r._2 == lastSeq(r._1))
+        .map(r => (r._1, r._3, r._4)).toSet
+      val batch = graft.queries.AnalyticsPack.groupSampleOf(evs.toDF())
+        .select(col("event_type"), col("rnk").cast("int"), col("event_id"))
+        .as[(String, Int, Long)].collect().toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
