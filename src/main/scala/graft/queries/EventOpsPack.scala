@@ -479,8 +479,57 @@ object EventOpsPack extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** Daily gap-fill with last-observation-carried-forward — the metric
+    * time-series regularizer: each user's day spine (first→last active
+    * day) left-joined with the per-day closing value, nulls filled by the
+    * keyed `last(…, ignoreNulls)` running window. The spine explode is
+    * row-local; both joins and the window are user-keyed — nothing global
+    * at any scale. Dates ride as strings (engine-neutral rendering). */
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day").orderBy(desc("us"), desc("event_id"))
+    val daily = withUs(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("obs"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val locf = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(last(col("obs"), ignoreNulls = true).over(locf), 4)
+          .as("value_filled"),
+        col("obs").isNotNull.as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Recency-decayed customer value: Σ 2^(−age_days/30)·value over each
+    * user's purchases, anchored at the corpus's latest event (an exact
+    * integer micro, broadcast as one row — no wall clock, so the score is
+    * reproducible). The decay is row-local; one keyed aggregate. */
+  def decayedValue(s: SparkSession, dir: String): DataFrame = {
+    val e = withUs(s, dir)
+    val anchor = e.agg(max("us").as("us_max"))
+    e.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(anchor))
+      .withColumn("wt", pow(lit(2.0),
+        -((col("us_max") - col("us")) / lit(86400000000L) / lit(30.0))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("wt") * col("value")), 4).as("decayed_value"),
+        round(sum("value"), 4).as("raw_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_zscore" -> rollingZscore,
+    "gap_fill_locf" -> gapFillLocf,
+    "decayed_value" -> decayedValue,
     "heavy_hitters" -> heavyHitters,
     "salted_join_agg" -> saltedJoinAgg,
     "date_spine" -> dateSpine,
@@ -695,5 +744,35 @@ object EventOpsPack extends QueryPack {
         |SELECT user_id, event_id, round(value, 4) AS value,
         | round((value - mu) / sd, 4) AS z
         |FROM r WHERE sd > 0 AND abs((value - mu) / sd) > 3
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "gap_fill_locf" ->
+      """WITH d AS (SELECT user_id, day, value AS obs FROM (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id,
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        | span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM d GROUP BY user_id),
+        | spine AS (SELECT user_id,
+        |   unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span),
+        | f AS (SELECT s.user_id, s.day, d.obs,
+        |   last_value(d.obs IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |     ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS filled
+        |  FROM spine s LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  round(filled, 4) AS value_filled, (obs IS NOT NULL) AS observed
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "decayed_value" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |   epoch_us(ts) AS us FROM events),
+        | a AS (SELECT max(us) AS us_max FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_purchases,
+        | round(sum(pow(2.0::DOUBLE,
+        |   -((us_max - us) / 86400000000 / 30.0)) * value), 4) AS decayed_value,
+        | round(sum(value), 4) AS raw_value
+        |FROM e, a WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

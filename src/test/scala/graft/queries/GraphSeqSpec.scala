@@ -45,6 +45,52 @@ class GraphSeqSpec extends SparkSpec {
     top.getAs[Double]("rank") should be > bottom.getAs[Double]("rank")
   }
 
+  behavior of "triangleCount"
+
+  it should "agree with a naive unoriented three-way edge join" in {
+    val row = AnalyticsPack.triangleCount(spark, dir).head()
+    // naive recount: each triangle {a<b<c} found once via (a,b),(b,c),(a,c)
+    val inc = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = inc.select(col("ok"), col("pk").as("a"))
+      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("a", "b").cache()
+    val naive = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .count()
+    row.getAs[Long]("n_triangles") shouldBe naive
+    row.getAs[Long]("n_triangles") should be <= row.getAs[Long]("n_wedges")
+    row.getAs[Long]("n_edges") shouldBe e.count()
+  }
+
+  behavior of "gapFillLocf and decayedValue"
+
+  it should "fill every user's full day span with no gaps or nulls" in {
+    val f = EventOpsPack.gapFillLocf(spark, dir).cache()
+    f.filter(col("value_filled").isNull).count() shouldBe 0
+    // per user: row count equals span length, first day observed
+    val spans = f.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      min("day").as("d0"), max("day").as("d1"),
+      sum(when(col("observed"), 1).otherwise(0)).as("n_obs"))
+    spans.filter(
+      datediff(to_date(col("d1")), to_date(col("d0"))) + 1 =!= col("n"))
+      .count() shouldBe 0
+    val firstRows = f.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy("day"))).filter(col("rn") === 1)
+    firstRows.filter(!col("observed")).count() shouldBe 0
+  }
+
+  it should "bound the decayed value by the raw value" in {
+    val d = EventOpsPack.decayedValue(spark, dir)
+    d.filter(col("decayed_value") > col("raw_value") + 1e-6).count() shouldBe 0
+    d.filter(col("decayed_value") <= 0).count() shouldBe 0
+  }
+
   behavior of "itemCooccur"
 
   it should "match a brute-force lift computation for its top pair" in {
