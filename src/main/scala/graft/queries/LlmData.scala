@@ -1106,6 +1106,63 @@ object LlmData extends QueryPack {
     * parquet scan joined on the cell id, and exact cosine re-ranks the
     * list members. Must return byte-identical rows to the inline
     * [[annIvfTrained]] (same oracle SQL checks both). */
+  /** INCREMENTAL index maintenance: append new vectors to a published IVF
+    * (+PQ) index without retraining — the steady-state path of a serving
+    * index (FAISS `add` semantics: quantizers stay fixed, new vectors are
+    * assigned to existing cells). Each append:
+    *  - assigns the new vectors row-locally against the O(k) centroid
+    *    literals (no shuffle),
+    *  - ANTI-JOINS against the current lists on vec id, so re-appending
+    *    the same batch is IDEMPOTENT (at-least-once ingest safe),
+    *  - publishes merged `lists` and `codes` as the NEXT SnapshotStore
+    *    version — running probes keep reading the old committed version
+    *    until the atomic manifest flip, and `vacuum` reclaims it later.
+    * Centroids/codebook tables are untouched (the whole point: no
+    * retrain); recall on drifted distributions is the operator's signal
+    * to REBUILD, which is `ivfIndexPublish` at the next version.
+    * Returns the new lists version. */
+  def ivfIndexAppend(s: SparkSession, root: String,
+                     newVecs: DataFrame): Long = {
+    val cents: Seq[(Long, Array[Double])] =
+      graft.plans.SnapshotStore.readLatest(s, s"$root/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    val e = newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("x2", vecDot(col("v"), col("v")))
+    val assigned = assignBest(e, cents)
+      .select(col("vec_id"), col("cid").as("cent_id"))
+    val vn = newVecs.select(col("vec_id"),
+      vecNorm(col("embedding")).as("cvn"))
+    val lists = graft.plans.SnapshotStore.readLatest(s, s"$root/lists")
+    val freshLists = assigned.join(vn, "vec_id")
+      .select(col("vec_id").as("c_id"), col("cent_id"), col("cvn"))
+      .join(lists.select("c_id"), Seq("c_id"), "left_anti")
+    val nextV = graft.plans.SnapshotStore.latestVersion(s"$root/lists")
+      .getOrElse(sys.error(s"ivfIndexAppend: no committed index at $root")) + 1
+    graft.plans.SnapshotStore.publish(
+      lists.unionByName(freshLists), s"$root/lists", nextV)
+    // PQ codes: encode against the PUBLISHED codebook (read back O(m·kcb))
+    val cbSub: Seq[Seq[(Long, Array[Double])]] =
+      graft.plans.SnapshotStore.readLatest(s, s"$root/codebook")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+    val codes = graft.plans.SnapshotStore.readLatest(s, s"$root/codes")
+    val freshCodes = pqEncode(vn.select(col("vec_id"), col("cvn").as("vn")), cbSub)
+      .join(assigned, "vec_id")
+      .select(col("vec_id").as("c_id") +: col("cent_id") +:
+        (0 until PqM).map(j => col(s"c$j")): _*)
+      .join(codes.select("c_id"), Seq("c_id"), "left_anti")
+    // per-table versioning: a crash between the two publishes leaves the
+    // tables at different versions, and each next append heals its own
+    val nextCodesV = graft.plans.SnapshotStore.latestVersion(s"$root/codes")
+      .getOrElse(sys.error(s"ivfIndexAppend: no committed codes at $root")) + 1
+    graft.plans.SnapshotStore.publish(
+      codes.unionByName(freshCodes), s"$root/codes", nextCodesV)
+    nextV
+  }
+
   def annIvfProbePersisted(s: SparkSession, dir: String): DataFrame =
     annIvfProbeFrom(s, dir, ivfIndexPublish(s, dir))
 

@@ -196,6 +196,36 @@ class AnnRecallSpec extends SparkSpec {
       .inputFiles.exists(_.contains("graft-ivf-index")) shouldBe true
   }
 
+  it should "append new vectors idempotently, visible to probes at the next committed version" in {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val root = LlmData.ivfIndexPublish(spark, dir, Some(tmp))
+    val n0 = graft.plans.SnapshotStore.readLatest(spark, s"$root/lists").count()
+    // new arrivals: exact copies of the 8 probe queries under fresh ids —
+    // after the append each probe's nearest neighbor is its own copy
+    val newVecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    LlmData.ivfIndexAppend(spark, root, newVecs) shouldBe 2L
+    graft.plans.SnapshotStore.readLatest(spark, s"$root/lists")
+      .count() shouldBe (n0 + 8)
+    // re-appending the same batch is a no-op on content (at-least-once
+    // ingest): a new version commits, the row set does not change
+    LlmData.ivfIndexAppend(spark, root, newVecs) shouldBe 3L
+    graft.plans.SnapshotStore.readLatest(spark, s"$root/lists")
+      .count() shouldBe (n0 + 8)
+    val probe = LlmData.annIvfProbeFrom(spark, dir, root).cache()
+    val top1 = probe.filter(col("rnk") === 1).collect()
+    top1.length shouldBe 8
+    top1.foreach { r =>
+      r.getLong(2) shouldBe (r.getLong(0) + 1000000L)
+      r.getDouble(3) shouldBe 1.0 +- 1e-9
+    }
+    // the PQ codes side advanced with the same rows
+    graft.plans.SnapshotStore.readLatest(spark, s"$root/codes")
+      .filter(col("c_id") >= 1000000L).count() shouldBe 8
+  }
+
   it should "keep the recall floor through the PQ-coded (ADC) probe" in {
     // the ADC probe trades the full-vector candidate scan for a codes-only
     // scan + bounded re-rank; its loss vs the trained-IVF probe is
