@@ -36,7 +36,11 @@ object ScalingBench {
     "ann_probe_persisted", // probe-only serving path over published index
     "ann_probe_pq",       // PQ-coded (ADC) probe over the published index
     "bm25_topk",          // filtered token stream + fixed-order score
-    "semantic_decontam_ann") // eval probes × inverted lists, no crossJoin
+    "semantic_decontam_ann", // eval probes × inverted lists, no crossJoin
+    "pagerank",           // iterative keyed graph joins, per-iter checkpoint
+    "bpe_train",          // iterative vocab-table merge learning
+    "ewma_smooth",        // bucket-blocked band join (bounded fan-out)
+    "triangle_count")     // degree-ordered wedge join (O(E^1.5))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
