@@ -465,11 +465,16 @@ object EventOpsPack extends QueryPack {
     * partition-parallel at any scale (no global pass, no state beyond the
     * 20-row frame). The batch form of a streaming monitor; threshold
     * applies to the UNROUNDED score identically in both engines. */
-  def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+  def rollingZscore(s: SparkSession, dir: String): DataFrame =
+    rollingZscoreOf(withUs(s, dir))
+
+  /** Same over any frame with (user_id, event_id, value, us) — the form
+    * the streaming-equality spec replays (twin: StreamOps.rollingZscore). */
+  def rollingZscoreOf(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(-19, 0)
-    withUs(s, dir)
+    events
       .withColumn("mu", avg("value").over(w))
       .withColumn("sd", stddev_samp(col("value")).over(w))
       .withColumn("z", (col("value") - col("mu")) / col("sd"))

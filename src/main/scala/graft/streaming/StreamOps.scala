@@ -44,6 +44,13 @@ final case class TouchAttribution(
   * running row number — O(window) per key, independent of stream length. */
 final case class EwmaMemo(recent: Seq[Double], rn: Long)
 
+/** Rolling-window state for the streaming z-score monitor: the last
+  * ≤ window values per key — O(window), independent of stream length. */
+final case class RollMemo(recent: Seq[Double])
+
+final case class ZscoreAlert(user_id: Long, event_id: Long, value: Double,
+    z: Double)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -370,6 +377,46 @@ object StreamOps {
             memo = EwmaMemo(recent, rn)
           }
           state.update(memo)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming rolling z-score monitor — the live twin of
+    * `EventOpsPack.rollingZscore`: each event scored against its user's
+    * trailing-20 mean/sample-std, alerting at |z| > 3 as the event
+    * arrives (the batch op is the backfill of exactly this monitor).
+    * Per-key state is the ≤20-value ring. The mean/std are computed
+    * two-pass over the ring in fixed order, so stream and batch agree to
+    * float-sum-order noise. */
+  def rollingZscore(events: Dataset[Event], window: Int = 20,
+                    threshold: Double = 3.0): Dataset[ZscoreAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[RollMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var recent = state.getOption.map(_.recent).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[ZscoreAlert]
+          sorted.foreach { e =>
+            recent = (recent :+ e.value).takeRight(window)
+            val n = recent.length
+            if (n >= 2) {
+              val mu = recent.sum / n
+              val sd = math.sqrt(
+                recent.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+              if (sd > 0) {
+                val z = (e.value - mu) / sd
+                if (math.abs(z) > threshold)
+                  out += ZscoreAlert(uid, e.event_id,
+                    BigDecimal(e.value).setScale(4,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble,
+                    BigDecimal(z).setScale(4,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            }
+          }
+          state.update(RollMemo(recent))
           out.result().iterator
       }
   }

@@ -578,6 +578,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "rollingZscore"
+
+  it should "alert on the same outliers as the batch gate across micro-batches" in {
+    import org.apache.spark.sql.functions.{abs => fabs, col, unix_micros}
+    // user 1: stable baseline then two big spikes (one per micro-batch);
+    // user 2: too short to ever have sd>0 variation that alerts
+    val base = (1 to 15).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "view", 10.0 + (i % 3) * 0.1))
+    val spike1 = Event(16, ts(16), 1, "view", 500.0)
+    val tail = (17 to 22).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "view", 10.0 + (i % 3) * 0.1))
+    // spike1 is still inside event 23's trailing-20 window, inflating the
+    // sample std to ~147 — spike2 must overshoot enough to clear |z|>3
+    // despite that masking (a -400 spike lands at z≈-2.8 and stays silent
+    // in BOTH engines, which is the correct, if surprising, gate output).
+    val spike2 = Event(23, ts(23), 1, "view", -4000.0)
+    val u2 = Seq(Event(30, ts(1), 2, "view", 5.0), Event(31, ts(2), 2, "view", 5.1))
+    val evs = base ++ Seq(spike1) ++ tail ++ Seq(spike2) ++ u2
+    val (b1, b2) = (base ++ Seq(spike1), tail ++ Seq(spike2) ++ u2)
+    val in = MemoryStream[Event]
+    val q = StreamOps.rollingZscore(in.toDS())
+      .writeStream.format("memory").queryName("zscore_alerts")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("zscore_alerts")
+        .select("user_id", "event_id", "z")
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      val batch = graft.queries.EventOpsPack.rollingZscoreOf(
+          evs.toDF().withColumn("us", unix_micros(col("ts"))))
+        .select("user_id", "event_id", "z")
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      streamed.keySet shouldBe batch.keySet
+      streamed.foreach { case (k, z) => z shouldBe batch(k) +- 1e-4 }
+      streamed.keySet should contain allOf ((1L, 16L), (1L, 23L))
+    } finally q.stop()
+  }
+
   behavior of "reservoirSample"
 
   it should "converge to the batch deterministic sample across micro-batches and redelivery" in {
