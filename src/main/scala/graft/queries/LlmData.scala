@@ -460,6 +460,60 @@ object LlmData extends QueryPack {
       .select("keep_id", "n_copies", "norm_md5")
       .orderBy("keep_id")
 
+  /** Edit-distance near-dup pairs via MULTI-PASS BLOCKING — the record-
+    * linkage pattern for typo-level duplicates that token-set methods
+    * (shingles/MinHash) blur and normalization dedup misses: candidates
+    * come from equi-joins on cheap block keys (shared 24-char PREFIX or
+    * shared 24-char SUFFIX — two passes, because one key alone misses
+    * edits at its own end), then the expensive Levenshtein gate runs on
+    * candidates only, with a length-difference prune first (|lenA−lenB|
+    * is a lower bound on edit distance) and Spark's thresholded banded
+    * DP (`levenshtein(a,b,t)` → -1 past t) so the per-pair cost is
+    * O(maxDist·len), not O(len²). Shuffles are equi-joins on block keys;
+    * nothing is all-pairs at any corpus size. The corpus is staged with
+    * deterministic tail-edited (doc_id % 37) and head-edited (% 41)
+    * copies — replayed verbatim by the oracle — so each blocking pass
+    * has pairs only IT can catch. */
+  def fuzzyPairs(s: SparkSession, dir: String, maxDist: Int = 24): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = docs.agg((max("doc_id") + 1).as("__off"))
+    val withOff = docs.crossJoin(broadcast(off))
+    val tailEdited = withOff.filter(col("doc_id") % 37 === 0).select(
+      (col("doc_id") + col("__off")).as("doc_id"),
+      concat(col("text"), lit(" near duplicate tail")).as("text"))
+    val headEdited = withOff.filter(col("doc_id") % 41 === 0).select(
+      (col("doc_id") + col("__off") * 2).as("doc_id"),
+      concat(lit("copy: "), col("text")).as("text"))
+    fuzzyPairsOf(docs.unionAll(tailEdited).unionAll(headEdited),
+      "doc_id", "text", maxDist)
+  }
+
+  /** The blocked Levenshtein pair join over ANY (id, text) frame.
+    * Returns (id_a, id_b, dist) for every pair within `maxDist` edits
+    * that shares a 24-char prefix or suffix block. */
+  def fuzzyPairsOf(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val base = docs.selectExpr(s"$idCol AS id", s"$textCol AS t",
+      s"length($textCol) AS len")
+    def blockPairs(key: String): DataFrame = {
+      val k = base.withColumn("bk", expr(key))
+      val a = k.select(col("bk"), col("id").as("id_a"),
+        col("t").as("ta"), col("len").as("la"))
+      val b = k.select(col("bk"), col("id").as("id_b"),
+        col("t").as("tb"), col("len").as("lb"))
+      a.join(b, "bk").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ta", "tb", "la", "lb")
+    }
+    blockPairs("left(t, 24)").unionAll(blockPairs("right(t, 24)"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("dist",
+        expr(s"levenshtein(ta, tb, ${maxDist + 1})"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Leakage-safe train/eval split — the contamination guard a training
     * pipeline needs BEFORE holding out an eval set: the random coin is
     * thrown per near-dup CLUSTER (connected component of the verified
@@ -1511,6 +1565,40 @@ object LlmData extends QueryPack {
       .withRunningSums(toks, Seq(col("doc_id")), Seq("n_tokens" -> "cum"))
       .withColumn("bin_id",
         ((col("cum") - col("n_tokens")) / budget).cast("long") + 1)
+  }
+
+  /** Sliding-window document CHUNKING — the context-window preparation
+    * step (long doc → overlapping training windows), the complement of
+    * `doc_pack` (short docs → packed bins): each doc's token stream is
+    * cut into windows of `window` tokens advancing by `stride`
+    * (overlap = window − stride keeps boundary context in two chunks,
+    * the RAG/pretraining convention). Start positions are chosen so the
+    * final window reaches the last token with no fully-redundant tail
+    * chunk: i = 0 .. ⌈max(n−window,0)/stride⌉. Entirely row-local
+    * (sequence + explode + slice — one generator, codegen'd, no
+    * shuffle except the output sort), so it scales linearly with corpus
+    * bytes at any SF. */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    docChunkOf(Tables.documents(s, dir), "doc_id", "text",
+      window = 32, stride = 24)
+
+  /** The chunker over ANY (id, text) frame: one row per (doc, chunk)
+    * with its start token, length, and content hash. */
+  def docChunkOf(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need window >= stride >= 1, got window=$window stride=$stride")
+    docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .withColumn("i", explode(expr(
+        s"""sequence(0, CAST(ceil(greatest(size(toks) - $window, 0)
+           |  / CAST($stride AS DOUBLE)) AS INT))""".stripMargin)))
+      .selectExpr("doc_id",
+        "CAST(i + 1 AS INT) AS chunk_id",
+        s"CAST(i * $stride + 1 AS INT) AS start_tok",
+        s"CAST(size(slice(toks, i * $stride + 1, $window)) AS INT) AS n_chunk_tokens",
+        s"md5(array_join(slice(toks, i * $stride + 1, $window), ' ')) AS chunk_md5")
+      .orderBy("doc_id", "chunk_id")
   }
 
   /** Quality gate over documents through the real text.TextQuality
@@ -3056,6 +3144,8 @@ object LlmData extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
+    "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
+    "doc_chunk" -> docChunk,
     "dedup_canonical" -> dedupCanonical,
     "cluster_safe_split" -> ((s, d) => clusterSafeSplit(s, d)),
     "hard_negatives" -> hardNegatives,
@@ -3259,6 +3349,40 @@ object LlmData extends QueryPack {
         |SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies, norm_md5
         |FROM n GROUP BY norm_md5 HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    "fuzzy_pairs" ->
+      """WITH all_docs AS (
+        |   SELECT doc_id AS id, text AS t FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |     text || ' near duplicate tail' FROM documents WHERE doc_id % 37 = 0
+        |   UNION ALL
+        |   SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+        |     'copy: ' || text FROM documents WHERE doc_id % 41 = 0),
+        | base AS (SELECT id, t, length(t) AS len FROM all_docs),
+        | cand AS (
+        |   SELECT a.id AS id_a, b.id AS id_b, a.t AS ta, b.t AS tb,
+        |     a.len AS la, b.len AS lb
+        |   FROM base a JOIN base b ON left(a.t, 24) = left(b.t, 24)
+        |   WHERE a.id < b.id
+        |   UNION
+        |   SELECT a.id, b.id, a.t, b.t, a.len, b.len
+        |   FROM base a JOIN base b ON right(a.t, 24) = right(b.t, 24)
+        |   WHERE a.id < b.id)
+        |SELECT id_a, id_b, levenshtein(ta, tb)::INTEGER AS dist
+        |FROM cand
+        |WHERE abs(la - lb) <= 24 AND levenshtein(ta, tb) <= 24
+        |ORDER BY id_a, id_b""".stripMargin,
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |   unnest(generate_series(0,
+        |     CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT))) AS i
+        |   FROM t)
+        |SELECT doc_id, (i + 1)::INTEGER AS chunk_id,
+        | (i * 24 + 1)::INTEGER AS start_tok,
+        | len(toks[(i * 24 + 1):(i * 24 + 32)])::INTEGER AS n_chunk_tokens,
+        | md5(array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_canonical" ->
       s"""WITH RECURSIVE $shinglesSql,
         | hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h1

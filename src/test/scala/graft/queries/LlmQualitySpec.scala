@@ -568,6 +568,53 @@ class LlmQualitySpec extends SparkSpec {
       Array((1L, 2L), (4L, 2L))
   }
 
+  behavior of "fuzzyPairsOf"
+
+  it should "catch head- and tail-edits through their own blocking pass only" in {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                        // original
+      (2L, base + " trailing edit"),     // tail edit — prefix block only
+      (3L, "head edit: " + base),        // head edit — suffix block only
+      (4L, "completely different text about unrelated matters entirely"),
+      (5L, base.replace("gamma", "gXmma") + " trailing edit") // 1 sub past tail twin
+    ).toDF("doc_id", "text")
+    val pairs = LlmData.fuzzyPairsOf(docs, "doc_id", "text", maxDist = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs.keySet should contain allOf ((1L, 2L), (1L, 3L), (2L, 5L))
+    pairs((1L, 2L)) shouldBe 14 // " trailing edit"
+    pairs((1L, 3L)) shouldBe 11 // "head edit: "
+    pairs((2L, 5L)) shouldBe 1  // single substitution
+    pairs.keySet.flatMap(p => Set(p._1, p._2)) should not contain 4L
+    // the length prune is a true lower bound: every surviving pair's
+    // distance is >= its length difference
+    val lens = docs.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    pairs.foreach { case ((a, b), d) => d should be >= math.abs(lens(a) - lens(b)) }
+  }
+
+  behavior of "docChunkOf"
+
+  it should "cover every token with stride-advanced windows and no redundant tail" in {
+    import spark.implicits._
+    val toks100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks100), (2L, toks10), (3L, "solo")).toDF("doc_id", "text")
+    val rows = LlmData.docChunkOf(docs, "doc_id", "text", window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1 (n=100, W=64, S=48): ceil(36/48)=1 → starts 1 and 49; the
+    // naive "starts while start <= n-W+1" rule would emit ONLY start 1
+    // and leave tokens 65..100 uncovered
+    rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)) shouldBe
+      Array((1, 1, 64), (2, 49, 52))
+    // short docs: exactly one whole-doc chunk
+    rows.filter(_._1 == 2L) shouldBe Array((2L, 1, 1, 10))
+    rows.filter(_._1 == 3L) shouldBe Array((3L, 1, 1, 1))
+    // coverage: last chunk reaches the last token
+    val last1 = rows.filter(_._1 == 1L).last
+    last1._3 + last1._4 - 1 shouldBe 100
+  }
+
   behavior of "bpeTrain"
 
   it should "learn monotone non-increasing merges whose symbols chain correctly" in {
