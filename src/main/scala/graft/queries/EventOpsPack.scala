@@ -250,6 +250,46 @@ object EventOpsPack extends QueryPack {
       .orderBy("first_touch")
   }
 
+  /** U-shaped (position-based) MULTI-touch attribution — the
+    * industry-standard middle ground between [[firstTouchAttribution]]
+    * and last-touch: each user's first conversion distributes its value
+    * over every preceding touch as 40% first + 40% last + 20% split
+    * across the middle (1 touch → 100%, 2 touches → 50/50). All state is
+    * two keyed windows on the high-cardinality user id (position + touch
+    * count per user) and one broadcast-size final agg per channel —
+    * partition-parallel at any event volume, no per-user buffers beyond
+    * the window frames. */
+  def multiTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    multiTouchOf(withUs(s, dir))
+
+  /** Same over any frame with (user_id, event_id, event_type, value, us). */
+  def multiTouchOf(e: DataFrame): DataFrame = {
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val firstConv = e.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("p_eid"), col("value").as("p_value"))
+    val touches = e.join(firstConv, "user_id")
+      .filter(col("us") < col("p_us") ||
+        (col("us") === col("p_us") && col("event_id") < col("p_eid")))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    touches
+      .withColumn("pos", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("credit",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("credit"), 4).as("credit_units"),
+        round(sum(col("credit") * col("p_value")), 2).as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
   /** Inter-event gap profile: time between a user's consecutive events
     * (exact integer microseconds — no float epoch truncation), rolled up
     * per event type with exact interpolated p50/p95; the ops-health read
@@ -551,6 +591,7 @@ object EventOpsPack extends QueryPack {
     "funnel_steps" -> funnelSteps,
     "funnel_windowed" -> funnelWindowed,
     "first_touch" -> firstTouchAttribution,
+    "multi_touch" -> multiTouchAttribution,
     "interevent_gaps" -> intereventGaps)
 
   val oracle: Map[String, String] = Map(
@@ -728,6 +769,30 @@ object EventOpsPack extends QueryPack {
         |FROM events e JOIN f USING (user_id)
         |WHERE e.event_type = 'purchase'
         |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    "multi_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |   epoch_us(ts) AS us FROM events),
+        | fc AS (SELECT user_id, us AS p_us, event_id AS p_eid,
+        |   value AS p_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY us, event_id) AS rn FROM e
+        |   WHERE event_type = 'purchase') WHERE rn = 1),
+        | t AS (SELECT e.user_id, e.event_type, fc.p_value,
+        |   row_number() OVER (PARTITION BY e.user_id
+        |     ORDER BY e.us, e.event_id) AS pos,
+        |   count(*) OVER (PARTITION BY e.user_id) AS n
+        |   FROM e JOIN fc USING (user_id)
+        |   WHERE e.us < fc.p_us OR (e.us = fc.p_us AND e.event_id < fc.p_eid)),
+        | c AS (SELECT event_type AS channel, p_value,
+        |   CASE WHEN n = 1 THEN 1.0::DOUBLE
+        |        WHEN n = 2 THEN 0.5::DOUBLE
+        |        WHEN pos = 1 OR pos = n THEN 0.4::DOUBLE
+        |        ELSE 0.2::DOUBLE / (n - 2) END AS credit
+        |   FROM t)
+        |SELECT channel, count(*)::BIGINT AS n_touches,
+        | round(sum(credit), 4) AS credit_units,
+        | round(sum(credit * p_value), 2) AS attributed_revenue
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
     "interevent_gaps" ->
       """WITH g AS (SELECT event_type,
         |   epoch_us(ts) - lag(epoch_us(ts))

@@ -714,6 +714,84 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** Maximal Marginal Relevance (MMR) diversified top-k — the re-ranking
+    * step between retrieval and consumption (RAG context assembly,
+    * dedup-aware search): greedily pick k results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so near-
+    * duplicate hits don't crowd the result list the plain cosine top-k
+    * ([[annTopK]]) returns. */
+  def annMmr(s: SparkSession, dir: String): DataFrame =
+    annMmrOf(Tables.embeddings(s, dir), col("vec_id") < 8)
+
+  /** MMR over ANY (vec_id, embedding) frame with an arbitrary bounded
+    * query predicate. Scale shape: candidate generation is the standard
+    * broadcast-queries/stream-corpus pass (swap in the persisted ANN
+    * probe for candidates at index scale — same contract), after which
+    * ALL work runs on the O(nq·nCand) candidate table: its pairwise sims
+    * are nq·nCand² rows, and each of the k greedy rounds is one
+    * join + keyed-window argmax over that bounded frame, parallel across
+    * queries. The sequential part is k ROUNDS (k plan iterations, frames
+    * checkpointed flat), never a per-row driver loop; corpus size only
+    * ever enters through the one scored scan. */
+  def annMmrOf(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+               k: Int = 5, lam: Double = 0.7, nCand: Int = 12,
+               maxQueries: Long = 4096): DataFrame = {
+    val e = emb.select(col("vec_id"), vecNorm(col("embedding")).as("vn"))
+    val q0 = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("vn").as("qv"))
+    val nq = q0.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
+    require(nq > 0, "ann_mmr: query predicate selected no rows")
+    require(nq <= maxQueries,
+      s"ann_mmr: query set has more than $maxQueries rows (the broadcast " +
+        "bound) — generate candidates via the persisted ANN index instead")
+    val q = q0.localCheckpoint(true)
+    val c = e.select(col("vec_id").as("c_id"), col("vn").as("cv"))
+    val cand = broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(vecDot(col("qv"), col("cv")), 4).as("rel"), col("cv"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rel"), asc("c_id"))))
+      .filter(col("rnk") <= nCand)
+      .drop("rnk")
+      .localCheckpoint(true) // O(nq·nCand) rows — everything below is bounded
+    val ps = cand.select(col("q_id"), col("c_id").as("a"), col("cv").as("av"))
+      .join(cand.select(col("q_id"), col("c_id").as("b"), col("cv").as("bv")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(vecDot(col("av"), col("bv")), 4).as("sim"))
+      .localCheckpoint(true)
+    val candLite = cand.select("q_id", "c_id", "rel")
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1) candLite.withColumn("score", lit(lam) * col("rel"))
+        else {
+          val pen = ps
+            .join(selected.select(col("q_id"), col("c_id").as("b")), Seq("q_id", "b"))
+            .groupBy(col("q_id"), col("a").as("c_id")).agg(max("sim").as("pen"))
+          candLite
+            .join(selected.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+            .join(pen, Seq("q_id", "c_id"), "left")
+            .withColumn("score", lit(lam) * col("rel") -
+              lit(1.0 - lam) * coalesce(col("pen"), lit(0.0)))
+        }
+      val pick = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("score"), asc("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(r).as("rnk"), col("c_id"), col("rel"),
+          // 5 decimals: λ·rel − (1−λ)·pen has an EXACT 5-digit decimal
+          // value (4-rounded inputs × a 1-digit λ), so rounding at 5
+          // lands on the grid point in both engines; rounding at 4 sits
+          // exactly on the half-way tie, where Spark (HALF_UP) and
+          // DuckDB (float round) disagree
+          round(col("score"), 5).as("score"))
+      selected = (if (r == 1) pick else selected.unionAll(pick))
+        .localCheckpoint(true) // keep round r+1's plan flat
+    }
+    selected.orderBy("q_id", "rnk")
+  }
+
   /** Hard-negative mining for embedding-model training (contrastive /
     * triplet pipelines): for each query vector, the most similar
     * SAME-label candidate (the positive) and the most similar
@@ -3156,6 +3234,7 @@ object LlmData extends QueryPack {
     "dedup_clusters" -> dedupClusters,
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
+    "ann_mmr" -> ((s, d) => annMmr(s, d)),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "neardup_cosine" -> neardupCosine,
@@ -3283,7 +3362,58 @@ object LlmData extends QueryPack {
       |    ORDER BY cos_sim DESC, c_id) AS rnk FROM pairs)
       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** DuckDB replay of [[annMmrOf]]'s greedy loop, UNROLLED: round r's
+    * CTE computes each unpicked candidate's penalty (max pairwise sim to
+    * the union of rounds 1..r−1) and takes the per-query argmax — the
+    * same join + window argmax the Spark side runs. λ and (1−λ) are
+    * interpolated from the one constant (and 1−λ computed as a DOUBLE
+    * subtraction in BOTH engines, so the IEEE bits match exactly). */
+  private def mmrOracleSql(k: Int, lam: Double, nCand: Int): String = {
+    val w = s"$lam::DOUBLE"
+    val mu = s"(1.0::DOUBLE - $lam::DOUBLE)"
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"SELECT q_id, c_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s""",
+         | sel$r AS ($prev),
+         | pen$r AS (SELECT ps.q_id, ps.a AS c_id, max(ps.sim) AS pen
+         |   FROM ps JOIN sel$r sv ON ps.q_id = sv.q_id AND ps.b = sv.c_id
+         |   GROUP BY 1, 2),
+         | s$r AS (SELECT q_id, $r AS rnk, c_id, rel, round(score, 5) AS score FROM (
+         |   SELECT c.q_id, c.c_id, c.rel,
+         |     $w * c.rel - $mu * coalesce(p.pen, 0.0) AS score,
+         |     row_number() OVER (PARTITION BY c.q_id
+         |       ORDER BY $w * c.rel - $mu * coalesce(p.pen, 0.0) DESC,
+         |         c.c_id) AS rn
+         |   FROM cand c
+         |   LEFT JOIN pen$r p ON p.q_id = c.q_id AND p.c_id = c.c_id
+         |   LEFT JOIN sel$r sv ON sv.q_id = c.q_id AND sv.c_id = c.c_id
+         |   WHERE sv.c_id IS NULL) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val union = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |   list_transform(embedding::DOUBLE[],
+       |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+       |  FROM embeddings),
+       | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |   round(list_dot_product(q.vn, c.vn), 4) AS rel, c.vn AS cv
+       |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       | cand AS (SELECT q_id, c_id, rel, cv FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY rel DESC, c_id) AS rk FROM sc) WHERE rk <= $nCand),
+       | ps AS (SELECT a.q_id, a.c_id AS a, b.c_id AS b,
+       |   round(list_dot_product(a.cv, b.cv), 4) AS sim
+       |   FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       | s1 AS (SELECT q_id, 1 AS rnk, c_id, rel,
+       |   round($w * rel, 5) AS score FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY rel DESC, c_id) AS rn FROM cand) WHERE rn = 1)$rounds
+       |SELECT q_id, rnk, c_id, rel, score FROM ($union)
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_mmr" -> mmrOracleSql(k = 5, lam = 0.7, nCand = 12),
     "dedup_incremental" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
         | base AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 250)

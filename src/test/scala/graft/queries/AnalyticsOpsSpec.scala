@@ -175,6 +175,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     (0 until 3).map(row.getLong) shouldBe expected
   }
 
+  behavior of "multiTouchOf"
+
+  it should "distribute each conversion 40/40/20 with the 1- and 2-touch degenerate splits" in {
+    import spark.implicits._
+    // u1: 3 touches before a 100 purchase → view .4, click .2, email .4
+    // u2: 1 touch before a 50 purchase → view 1.0
+    // u3: 2 touches before an 80 purchase → view .5, click .5
+    // u4: purchase with NO prior touch → contributes nothing
+    // u5: touches but never converts → contributes nothing
+    val evs = Seq(
+      (1L, 1L, "view", 0.0), (1L, 2L, "click", 0.0), (1L, 3L, "email", 0.0),
+      (1L, 4L, "purchase", 100.0),
+      (2L, 5L, "view", 0.0), (2L, 6L, "purchase", 50.0),
+      (3L, 7L, "view", 0.0), (3L, 8L, "click", 0.0), (3L, 9L, "purchase", 80.0),
+      (4L, 10L, "purchase", 30.0),
+      (5L, 11L, "view", 0.0), (5L, 12L, "click", 0.0)
+    ).map { case (u, eid, ty, v) => (u, eid, ty, v, eid * 1000L) }
+      .toDF("user_id", "event_id", "event_type", "value", "us")
+    val rows = EventOpsPack.multiTouchOf(evs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    rows("view") shouldBe ((3L, 1.9, 130.0))   // .4*100 + 1*50 + .5*80
+    rows("click") shouldBe ((2L, 0.7, 60.0))   // .2*100 + .5*80
+    rows("email") shouldBe ((1L, 0.4, 40.0))   // .4*100
+    rows.keySet should not contain "purchase"
+    // conservation: total credit = number of attributable conversions
+    rows.values.map(_._2).sum shouldBe 3.0 +- 1e-9
+    rows.values.map(_._3).sum shouldBe 230.0 +- 1e-9
+  }
+
   behavior of "hardNegativesOf"
 
   it should "mine positives/negatives for an arbitrary query predicate and bound the broadcast" in {

@@ -264,4 +264,34 @@ class AnnRecallSpec extends SparkSpec {
       f"(codes+codebook = ${100.0 * (codesB + cbB) / listsB}%.1f%% of lists)")
     codesB + cbB should be < listsB
   }
+
+  behavior of "annMmrOf"
+
+  it should "demote a near-duplicate that plain relevance top-k ranks second" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query along e1; c10/c11 are the SAME direction (near-dups, both
+    // highly relevant), c12 is less relevant but diverse. Plain cosine
+    // order is 10, 11, 12 — MMR must interleave diversity: 10, 12, 11.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // query
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(1.8f, 0.2f, 0f, 0f)), // same direction as 10 (sim = 1)
+      (12L, Array(0.7f, 0f, 0.714f, 0f)),
+      (13L, Array(0f, 0f, 0f, 1f))      // irrelevant — cut by nCand=3
+    ).toDF("vec_id", "embedding")
+    val rows = LlmData
+      .annMmrOf(emb, col("vec_id") === 0, k = 3, lam = 0.3, nCand = 3)
+      .orderBy("rnk").collect()
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(10L, 12L, 11L)
+    // sanity: plain relevance really does rank the near-dup above the
+    // diverse candidate (otherwise this proves nothing)
+    val rel = rows.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    rel(11L) should be > rel(12L)
+    // guards mirror hardNegativesOf: empty and over-bound query sets fail
+    intercept[IllegalArgumentException](
+      LlmData.annMmrOf(emb, col("vec_id") < 0))
+    intercept[IllegalArgumentException](
+      LlmData.annMmrOf(emb, col("vec_id") >= 0, maxQueries = 2))
+  }
 }
