@@ -40,7 +40,9 @@ object ScalingBench {
     "pagerank",           // iterative keyed graph joins, per-iter checkpoint
     "bpe_train",          // iterative vocab-table merge learning
     "ewma_smooth",        // bucket-blocked band join (bounded fan-out)
-    "triangle_count")     // degree-ordered wedge join (O(E^1.5))
+    "triangle_count",     // degree-ordered wedge join (O(E^1.5))
+    "fuzzy_pairs",        // prefix/suffix blocking + banded Levenshtein
+    "ann_mmr")            // bounded greedy re-rank rounds over candidates
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
