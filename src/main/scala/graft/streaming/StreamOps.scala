@@ -40,6 +40,16 @@ final case class WindowedFunnelProgress(
 final case class TouchAttribution(
     user_id: Long, first_touch: String, event_id: Long, value: Double)
 
+/** Multi-touch accumulator: the user's pre-conversion touch profile —
+  * first/last channel, touch count, per-channel counts — plus a
+  * converted tombstone so events after the first purchase are ignored.
+  * O(channels) per user, independent of stream length. */
+final case class MultiTouchMemo(firstCh: String, lastCh: String,
+    n: Long, counts: Map[String, Long], converted: Boolean)
+
+final case class TouchCredit(user_id: Long, channel: String,
+    credit: Double, attributed: Double)
+
 /** EWMA ring state: the last ≤ window+1 values (oldest first) + the
   * running row number — O(window) per key, independent of stream length. */
 final case class EwmaMemo(recent: Seq[Double], rn: Long)
@@ -377,6 +387,58 @@ object StreamOps {
             memo = EwmaMemo(recent, rn)
           }
           state.update(memo)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming U-shaped multi-touch attribution — the live twin of
+    * `EventOpsPack.multiTouchAttribution`: per-user per-channel credit
+    * rows emitted the moment the user's FIRST purchase arrives,
+    * distributing its value 40% first / 40% last / 20% across middle
+    * touches (1 touch → 100%, 2 → 50/50). The profile state is
+    * O(channels) — first/last channel + per-channel counts — never the
+    * touch list, and a converted tombstone drops everything after the
+    * conversion, so state is bounded on an unbounded stream. The batch
+    * op aggregated per channel equals the sum of these credit rows. */
+  def multiTouchCredits(events: Dataset[Event],
+                        purchaseType: String = "purchase")
+      : Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[MultiTouchMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var m = state.getOption
+            .getOrElse(MultiTouchMemo(null, null, 0L, Map.empty, false))
+          val out = Seq.newBuilder[TouchCredit]
+          sorted.foreach { e =>
+            if (!m.converted) {
+              if (e.event_type == purchaseType) {
+                m.counts.toSeq.sortBy(_._1).foreach { case (ch, c) =>
+                  val mid = c - (if (ch == m.firstCh) 1L else 0L) -
+                    (if (ch == m.lastCh) 1L else 0L)
+                  val cr =
+                    if (m.n == 1) { if (ch == m.firstCh) 1.0 else 0.0 }
+                    else if (m.n == 2)
+                      (if (ch == m.firstCh) 0.5 else 0.0) +
+                        (if (ch == m.lastCh) 0.5 else 0.0)
+                    else
+                      (if (ch == m.firstCh) 0.4 else 0.0) +
+                        (if (ch == m.lastCh) 0.4 else 0.0) +
+                        0.2 / (m.n - 2) * mid
+                  if (cr > 0) out += TouchCredit(uid, ch, cr, cr * e.value)
+                }
+                m = m.copy(converted = true)
+              } else {
+                val f = if (m.firstCh == null) e.event_type else m.firstCh
+                m = MultiTouchMemo(f, e.event_type, m.n + 1,
+                  m.counts.updated(e.event_type,
+                    m.counts.getOrElse(e.event_type, 0L) + 1L), false)
+              }
+            }
+          }
+          state.update(m)
           out.result().iterator
       }
   }

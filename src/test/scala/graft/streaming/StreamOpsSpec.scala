@@ -617,6 +617,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "multiTouchCredits"
+
+  it should "emit per-channel credits equal to the batch attribution across micro-batches" in {
+    import org.apache.spark.sql.functions.{col, sum, unix_micros}
+    // u1: view, click (batch 1) + email, purchase 100 (batch 2), then a
+    // post-conversion view AND a second purchase — both must be inert in
+    // BOTH engines. u2: single view then purchase 50 in one batch.
+    // u3: touches but never converts.
+    val b1 = Seq(
+      Event(1, ts(1), 1, "view", 0.0), Event(2, ts(2), 1, "click", 0.0),
+      Event(10, ts(1), 2, "view", 0.0), Event(11, ts(2), 2, "purchase", 50.0),
+      Event(20, ts(1), 3, "view", 0.0))
+    val b2 = Seq(
+      Event(3, ts(3), 1, "email", 0.0), Event(4, ts(4), 1, "purchase", 100.0),
+      Event(5, ts(5), 1, "view", 0.0), Event(6, ts(6), 1, "purchase", 999.0),
+      Event(21, ts(2), 3, "click", 0.0))
+    val in = MemoryStream[Event]
+    val q = StreamOps.multiTouchCredits(in.toDS())
+      .writeStream.format("memory").queryName("touch_credits")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("touch_credits")
+        .groupBy("channel")
+        .agg(sum("credit").as("credit"), sum("attributed").as("attributed"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val batch = graft.queries.EventOpsPack.multiTouchOf(
+          (b1 ++ b2).toDF().withColumn("us", unix_micros(col("ts"))))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      streamed.keySet shouldBe batch.keySet
+      streamed.foreach { case (ch, (cr, rev)) =>
+        cr shouldBe batch(ch)._1 +- 1e-9
+        rev shouldBe batch(ch)._2 +- 1e-9
+      }
+      // u1's 3 touches: view .4 (first), click .2 (middle), email .4 (last)
+      streamed("email")._1 shouldBe 0.4 +- 1e-9
+      streamed("click")._1 shouldBe 0.2 +- 1e-9
+      streamed("view")._2 shouldBe (0.4 * 100 + 1.0 * 50) +- 1e-9
+    } finally q.stop()
+  }
+
   behavior of "reservoirSample"
 
   it should "converge to the batch deterministic sample across micro-batches and redelivery" in {
