@@ -290,6 +290,39 @@ object EventOpsPack extends QueryPack {
       .orderBy("channel")
   }
 
+  /** TIME-DECAY attribution — the fourth classic model (first-touch,
+    * last-touch, U-shaped, decay): each touch before the user's first
+    * conversion is weighted 2^(−Δt/halflife) by its age at conversion
+    * and the weights are normalized per user, so recent touches earn
+    * more credit without zeroing early ones. Same two keyed windows as
+    * [[multiTouchAttribution]] plus one row-local pow — partition-
+    * parallel at any event volume. */
+  def decayTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    decayTouchOf(withUs(s, dir))
+
+  /** Same over any frame with (user_id, event_id, event_type, value, us). */
+  def decayTouchOf(e: DataFrame, halflifeDays: Double = 7.0): DataFrame = {
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val firstConv = e.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("p_eid"), col("value").as("p_value"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    e.join(firstConv, "user_id")
+      .filter(col("us") < col("p_us") ||
+        (col("us") === col("p_us") && col("event_id") < col("p_eid")))
+      .withColumn("wt", pow(lit(2.0),
+        -((col("p_us") - col("us")) / lit(86400000000L) / lit(halflifeDays))))
+      .withColumn("credit", col("wt") / sum("wt").over(wN))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("credit"), 4).as("credit_units"),
+        round(sum(col("credit") * col("p_value")), 2).as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
   /** Inter-event gap profile: time between a user's consecutive events
     * (exact integer microseconds — no float epoch truncation), rolled up
     * per event type with exact interpolated p50/p95; the ops-health read
@@ -592,6 +625,7 @@ object EventOpsPack extends QueryPack {
     "funnel_windowed" -> funnelWindowed,
     "first_touch" -> firstTouchAttribution,
     "multi_touch" -> multiTouchAttribution,
+    "decay_touch" -> decayTouchAttribution,
     "interevent_gaps" -> intereventGaps)
 
   val oracle: Map[String, String] = Map(
@@ -793,6 +827,24 @@ object EventOpsPack extends QueryPack {
         | round(sum(credit), 4) AS credit_units,
         | round(sum(credit * p_value), 2) AS attributed_revenue
         |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+    "decay_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |   epoch_us(ts) AS us FROM events),
+        | fc AS (SELECT user_id, us AS p_us, event_id AS p_eid,
+        |   value AS p_value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY us, event_id) AS rn FROM e
+        |   WHERE event_type = 'purchase') WHERE rn = 1),
+        | t AS (SELECT e.user_id, e.event_type, fc.p_value,
+        |   pow(2.0::DOUBLE, -((fc.p_us - e.us) / 86400000000 / 7.0)) AS wt
+        |   FROM e JOIN fc USING (user_id)
+        |   WHERE e.us < fc.p_us OR (e.us = fc.p_us AND e.event_id < fc.p_eid)),
+        | n AS (SELECT *, wt / sum(wt) OVER (PARTITION BY user_id) AS credit
+        |   FROM t)
+        |SELECT event_type AS channel, count(*)::BIGINT AS n_touches,
+        | round(sum(credit), 4) AS credit_units,
+        | round(sum(credit * p_value), 2) AS attributed_revenue
+        |FROM n GROUP BY channel ORDER BY channel""".stripMargin,
     "interevent_gaps" ->
       """WITH g AS (SELECT event_type,
         |   epoch_us(ts) - lag(epoch_us(ts))

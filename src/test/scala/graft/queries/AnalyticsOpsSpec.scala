@@ -205,6 +205,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     rows.values.map(_._3).sum shouldBe 230.0 +- 1e-9
   }
 
+  behavior of "decayTouchOf"
+
+  it should "halve a touch's weight per halflife and normalize per user" in {
+    import spark.implicits._
+    val day = 86400000000L
+    // u1 converts at t=0 (us = 20d for headroom): touch A 7d before
+    // (weight 2^-1), touch B 14d before (weight 2^-2) → credits 2/3, 1/3
+    val p = 20 * day
+    val evs = Seq(
+      (1L, 1L, "email", 0.0, p - 14 * day),
+      (1L, 2L, "view", 0.0, p - 7 * day),
+      (1L, 3L, "purchase", 90.0, p)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+    val rows = EventOpsPack.decayTouchOf(evs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    rows("view")._1 shouldBe (2.0 / 3) +- 1e-4   // recent touch earns double
+    rows("email")._1 shouldBe (1.0 / 3) +- 1e-4
+    rows("view")._2 shouldBe 60.0 +- 0.01
+    rows("email")._2 shouldBe 30.0 +- 0.01
+    // conservation: credits sum to 1 conversion, revenue to its value
+    rows.values.map(_._1).sum shouldBe 1.0 +- 1e-9
+    rows.values.map(_._2).sum shouldBe 90.0 +- 0.02
+  }
+
   behavior of "hardNegativesOf"
 
   it should "mine positives/negatives for an arbitrary query predicate and bound the broadcast" in {
