@@ -50,6 +50,14 @@ final case class MultiTouchMemo(firstCh: String, lastCh: String,
 final case class TouchCredit(user_id: Long, channel: String,
     credit: Double, attributed: Double)
 
+/** Decay-attribution accumulator: per-channel sums of 2^((us−base)/τ),
+  * REBASED to the newest touch so the exponent never overflows — at
+  * conversion the common 2^((base−p_us)/τ) factor cancels in the
+  * normalization, so per-channel sums are all the state needed
+  * (O(channels), never the touch list). */
+final case class DecayTouchMemo(baseUs: Long, sums: Map[String, Double],
+    converted: Boolean)
+
 /** EWMA ring state: the last ≤ window+1 values (oldest first) + the
   * running row number — O(window) per key, independent of stream length. */
 final case class EwmaMemo(recent: Seq[Double], rn: Long)
@@ -435,6 +443,60 @@ object StreamOps {
                 m = MultiTouchMemo(f, e.event_type, m.n + 1,
                   m.counts.updated(e.event_type,
                     m.counts.getOrElse(e.event_type, 0L) + 1L), false)
+              }
+            }
+          }
+          state.update(m)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming time-decay attribution — the live twin of
+    * `EventOpsPack.decayTouchAttribution`: per-channel credit rows at
+    * the user's first purchase, each touch weighted 2^(−Δt/halflife)
+    * and normalized per user. The naive state is the touch list
+    * (unbounded); instead each channel keeps ONE running sum of
+    * 2^((us−base)/τ), rebased to the newest touch so the exponent
+    * stays ≤ 0 (no overflow, factors < 1 are numerically stable) —
+    * at conversion the common 2^((base−p_us)/τ) rebase factor cancels
+    * in credit = S_ch / S_total, so the O(channels) sums are
+    * mathematically EXACT, not an approximation of the batch weights. */
+  def decayTouchCredits(events: Dataset[Event],
+                        halflifeDays: Double = 7.0,
+                        purchaseType: String = "purchase")
+      : Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    val tauUs = halflifeDays * 86400000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[DecayTouchMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var m = state.getOption
+            .getOrElse(DecayTouchMemo(Long.MinValue, Map.empty, false))
+          val out = Seq.newBuilder[TouchCredit]
+          sorted.foreach { e =>
+            if (!m.converted) {
+              val us = micros(e.ts)
+              if (e.event_type == purchaseType) {
+                val total = m.sums.values.sum
+                if (total > 0) m.sums.toSeq.sortBy(_._1).foreach {
+                  case (ch, sc) =>
+                    val cr = sc / total
+                    out += TouchCredit(uid, ch, cr, cr * e.value)
+                }
+                m = m.copy(converted = true)
+              } else {
+                val (base, sums) =
+                  if (m.baseUs == Long.MinValue) (us, m.sums)
+                  else if (us > m.baseUs) {
+                    val f = math.pow(2.0, (m.baseUs - us) / tauUs)
+                    (us, m.sums.map { case (k, v) => k -> v * f })
+                  } else (m.baseUs, m.sums)
+                val w = math.pow(2.0, (us - base) / tauUs)
+                m = DecayTouchMemo(base,
+                  sums.updated(e.event_type,
+                    sums.getOrElse(e.event_type, 0.0) + w), false)
               }
             }
           }

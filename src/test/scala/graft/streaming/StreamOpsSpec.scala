@@ -661,6 +661,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "decayTouchCredits"
+
+  it should "match the batch decay attribution exactly from O(channels) rebased sums" in {
+    import org.apache.spark.sql.functions.{col, sum, unix_micros}
+    val day = 86400000L // ms
+    def dts(d: Long) = new java.sql.Timestamp(d * day)
+    // u1: email 14d and view 7d before a 90 purchase (weights 1/4, 1/2 →
+    // credits 1/3, 2/3), spread across micro-batches; a post-conversion
+    // click must be inert. u2: two same-channel touches collapse into one
+    // channel sum. u3: never converts.
+    val b1 = Seq(
+      Event(1, dts(6), 1, "email", 0.0), Event(2, dts(13), 1, "view", 0.0),
+      Event(10, dts(1), 2, "view", 0.0), Event(11, dts(2), 2, "view", 0.0))
+    val b2 = Seq(
+      Event(3, dts(20), 1, "purchase", 90.0), Event(4, dts(21), 1, "click", 0.0),
+      Event(12, dts(3), 2, "purchase", 40.0),
+      Event(20, dts(1), 3, "view", 0.0))
+    val in = MemoryStream[Event]
+    val q = StreamOps.decayTouchCredits(in.toDS())
+      .writeStream.format("memory").queryName("decay_credits")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("decay_credits")
+        .groupBy("channel")
+        .agg(sum("credit").as("c"), sum("attributed").as("a"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val batch = graft.queries.EventOpsPack.decayTouchOf(
+          (b1 ++ b2).map(e => (e.user_id, e.event_id, e.event_type, e.value, e.ts))
+            .toDF("user_id", "event_id", "event_type", "value", "ts")
+            .withColumn("us", unix_micros(col("ts"))))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      streamed.keySet shouldBe batch.keySet
+      streamed.foreach { case (ch, (cr, rev)) =>
+        cr shouldBe batch(ch)._1 +- 1e-3  // batch rounds credit_units at 4
+        rev shouldBe batch(ch)._2 +- 0.02
+      }
+      // the analytic values: weights 2^-2 and 2^-1 normalize to 1/3, 2/3
+      streamed("email")._1 shouldBe (1.0 / 3) +- 1e-9
+      streamed("view")._1 shouldBe (2.0 / 3 + 1.0) +- 1e-9 // + u2's whole credit
+      streamed.keySet should not contain "click"
+    } finally q.stop()
+  }
+
   behavior of "reservoirSample"
 
   it should "converge to the batch deterministic sample across micro-batches and redelivery" in {
