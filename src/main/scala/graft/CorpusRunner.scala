@@ -60,6 +60,11 @@ import org.apache.spark.sql.functions._
   *                      threshold — the paraphrase-leakage scrub
   *                      (semantic_decontam semantics; eval side
   *                      validated against the broadcast bound)
+  *  - `chunk`           split each doc into stride-advanced token
+  *                      windows of `window` tokens (doc_chunk
+  *                      semantics; stride 0 → non-overlapping) — run
+  *                      before packing so bins hold context-window
+  *                      pieces
   *
   * Scale notes (100 TB): gates and the scrub are row-local (codegen, no
   * shuffle); dedup shuffles on the uniform md5 hash; source_mix broadcasts
@@ -387,6 +392,28 @@ object CorpusRunner extends Logging {
         val coin = graft.functions.GraftFunctions.md5Coin(col(id))
         withTok.join(broadcast(probs), step.groupColumn)
           .filter(coin < col("__p")).drop("__p", "__ntok")
+      case "chunk" =>
+        // sliding-window context chunking (doc_chunk semantics): each doc
+        // becomes its stride-advanced token windows, all other columns
+        // carried through — the step you run right before packing, so
+        // bins hold context-window-sized pieces instead of whole docs.
+        // Row-local explode; ids stay unique (and deterministic) via
+        // newId = id·C + chunkIdx with C = max-chunks-per-doc + 1, a
+        // one-scalar data-derived broadcast (requires non-negative ids;
+        // id·C stays far under 2^63 for any real corpus id).
+        val w = step.window
+        val st = if (step.stride > 0) step.stride else w
+        val chunked = df
+          .withColumn("__toks", split(col(text), " "))
+          .withColumn("__i", explode(expr(
+            s"""sequence(0, CAST(ceil(greatest(size(__toks) - $w, 0)
+               |  / CAST($st AS DOUBLE)) AS INT))""".stripMargin)))
+          .withColumn(text,
+            array_join(expr(s"slice(__toks, __i * $st + 1, $w)"), " "))
+        val cMax = chunked.agg((max("__i") + 2).cast("long").as("__c"))
+        chunked.crossJoin(broadcast(cMax))
+          .withColumn(id, col(id) * col("__c") + col("__i"))
+          .drop("__toks", "__i", "__c")
       case other =>
         throw new IllegalArgumentException(s"unknown corpus op '$other'")
     }

@@ -148,7 +148,10 @@ final case class CorpusStepConf(
                                     // span_dedup: max duplicated-span frac;
                                     // dsir_sample: min importance weight;
                                     // ppl_gate: lowest-ppl fraction kept
-    window: Int = 8,                // span_dedup: words per span window
+    window: Int = 8,                // span_dedup: words per span window;
+                                    // chunk: tokens per chunk
+    stride: Int = 0,                // chunk: start-to-start advance in
+                                    // tokens (0 → = window: no overlap)
     maxHamming: Int = 3,            // dedup_simhash: Hamming radius (0-59)
     alpha: Double = 0.5,            // temp_mix: flattening temperature (α<1
                                     // upweights rare groups; quota = budget)

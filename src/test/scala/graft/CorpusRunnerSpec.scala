@@ -87,6 +87,36 @@ class CorpusRunnerSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  it should "split docs into covering chunks through the chunk step" in {
+    import org.apache.spark.sql.functions.{size => fsize, split => fsplit, max => fmax}
+    val c = conf("""{"op": "chunk", "window": 16}""") // stride 0 → 16
+    val result = CorpusRunner.run(spark, c)
+    val docs = Tables.documents(spark, dir)
+    val out = result.corpus
+    out.columns shouldBe docs.columns
+    // every chunk is <= window tokens
+    out.filter(fsize(fsplit(col("text"), " ")) > 16).count() shouldBe 0
+    out.select("doc_id").distinct().count() shouldBe out.count() // unique ids
+    // recover the original id: newId = id*C + i with C = max-chunks + 2,
+    // derived here exactly as the step derives it
+    val C = docs
+      .selectExpr("CAST(ceil(greatest(size(split(text, ' ')) - 16, 0) / 16.0) AS LONG) + 2 AS c")
+      .agg(fmax("c")).head().getLong(0)
+    // with stride == window the in-order chunks CONCATENATE back to the
+    // original text — no token lost, none duplicated
+    val glued = out
+      .withColumn("__orig", (col("doc_id") / C).cast("long"))
+      .withColumn("__i", col("doc_id") % C)
+      .groupBy("__orig")
+      .agg(org.apache.spark.sql.functions.expr(
+        "array_join(transform(sort_array(collect_list(struct(__i, text))), x -> x.text), ' ')")
+        .as("t"))
+    val orig = docs.select(col("doc_id").as("__orig"), col("text").as("t0"))
+    glued.join(orig, "__orig")
+      .filter(col("t") =!= col("t0")).count() shouldBe 0
+    result.metrics("rows_after_1_chunk") shouldBe out.count().toDouble
+  }
+
   it should "reject invalid corpus configs with every violation listed" in {
     val bad = conf("""{"op": "lang_filter"}, {"op": "nope"}""")
     val ex = intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))
