@@ -59,7 +59,8 @@ object CorpusQuickStart {
         |     "vectorSource": "parquet://$dir/embeddings.parquet", "threshold": 0.3},
         |    {"op": "dsir_sample", "keepLangs": ["en"], "threshold": 0.0},
         |    {"op": "source_mix", "quota": 15, "groupColumn": "source"},
-        |    {"op": "token_mix", "quota": 4000, "alpha": 0.5}
+        |    {"op": "token_mix", "quota": 4000, "alpha": 0.5},
+        |    {"op": "chunk", "window": 64, "stride": 48}
         |  ]}
         |}""".stripMargin
 
@@ -82,7 +83,7 @@ object CorpusQuickStart {
     // token-budget sequence packing of the survivors: global running token
     // sums (two-pass range prefix sums, partition-parallel) -> budget bins
     val packed = LlmData.docPackOf(cleaned, "doc_id", "text", budget = 256)
-    println(s"[corpus] packed ${packed.count()} docs into " +
+    println(s"[corpus] packed ${packed.count()} context-window chunks into " +
       s"${packed.select("bin_id").distinct().count()} token-budget bins")
     spark.stop()
   }
