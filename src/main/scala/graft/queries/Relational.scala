@@ -158,6 +158,24 @@ object Relational extends QueryPack {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Wide→long reshape (UNPIVOT/melt — the inverse of [[pivotAgg]]):
+    * lineitem's four numeric measures stacked into (measure, v) rows and
+    * profiled per measure. Unpivot is a row-local generator (each input
+    * row emits |measures| rows, no shuffle), so the only exchange is the
+    * 4-group final agg — scale cost is the scan. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("total"),
+        round(avg("v"), 6).as("avg_v"))
+      .orderBy("measure")
+
   /** Rolling (frame-bounded) aggregate: 3-event moving average of `value`
     * per user — a keyed window with an explicit ROWS frame, partitioned on
     * the high-cardinality key. */
@@ -556,6 +574,7 @@ object Relational extends QueryPack {
     "ntile_bins" -> ntileBins,
     "cube_agg" -> cubeAgg,
     "pivot_agg" -> pivotAgg,
+    "unpivot_metrics" -> unpivotMetrics,
     "rolling_avg" -> rollingAvg,
     "exact_quantiles" -> exactQuantiles)
 
@@ -759,6 +778,16 @@ object Relational extends QueryPack {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT measure, v FROM (
+        |    SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+        |      l_tax FROM lineitem)
+        |  UNPIVOT (v FOR measure IN
+        |    (l_quantity, l_extendedprice, l_discount, l_tax)))
+        |SELECT measure, count(*)::BIGINT AS n, round(sum(v), 2) AS total,
+        | round(avg(v), 6) AS avg_v
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "rolling_avg" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events)
         |SELECT event_id, user_id,
