@@ -174,6 +174,24 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).size should be <= 4
   }
 
+  it should "block the fuzzy Levenshtein join on equi-keys, never all-pairs" in {
+    val p = plan(LlmData.fuzzyPairs(spark, dir))
+    p should not include "CartesianProduct"
+    // the only nested-loop joins are the broadcast ONE-ROW offset staging
+    // crossJoins (same pattern as dedup_normalized); the prefix/suffix
+    // blocks themselves must be hash-keyed joins
+    p should include ("levenshtein")
+  }
+
+  it should "chunk documents row-locally (one generator, no pre-sort shuffle)" in {
+    val p = plan(LlmData.docChunk(spark, dir))
+    p should not include "CartesianProduct"
+    p should include ("Generate") // the sequence/explode generator
+    // only the output range sort exchanges (formatted explain lists each
+    // node twice: tree + details)
+    "Exchange".r.findAllIn(p).size should be <= 2
+  }
+
   it should "key the semdedup pair join on the cluster id" in {
     val p = plan(LlmData.semDedup(spark, dir))
     p should not include "CartesianProduct"
