@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsPack, EventOpsPack, LlmData, MetricsPack, MultimodalPack, Relational, TextOpsPack, QueryPack}
+import graft.queries.{AnalyticsPack, EventOpsPack, ExperimentPack, LlmData, MetricsPack, MultimodalPack, Relational, TextOpsPack, QueryPack}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * All query packs are folded here; `queries` and `oracleSql` keys line up
@@ -10,7 +10,7 @@ import graft.queries.{AnalyticsPack, EventOpsPack, LlmData, MetricsPack, Multimo
 object SparkEntry {
   private def packs: Seq[QueryPack] =
     Seq(Relational, LlmData, MetricsPack, TextOpsPack, MultimodalPack,
-      EventOpsPack, AnalyticsPack)
+      EventOpsPack, AnalyticsPack, ExperimentPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

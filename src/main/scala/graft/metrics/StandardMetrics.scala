@@ -101,6 +101,54 @@ object StandardMetrics {
         avg(col(labelCol).cast("double")).as("frac_pos"))
   }
 
+  /** Isotonic (non-parametric, monotone) calibration — the PAV fit via its
+    * minimax identity, computed over pre-aggregated reliability bins:
+    *   iso(b) = max_{i ≤ b} min_{j ≥ b} mean(y[i..j])
+    * (Barlow et al. 1972 — the closed form of pool-adjacent-violators).
+    *
+    * The corpus collapses to `bins` rows FIRST (one keyed agg, identical
+    * to [[calibrationBins]]); the minimax then runs on that O(bins) frame
+    * with broadcast range self-joins — O(bins³) pairs of a ≤32-row frame,
+    * nothing quadratic in the data. Every pooled mean is an
+    * integer-positives / integer-count ratio, so the fit is bit-identical
+    * in any IEEE engine — no rounding tolerance needed on the fit itself.
+    * Complements [[graft.train.PlattScalar]]: Platt is the parametric
+    * (sigmoid) calibrator, this is the distribution-free one. */
+  def isotonicCalibration(df: DataFrame, labelCol: String, scoreCol: String,
+                          bins: Int = 20): DataFrame = {
+    val mx = df.agg(max(col(scoreCol)).cast("double").as("__mx"))
+    val b = df.crossJoin(broadcast(mx))
+      .withColumn("__p", col(scoreCol) / col("__mx"))
+      .withColumn("bin",
+        least(lit(bins - 1), floor(col("__p") * bins)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("__p").as("mean_pred"),
+        sum(col(labelCol).cast("long")).as("sy"))
+      .cache()
+    // inclusive prefix sums over the tiny bin frame (self-join, no window)
+    val cum = b.as("x")
+      .join(broadcast(b.select(col("bin").as("b2"), col("n").as("n2"),
+        col("sy").as("sy2"))), col("b2") <= col("bin"))
+      .groupBy(col("bin"), col("n"), col("sy"))
+      .agg(sum("n2").as("cn"), sum("sy2").as("cs"))
+      .select(col("bin"), col("cn"), col("cs"),
+        (col("cn") - col("n")).as("pcn"), (col("cs") - col("sy")).as("pcs"))
+    // pooled means over every bin range [i, j]
+    val pairs = cum.select(col("bin").as("i"), col("pcn"), col("pcs"))
+      .join(broadcast(cum.select(col("bin").as("j"), col("cn"), col("cs"))),
+        col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cs") - col("pcs")).cast("double") /
+          (col("cn") - col("pcn"))).as("pool"))
+    val iso = b.select(col("bin").as("__b"))
+      .join(broadcast(pairs), col("i") <= col("__b") && col("j") >= col("__b"))
+      .groupBy(col("__b"), col("i")).agg(min("pool").as("mn"))
+      .groupBy(col("__b")).agg(max("mn").as("iso_fit"))
+    b.join(iso, col("bin") === col("__b"))
+      .select(col("bin"), col("n"), col("mean_pred"),
+        (col("sy").cast("double") / col("n")).as("frac_pos"), col("iso_fit"))
+  }
+
   /** Cumulative-gains (lift) deciles: rank by score DESC into 10 exact
     * global deciles via the two-pass range sort (no single-partition
     * window), then per-decile positives and the cumulative capture rate —

@@ -317,6 +317,128 @@ object AnalyticsPack extends QueryPack {
       .orderBy("user_id", "rn")
   }
 
+  // ------------------------------------------------- CUSUM changepoints
+
+  private val CusumSlackSd  = 0.5 // k, in global-σ units
+  private val CusumThreshSd = 5.0 // h, in global-σ units
+
+  /** One-sided CUSUM changepoint detection per user: the classic recurrence
+    * C_t = max(0, C_{t-1} + x_t − μ − k) fires an alert when C_t > h
+    * (k = 0.5σ slack, h = 5σ threshold on the global event-value moments).
+    *
+    * The recurrence looks inherently sequential, but rebasing turns it into
+    * two stock windows: with S_t = Σ_{j≤t}(x_j − μ − k) and S_0 = 0,
+    * C_t = S_t − min(0, min_{j≤t} S_j) — a prefix sum and a running min,
+    * both partitioned on user_id. Same identity the streaming twin keeps as
+    * O(1) state ([[graft.streaming.StreamOps.cusumAlerts]]: just (S, minS)
+    * per user). μ and σ are rounded to 6 dp BEFORE use so the only floats
+    * entering the per-user scan are engine-identical; the per-user
+    * cumulative sums then add the same values in the same window order in
+    * any engine, making the alert set exactly reproducible. */
+  def cusumAlerts(s: SparkSession, dir: String): DataFrame =
+    cusumAlertsOf(withUs(s, dir))
+
+  /** Same over any frame with (user_id, event_id, value, us) — the form
+    * the streaming-equality spec replays. */
+  def cusumAlertsOf(events: DataFrame): DataFrame = {
+    // μ + k·σ is rounded as ONE 6-dp constant: rounding μ and σ separately
+    // would land every prefix sum on the half-micro grid (k = 0.5 of a
+    // 6-dp value ends in 5e-7), where the output round() becomes an
+    // engine-dependent tie-break
+    val st = events.agg(
+      round(avg("value") + lit(CusumSlackSd) * stddev_samp(col("value")), 6)
+        .as("mk"),
+      round(stddev_samp(col("value")), 6).as("sd"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.crossJoin(broadcast(st))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s",
+        sum(col("value") - col("mk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ms", min(col("s")).over(
+        Window.partitionBy("user_id").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cusum", col("s") - least(lit(0.0), col("ms")))
+      .filter(col("cusum") > lit(CusumThreshSd) * col("sd"))
+      .select(col("user_id"), col("rn"), col("event_id"),
+        round(col("cusum"), 6).as("cusum"))
+      .orderBy("user_id", "rn")
+  }
+
+  // ------------------------------------------------- count-min sketch
+
+  private val CmsWidth = 1024
+  private val CmsPrime = 2147483647L
+  /** Four independent universal-hash rows ((a·k + b) mod p mod w) — plain
+    * 64-bit integer arithmetic so any engine computes the identical
+    * sketch. */
+  private val CmsHashes: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L),
+    (22695477L, 1L), (1664525L, 1013904223L))
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over part keys, with
+    * its estimates audited against exact counts for the top-20 keys. The
+    * sketch IS a partial aggregate: each task folds its rows into d·w
+    * counters and the shuffle carries only the 4×1024 counter grid —
+    * the mergeable-summary shape that turns a 100 TB frequency scan into
+    * a KB-sized exchange. Estimates are min over the d rows; CMS
+    * guarantees est ≥ exact (never undercounts), which the spec asserts
+    * together with the ε·N overcount bound. */
+  def cmsEstErr(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+    def hashStructs = array(CmsHashes.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"),
+        (((lit(a) * col("k") + lit(b)) % CmsPrime) % CmsWidth).as("bucket"))
+    }: _*)
+    val sketch = keys.select(explode(hashStructs).as("h"))
+      .select(col("h.row").as("row"), col("h.bucket").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val top = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("k")).limit(20)
+    top.select(col("k"), col("exact"), explode(hashStructs).as("h"))
+      .select(col("k"), col("exact"), col("h.row").as("row"),
+        col("h.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("k", "exact").agg(min("cnt").as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(desc("exact"), asc("k"))
+  }
+
+  // ---------------------------------------------- interval sweep (peak)
+
+  private val ConcSessionGapUs = 600L * 1000000 // 10-min session gap
+
+  /** Peak concurrency — the classic interval-stabbing sweep: sessionize
+    * each user (10-min gap), turn every session into a +1 at its start and
+    * a −1 at its end, and take the running sum over the GLOBAL time order.
+    * The answer is the maximum concurrent sessions and the first instant
+    * it occurs — capacity planning's favorite number.
+    *
+    * The global sweep is the scale-hostile part (a bare
+    * `Window.orderBy(us)` serializes the corpus into one task), so it
+    * rides [[graft.plans.GlobalRank.withRunningSums]]: range-partition on
+    * the sweep order, per-partition running sums, O(partitions) offsets —
+    * every stage partition-parallel. Ties are ordered starts-first
+    * (d DESC) so back-to-back sessions count as overlapping at the
+    * boundary instant, deterministically in any engine. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = withUs(s, dir)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s", when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > ConcSessionGapUs, 1).otherwise(0))
+      .withColumn("seq", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val deltas = sess.select(col("start_us").as("us"), lit(1).as("d"))
+      .unionAll(sess.select(col("end_us").as("us"), lit(-1).as("d")))
+    graft.plans.GlobalRank
+      .withRunningSums(deltas, Seq(col("us"), col("d").desc), Seq("d" -> "conc"))
+      .orderBy(desc("conc"), asc("us"), desc("d")).limit(1)
+      .select(col("conc").cast("bigint").as("peak"), col("us").as("at_us"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -325,7 +447,10 @@ object AnalyticsPack extends QueryPack {
     "item_cooccur" -> itemCooccur,
     "seq_mining" -> seqMining,
     "group_sample" -> groupSample,
-    "ewma_smooth" -> ewmaSmooth)
+    "ewma_smooth" -> ewmaSmooth,
+    "cusum_alerts" -> cusumAlerts,
+    "cms_est_err" -> cmsEstErr,
+    "peak_concurrency" -> peakConcurrency)
 
   private val eventsUs =
     """e AS (SELECT user_id, event_id, event_type, value,
@@ -376,6 +501,58 @@ object AnalyticsPack extends QueryPack {
          |  FROM events)
          |SELECT event_type, rnk, event_id, round(value, 4) AS value
          |FROM r WHERE rnk <= $SamplePerGroup ORDER BY event_type, rnk""".stripMargin,
+    "cusum_alerts" ->
+      s"""WITH $eventsUs,
+         | st AS (SELECT round(avg(value) + $CusumSlackSd * stddev_samp(value), 6) AS mk,
+         |   round(stddev_samp(value), 6) AS sd FROM e),
+         | s AS (SELECT user_id, event_id,
+         |   row_number() OVER w AS rn,
+         |   sum(value - mk) OVER
+         |     (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS s
+         |  FROM e, st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         | m AS (SELECT user_id, rn, event_id, s,
+         |   min(s) OVER (PARTITION BY user_id ORDER BY rn
+         |     ROWS UNBOUNDED PRECEDING) AS ms FROM s)
+         |SELECT user_id, rn, event_id,
+         |  round(s - least(0, ms), 6) AS cusum
+         |FROM m, st WHERE s - least(0, ms) > $CusumThreshSd * sd
+         |ORDER BY user_id, rn""".stripMargin,
+    "peak_concurrency" ->
+      s"""WITH $eventsUs,
+         | s1 AS (SELECT user_id, event_id, us,
+         |   lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+         |  FROM e),
+         | s2 AS (SELECT user_id, us, event_id,
+         |   CASE WHEN prev_us IS NULL OR us - prev_us > $ConcSessionGapUs
+         |     THEN 1 ELSE 0 END AS new_s FROM s1),
+         | s3 AS (SELECT user_id, us,
+         |   sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |     ROWS UNBOUNDED PRECEDING) AS seq FROM s2),
+         | sess AS (SELECT user_id, seq, min(us) AS start_us, max(us) AS end_us
+         |  FROM s3 GROUP BY 1, 2),
+         | d AS (SELECT start_us AS us, 1 AS d FROM sess
+         |   UNION ALL SELECT end_us, -1 FROM sess),
+         | c AS (SELECT us, d, sum(d) OVER (ORDER BY us, d DESC
+         |   ROWS UNBOUNDED PRECEDING) AS conc FROM d)
+         |SELECT conc::BIGINT AS peak, us AS at_us FROM c
+         |ORDER BY conc DESC, us ASC, d DESC LIMIT 1""".stripMargin,
+    "cms_est_err" ->
+      s"""WITH hs(rw, a, b) AS (VALUES
+         |   (0, 1103515245, 12345), (1, 214013, 2531011),
+         |   (2, 22695477, 1), (3, 1664525, 1013904223)),
+         | keys AS (SELECT l_partkey AS k FROM lineitem),
+         | sketch AS (SELECT rw, ((a * k + b) % $CmsPrime) % $CmsWidth AS bucket,
+         |     count(*)::BIGINT AS cnt
+         |   FROM keys CROSS JOIN hs GROUP BY 1, 2),
+         | top AS (SELECT k, count(*)::BIGINT AS exact FROM keys GROUP BY k
+         |   ORDER BY exact DESC, k LIMIT 20)
+         |SELECT t.k, t.exact, min(s.cnt)::BIGINT AS est,
+         |  (min(s.cnt) - t.exact)::BIGINT AS overcount
+         |FROM top t CROSS JOIN hs
+         | JOIN sketch s ON s.rw = hs.rw
+         |   AND s.bucket = ((hs.a * t.k + hs.b) % $CmsPrime) % $CmsWidth
+         |GROUP BY t.k, t.exact ORDER BY t.exact DESC, t.k""".stripMargin,
     "ewma_smooth" ->
       s"""WITH $eventsUs,
          | seq AS (SELECT user_id, event_id, value,

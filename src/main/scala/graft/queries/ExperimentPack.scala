@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Experimentation / causal-measurement operators: the analyses an A/B
+  * platform runs over the same event firehose the rest of the engine
+  * processes — two-sample Welch inference, CUPED variance reduction, and
+  * Kaplan-Meier survival over user lifetimes.
+  *
+  * Scale notes (100 TB):
+  *  - Every query reduces the event table to a PER-USER frame with one
+  *    keyed aggregation (partial aggregates crush the shuffle to
+  *    O(users)), then computes the statistic from O(1) or O(users)
+  *    moments. No windows over raw events, no driver loops.
+  *  - Global moments (means, variances, covariance, θ) travel as one-row
+  *    broadcast frames — the same idiom as the mixing/EWMA ops.
+  *  - `kaplan_meier`'s risk-set recursion collapses onto the DISTINCT
+  *    duration frame (bounded by the observation span in days, not by
+  *    users), where the cumulative product is a tiny self-join — no
+  *    unpartitioned window anywhere.
+  */
+object ExperimentPack extends QueryPack {
+
+  /** Deterministic per-user experiment frame: variant = user_id % 2 (the
+    * hash-bucket assignment every experiment platform uses, determinized),
+    * metric = the user's total event value. */
+  private def perUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum("value").as("m"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+
+  // -------------------------------------------------------- Welch t-test
+
+  /** Two-sample Welch t-test on per-user value totals between the two
+    * deterministic variants: t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b) with
+    * Welch–Satterthwaite degrees of freedom. One keyed user agg + one
+    * conditional global agg — O(1) result from any corpus size. */
+  def abWelch(s: SparkSession, dir: String): DataFrame = {
+    val u = perUser(s, dir)
+    val g = u.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      avg(when(col("variant") === 0, col("m"))).as("ma"),
+      avg(when(col("variant") === 1, col("m"))).as("mb"),
+      var_samp(when(col("variant") === 0, col("m"))).as("va"),
+      var_samp(when(col("variant") === 1, col("m"))).as("vb"))
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+      round((col("ma") - col("mb")) /
+        sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6).as("t_stat"),
+      round(
+        pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
+          (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("df"))
+  }
+
+  // ------------------------------------------------------------- CUPED
+
+  /** CUPED variance reduction (Deng et al. 2013): regress the experiment
+    * metric on a pre-experiment covariate and analyze the residualized
+    * metric. Deterministic stand-in split: a user's even-event_id value
+    * mass is the "pre-period" covariate, the odd mass is the experiment
+    * metric. θ = cov(pre, post)/var(pre) is ONE global moment row
+    * broadcast back over the per-user frame; the output is the per-variant
+    * adjusted means plus the realized variance-reduction ratio
+    * var(adj)/var(post) — the number that justifies CUPED at all. */
+  def cupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_id") % 2 === 0, col("value"))), lit(0.0))
+          .as("pre"),
+        coalesce(sum(when(col("event_id") % 2 === 1, col("value"))), lit(0.0))
+          .as("post"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val st = u.agg(
+      (covar_samp(col("pre"), col("post")) / var_samp(col("pre"))).as("theta"),
+      avg("pre").as("mean_pre"))
+    val adj = u.crossJoin(broadcast(st))
+      .withColumn("adj",
+        col("post") - col("theta") * (col("pre") - col("mean_pre")))
+    val ratio = adj.agg(
+      (var_samp(col("adj")) / var_samp(col("post"))).as("vr"),
+      min(col("theta")).as("th"))
+    adj.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        avg("post").as("mp"), avg("adj").as("madj"))
+      .crossJoin(broadcast(ratio))
+      .select(col("variant"), col("n"),
+        round(col("mp"), 6).as("mean_post"),
+        round(col("madj"), 6).as("mean_adj"),
+        round(col("th"), 6).as("theta"),
+        round(col("vr"), 6).as("var_ratio"))
+      .orderBy("variant")
+  }
+
+  // ----------------------------------------------------- Kaplan-Meier
+
+  /** Kaplan-Meier survival over user lifetimes: duration = whole days
+    * between a user's first and last event; "death" = the user ever
+    * purchased (else right-censored at last observation). For each
+    * distinct event duration d: risk set n_d = users with duration ≥ d,
+    * deaths e_d = purchasers with duration exactly d, and the survival
+    * curve S(d) = Π_{d' ≤ d} (1 − e_{d'}/n_{d'}).
+    *
+    * The product is exp(Σ ln(1−e/n)) accumulated by a self-join on the
+    * DISTINCT-duration frame (bounded by the observation span in days —
+    * O(100s) rows after the per-user reduction, never O(users)); a factor
+    * that hits zero (e = n at the tail) zeroes the curve from there on via
+    * an explicit zero-count instead of ln(0). */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        floor((max("us") - min("us")) / lit(86400000000L)).as("dur"),
+        max((col("event_type") === "purchase").cast("int")).as("died"))
+    val atRisk = life.groupBy("dur").agg(count(lit(1)).as("n_enter"),
+      sum("died").as("e")).cache()
+    // n_risk(d) = Σ_{d' ≥ d} n_enter(d'); tiny frame — self-join suffices
+    val risk = atRisk.select(col("dur"))
+      .join(atRisk.select(col("dur").as("d2"), col("n_enter")),
+        col("d2") >= col("dur"))
+      .groupBy("dur").agg(sum("n_enter").as("n_risk"))
+    val steps = atRisk.filter(col("e") > 0)
+      .join(risk, "dur")
+      .select(col("dur"), col("n_risk"), col("e"),
+        (lit(1.0) - col("e").cast("double") / col("n_risk")).as("f"))
+    steps.as("a")
+      .join(steps.select(col("dur").as("d2"), col("f").as("f2")),
+        col("d2") <= col("dur"))
+      .groupBy(col("dur"), col("n_risk"), col("e"))
+      .agg(sum(when(col("f2") === 0.0, 1).otherwise(0)).as("nz"),
+        sum(when(col("f2") > 0.0, log(col("f2")))).as("ls"))
+      .select(col("dur"), col("n_risk"), col("e").as("n_event"),
+        round(when(col("nz") > 0, lit(0.0)).otherwise(exp(col("ls"))), 6)
+          .as("surv"))
+      .orderBy("dur")
+  }
+
+  // ---------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_welch" -> abWelch,
+    "cuped_adjust" -> cupedAdjust,
+    "kaplan_meier" -> kaplanMeier)
+
+  def oracle: Map[String, String] = Map(
+    "ab_welch" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant, sum(value) AS m
+        |   FROM events GROUP BY 1),
+        | g AS (SELECT
+        |   count(CASE WHEN variant = 0 THEN 1 END)::BIGINT AS n_a,
+        |   count(CASE WHEN variant = 1 THEN 1 END)::BIGINT AS n_b,
+        |   avg(CASE WHEN variant = 0 THEN m END) AS ma,
+        |   avg(CASE WHEN variant = 1 THEN m END) AS mb,
+        |   var_samp(CASE WHEN variant = 0 THEN m END) AS va,
+        |   var_samp(CASE WHEN variant = 1 THEN m END) AS vb FROM u)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+        |  round(pow(va / n_a + vb / n_b, 2) /
+        |    (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 4)
+        |    AS df
+        |FROM g""".stripMargin,
+    "cuped_adjust" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |   coalesce(sum(CASE WHEN event_id % 2 = 0 THEN value END), 0.0) AS pre,
+        |   coalesce(sum(CASE WHEN event_id % 2 = 1 THEN value END), 0.0) AS post
+        |  FROM events GROUP BY 1),
+        | st AS (SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+        |   avg(pre) AS mean_pre FROM u),
+        | a AS (SELECT variant, post,
+        |   post - theta * (pre - mean_pre) AS adj FROM u, st),
+        | r AS (SELECT var_samp(adj) / var_samp(post) AS vr FROM a)
+        |SELECT variant, count(*)::BIGINT AS n,
+        |  round(avg(post), 6) AS mean_post,
+        |  round(avg(adj), 6) AS mean_adj,
+        |  round((SELECT theta FROM st), 6) AS theta,
+        |  round((SELECT vr FROM r), 6) AS var_ratio
+        |FROM a GROUP BY variant ORDER BY variant""".stripMargin,
+    "kaplan_meier" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | life AS (SELECT user_id,
+        |   floor((max(us) - min(us)) / 86400000000.0)::BIGINT AS dur,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS died
+        |  FROM e GROUP BY 1),
+        | enter AS (SELECT dur, count(*)::BIGINT AS n_enter,
+        |   sum(died)::BIGINT AS ev FROM life GROUP BY 1),
+        | risk AS (SELECT a.dur, sum(b.n_enter)::BIGINT AS n_risk
+        |  FROM enter a JOIN enter b ON b.dur >= a.dur GROUP BY a.dur),
+        | steps AS (SELECT a.dur, r.n_risk, a.ev AS e,
+        |   1.0 - a.ev::DOUBLE / r.n_risk AS f
+        |  FROM enter a JOIN risk r ON a.dur = r.dur WHERE a.ev > 0)
+        |SELECT a.dur, a.n_risk, a.e AS n_event,
+        |  round(CASE WHEN sum(CASE WHEN b.f = 0.0 THEN 1 ELSE 0 END) > 0
+        |    THEN 0.0
+        |    ELSE exp(sum(CASE WHEN b.f > 0.0 THEN ln(b.f) ELSE 0 END)) END, 6)
+        |    AS surv
+        |FROM steps a JOIN steps b ON b.dur <= a.dur
+        |GROUP BY a.dur, a.n_risk, a.e ORDER BY a.dur""".stripMargin)
+}

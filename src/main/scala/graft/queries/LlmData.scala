@@ -1699,6 +1699,38 @@ object LlmData extends QueryPack {
       .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
       .orderBy("label")
 
+  private val RpDim = 16
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2003: ±1 sign
+    * matrix) from the native 64-dim embedding down to [[RpDim]] dims, with
+    * the norm-concentration audit E[‖y‖²/‖x‖²] = 1 that makes JL usable as
+    * the cheap front-end of LSH/ANN at scale. The "matrix" is never
+    * materialized anywhere: sign(j,d) is a pure integer hash evaluated
+    * inside a row-local codegen'd higher-order expression, so the projection
+    * is a ZERO-shuffle map over the corpus — the exact shape you want in
+    * front of a 100 TB embedding scan. Inner sums run strictly left-to-right
+    * (SQL `aggregate`), so every per-vector ratio is bit-identical to the
+    * oracle's `list_reduce` replay. */
+  def embedRp(s: SparkSession, dir: String): DataFrame = {
+    val dExpr = "zip_with(embedding, sequence(0, size(embedding) - 1), " +
+      "(x, d) -> struct(cast(x AS DOUBLE) AS x, d AS d))"
+    val sign = "(1 - 2 * (((cast(j AS BIGINT) * 1315423911 + " +
+      "cast(e.d AS BIGINT) * 2654435761 + 97) % 2147483647) % 2))"
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id",
+        s"""transform(sequence(0, ${RpDim - 1}), j ->
+           |  aggregate($dExpr, cast(0.0 AS DOUBLE),
+           |    (acc, e) -> acc + $sign * e.x)) AS y""".stripMargin,
+        "aggregate(embedding, cast(0.0 AS DOUBLE), " +
+          "(a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)) AS nx")
+      .selectExpr(
+        s"aggregate(y, cast(0.0 AS DOUBLE), (a, p) -> a + p * p) / $RpDim.0 / nx AS ratio")
+      .agg(count(lit(1)).as("n"),
+        round(avg("ratio"), 6).as("mean_ratio"),
+        round(min("ratio"), 6).as("min_ratio"),
+        round(max("ratio"), 6).as("max_ratio"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
@@ -3240,6 +3272,7 @@ object LlmData extends QueryPack {
     "neardup_cosine" -> neardupCosine,
     "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
+    "embed_rp" -> embedRp,
     "text_stats" -> textStats,
     "token_bpe" -> tokenBpe,
     "bpe_train" -> bpeTrain,
@@ -3815,6 +3848,21 @@ object LlmData extends QueryPack {
         | round(avg(stop_ratio), 6) AS avg_stop_ratio,
         | round(avg(mean_tok_len), 6) AS avg_tok_len
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "embed_rp" ->
+      s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | p AS (SELECT vec_id,
+         |   list_transform(range(0, $RpDim), j ->
+         |     list_reduce(list_transform(e, (v, i) ->
+         |       (1 - 2 * (((j * 1315423911 + (i - 1) * 2654435761 + 97)
+         |          % 2147483647) % 2)) * v), (a, b) -> a + b)) AS y,
+         |   list_reduce(list_transform(e, (v, i) -> v * v), (a, b) -> a + b) AS nx
+         |  FROM x),
+         | r AS (SELECT vec_id,
+         |   list_reduce(list_transform(y, v -> v * v), (a, b) -> a + b)
+         |     / $RpDim.0 / nx AS ratio FROM p)
+         |SELECT count(*)::BIGINT AS n, round(avg(ratio), 6) AS mean_ratio,
+         | round(min(ratio), 6) AS min_ratio, round(max(ratio), 6) AS max_ratio
+         |FROM r""".stripMargin,
     "embed_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm

@@ -105,6 +105,17 @@ object MetricsPack extends QueryPack {
         round(col("frac_pos"), 6).as("frac_pos"))
       .orderBy("bin")
 
+  /** PAV isotonic calibration over 20 reliability bins — the fit values
+    * are exact integer ratios, so the oracle replays the identical minimax
+    * with no tolerance (see [[StandardMetrics.isotonicCalibration]]). */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    StandardMetrics.isotonicCalibration(labeled(s, dir), "y", "score")
+      .select(col("bin"), col("n"),
+        round(col("mean_pred"), 6).as("mean_pred"),
+        round(col("frac_pos"), 6).as("frac_pos"),
+        round(col("iso_fit"), 6).as("iso_fit"))
+      .orderBy("bin")
+
   def gainsDeciles(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.orders(s, dir).select(
       (col("o_orderstatus") === "F").cast("int").as("y"),
@@ -137,6 +148,7 @@ object MetricsPack extends QueryPack {
     "hotlead_sim" -> (hotleadSim(_, _)),
     "calibration_bins" -> (calibrationBins(_, _)),
     "calibration_summary" -> (calibrationSummary(_, _)),
+    "isotonic_calibration" -> (isotonicCalibration(_, _)),
     "gains_deciles" -> (gainsDeciles(_, _)),
     "label_freq" -> (labelFreq(_, _)))
 
@@ -196,6 +208,30 @@ object MetricsPack extends QueryPack {
          |     avg(pow(p - yd, 2)) AS brier FROM sc)
          |SELECT n, round(brier, 6) AS brier, round(ece, 6) AS ece
          |FROM br, e""".stripMargin,
+
+    "isotonic_calibration" ->
+      s"""WITH t AS ($labeledSql),
+         | mx AS (SELECT max(score)::DOUBLE AS m FROM t),
+         | b AS (SELECT least(19, floor(score / m * 20))::INT AS bin,
+         |     score / m AS p, y FROM t, mx),
+         | bb AS (SELECT bin, count(*)::BIGINT AS n, avg(p) AS mean_pred,
+         |     sum(y)::BIGINT AS sy FROM b GROUP BY bin),
+         | cum AS (SELECT x.bin, x.n, x.sy, x.mean_pred,
+         |     sum(y.n)::BIGINT AS cn, sum(y.sy)::BIGINT AS cs
+         |   FROM bb x JOIN bb y ON y.bin <= x.bin
+         |   GROUP BY x.bin, x.n, x.sy, x.mean_pred),
+         | pts AS (SELECT bin, cn, cs, cn - n AS pcn, cs - sy AS pcs FROM cum),
+         | pairs AS (SELECT i.bin AS i, j.bin AS j,
+         |     (j.cs - i.pcs)::DOUBLE / (j.cn - i.pcn) AS pool
+         |   FROM pts i JOIN pts j ON i.bin <= j.bin),
+         | iso AS (SELECT b2, max(mn) AS iso_fit FROM (
+         |     SELECT bb.bin AS b2, p.i, min(p.pool) AS mn
+         |     FROM bb JOIN pairs p ON p.i <= bb.bin AND p.j >= bb.bin
+         |     GROUP BY bb.bin, p.i) GROUP BY b2)
+         |SELECT bb.bin, bb.n, round(bb.mean_pred, 6) AS mean_pred,
+         |  round(bb.sy::DOUBLE / bb.n, 6) AS frac_pos,
+         |  round(iso.iso_fit, 6) AS iso_fit
+         |FROM bb JOIN iso ON bb.bin = iso.b2 ORDER BY bb.bin""".stripMargin,
 
     "gains_deciles" ->
       """WITH t AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,

@@ -69,6 +69,17 @@ final case class RollMemo(recent: Seq[Double])
 final case class ZscoreAlert(user_id: Long, event_id: Long, value: Double,
     z: Double)
 
+/** CUSUM state: the rebased prefix sum, its running min (floored at 0),
+  * and the row counter — O(1) per user regardless of stream length (the
+  * payoff of the rebasing identity over the max(0,·) recurrence). */
+final case class CusumMemo(s: Double, mn: Double, rn: Long)
+
+final case class CusumAlert(user_id: Long, rn: Long, event_id: Long,
+    cusum: Double)
+
+/** One live count-min counter: sketch row id, bucket, running count. */
+final case class CmsCell(row: Int, bucket: Long, cnt: Long)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -542,6 +553,70 @@ object StreamOps {
           }
           state.update(RollMemo(recent))
           out.result().iterator
+      }
+  }
+
+  /** Streaming CUSUM changepoint monitor — the live twin of
+    * `AnalyticsPack.cusumAlerts`. Control parameters come from a reference
+    * period, as a production CUSUM chart's would: `driftGate` is the
+    * single 6-dp-rounded μ + k·σ constant (folded exactly like the batch
+    * op folds it — see its rounding note) and `sd` the 6-dp σ for the
+    * alert threshold. State per user is O(1): the rebased prefix sum S and
+    * min(0, min prefix S) — the same identity the batch op uses as two
+    * windows, kept incrementally. The per-user additions happen in the
+    * identical event order, so the alert stream is bit-equal to the batch
+    * alert set on any replay split. */
+  def cusumAlerts(events: Dataset[Event], driftGate: Double, sd: Double,
+                  threshSd: Double = 5.0): Dataset[CusumAlert] = {
+    import events.sparkSession.implicits._
+    val h = threshSd * sd
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[CusumMemo]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var memo = state.getOption.getOrElse(CusumMemo(0.0, 0.0, 0L))
+          val out = Seq.newBuilder[CusumAlert]
+          sorted.foreach { e =>
+            val s = memo.s + (e.value - driftGate)
+            val mn = math.min(memo.mn, s)
+            memo = CusumMemo(s, mn, memo.rn + 1)
+            val c = s - mn
+            if (c > h)
+              out += CusumAlert(uid, memo.rn, e.event_id,
+                BigDecimal(c).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          state.update(memo)
+          out.result().iterator
+      }
+  }
+
+  /** Live count-min sketch — the streaming twin of
+    * `AnalyticsPack.cmsEstErr`'s sketch build, keyed on the stream's
+    * user_id. The sketch is a pure partial aggregate, so the streaming
+    * form is just keyed counters: state per (row, bucket) cell is ONE
+    * long, total state is bounded by d·w cells regardless of stream
+    * length or key cardinality — the property that makes CMS the
+    * frequency summary you can afford on an unbounded stream. Counters
+    * use the same integer universal hashes as the batch op, so a replay
+    * of the same events converges to the identical grid. */
+  def cmsCounters(events: Dataset[Event],
+                  width: Int = 1024): Dataset[CmsCell] = {
+    import events.sparkSession.implicits._
+    val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (22695477L, 1L), (1664525L, 1013904223L))
+    events
+      .flatMap(e => hashes.zipWithIndex.map { case ((a, b), i) =>
+        (i, ((a * e.user_id + b) % 2147483647L) % width)
+      })
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long)],
+         state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          CmsCell(key._1, key._2, c)
       }
   }
 

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the experimentation/survival operators, checked
+  * against independent in-test re-implementations (plain Scala, no Spark)
+  * so the engine math is verified, not just reproduced. */
+class ExperimentPackSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  behavior of "abWelch"
+
+  it should "match a plain-Scala Welch t computation on per-user totals" in {
+    val u = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(sum("value").as("m"))
+      .select(col("user_id"), col("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val a = u.filter(_._1 % 2 == 0).map(_._2)
+    val b = u.filter(_._1 % 2 == 1).map(_._2)
+    def meanVar(x: Array[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 / (math.pow(va / a.length, 2) / (a.length - 1) +
+      math.pow(vb / b.length, 2) / (b.length - 1))
+
+    val row = ExperimentPack.abWelch(spark, dir).head()
+    row.getAs[Long]("n_a") shouldBe a.length.toLong
+    row.getAs[Long]("n_b") shouldBe b.length.toLong
+    row.getAs[Double]("t_stat") shouldBe t +- 1e-4
+    row.getAs[Double]("df") shouldBe df +- 1e-2
+  }
+
+  behavior of "cupedAdjust"
+
+  it should "reduce variance and preserve the overall metric mean" in {
+    val out = ExperimentPack.cupedAdjust(spark, dir)
+      .collect().map(r => (r.getAs[Long]("n"),
+        r.getAs[Double]("mean_post"), r.getAs[Double]("mean_adj"),
+        r.getAs[Double]("var_ratio")))
+    out.length shouldBe 2
+    // CUPED never inflates variance (it is the OLS-optimal θ)
+    all(out.map(_._4)) should be <= 1.0
+    all(out.map(_._4)) should be > 0.0
+    // Σ adj = Σ post − θ·Σ(pre − mean_pre) = Σ post exactly, so the
+    // n-weighted overall means agree even though per-variant ones move
+    val n = out.map(_._1.toDouble).sum
+    val post = out.map(r => r._1 * r._2).sum / n
+    val adj = out.map(r => r._1 * r._3).sum / n
+    adj shouldBe post +- 1e-4
+  }
+
+  behavior of "kaplanMeier"
+
+  it should "produce a valid survival curve equal to the step-product" in {
+    val steps = ExperimentPack.kaplanMeier(spark, dir)
+      .collect().map(r => (r.getAs[Long]("dur"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"), r.getAs[Double]("surv")))
+    steps should not be empty
+    // risk sets shrink as duration grows; survival is monotone in [0,1]
+    steps.map(_._2).toSeq shouldBe steps.map(_._2).sortBy(-_).toSeq
+    all(steps.map(_._4)) should (be >= 0.0 and be <= 1.0)
+    steps.map(_._4).toSeq shouldBe steps.map(_._4).sortBy(-_).toSeq
+    // S(d) = Π (1 − e/n) replayed in plain Scala
+    var prod = 1.0
+    steps.sortBy(_._1).foreach { case (_, n, e, surv) =>
+      prod *= (1.0 - e.toDouble / n)
+      surv shouldBe prod +- 1e-6
+    }
+  }
+
+  behavior of "isotonicCalibration"
+
+  it should "match a textbook pool-adjacent-violators fit over the bins" in {
+    val rows = MetricsPack.isotonicCalibration(spark, dir)
+      .collect().map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("frac_pos"), r.getAs[Double]("iso_fit")))
+      .sortBy(_._1)
+    rows should not be empty
+    // monotone nondecreasing fit
+    rows.map(_._4).toSeq shouldBe rows.map(_._4).sorted.toSeq
+    // classic stack-based PAV on (n, sum_y) per bin
+    case class Block(var n: Long, var sy: Double)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { case (_, n, fp, _) =>
+      stack += Block(n, fp * n)
+      while (stack.length > 1 &&
+          stack(stack.length - 2).sy / stack(stack.length - 2).n >=
+            stack.last.sy / stack.last.n) {
+        val top = stack.remove(stack.length - 1)
+        stack.last.n += top.n
+        stack.last.sy += top.sy
+      }
+    }
+    // expand the PAV blocks back to per-bin fits (each block spans the
+    // consecutive bins whose row counts sum to the block's n)
+    val fits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    stack.foreach { b =>
+      var remaining = b.n
+      while (remaining > 0 && i < rows.length) {
+        fits += b.sy / b.n
+        remaining -= rows(i)._2
+        i += 1
+      }
+    }
+    fits.length shouldBe rows.length
+    rows.map(_._4).zip(fits).foreach { case (got, want) =>
+      got shouldBe want +- 1e-6
+    }
+  }
+
+  behavior of "cusumAlerts"
+
+  it should "equal the literal max(0, C + d) recurrence" in {
+    val evs = graft.Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select("user_id", "event_id", "value", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val m = evs.map(_._3).sum / evs.length
+    val sd0 = math.sqrt(evs.map(v => (v._3 - m) * (v._3 - m)).sum / (evs.length - 1))
+    val mk = BigDecimal(m + 0.5 * sd0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = BigDecimal(sd0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      var c = 0.0
+      rows.sortBy(r => (r._4, r._2)).zipWithIndex.flatMap { case (r, i) =>
+        c = math.max(0.0, c + (r._3 - mk))
+        if (c > 5.0 * sd) Some((uid, (i + 1).toLong, r._2)) else None
+      }
+    }.toSet
+    val got = AnalyticsPack.cusumAlerts(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("event_id"))).toSet
+    got shouldBe expected
+  }
+
+  behavior of "cmsEstErr"
+
+  it should "never undercount (est >= exact on every audited key)" in {
+    val rows = AnalyticsPack.cmsEstErr(spark, dir)
+      .collect().map(r => (r.getAs[Long]("exact"), r.getAs[Long]("est"),
+        r.getAs[Long]("overcount")))
+    rows should not be empty
+    rows.foreach { case (exact, est, over) =>
+      est should be >= exact
+      over shouldBe est - exact
+    }
+  }
+
+  behavior of "peakConcurrency"
+
+  it should "equal a brute-force interval sweep over the sessionized data" in {
+    val gap = 600L * 1000000
+    val evs = graft.Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select("user_id", "event_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sessionize per user in plain Scala
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head; var last = sorted.head
+      sorted.tail.foreach { us =>
+        if (us - last > gap) { bounds += ((start, last)); start = us }
+        last = us
+      }
+      bounds += ((start, last))
+      bounds
+    }
+    // sweep: starts before ends at the same instant
+    val deltas = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (us, d) => (us, -d) }
+    var conc = 0; var peak = 0; var at = 0L
+    deltas.foreach { case (us, d) =>
+      conc += d
+      if (conc > peak) { peak = conc; at = us }
+    }
+    val row = AnalyticsPack.peakConcurrency(spark, dir).head()
+    row.getAs[Long]("peak") shouldBe peak.toLong
+    row.getAs[Long]("at_us") shouldBe at
+  }
+
+  behavior of "embedRp"
+
+  it should "concentrate projected norms around the original (JL lemma)" in {
+    val row = LlmData.embedRp(spark, dir).head()
+    row.getAs[Long]("n") should be > 0L
+    row.getAs[Double]("mean_ratio") shouldBe 1.0 +- 0.2
+    row.getAs[Double]("min_ratio") should be > 0.0
+  }
+}

@@ -276,4 +276,41 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "SinglePartition"
   }
+
+  it should "run CUSUM as user-keyed windows over one broadcast moment row" in {
+    val p = plan(AnalyticsPack.cusumAlerts(spark, dir))
+    p should not include "CartesianProduct"
+    p should include ("hashpartitioning(user_id")
+  }
+
+  it should "fold the CMS grid with map-side partial aggregation" in {
+    val p = plan(AnalyticsPack.cmsEstErr(spark, dir))
+    // sketch build: partial + final HashAggregate around one exchange;
+    // the estimate probe joins the broadcast 4×1024 grid
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include ("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  it should "project JL embeddings row-locally (agg is the only wide stage)" in {
+    val p = plan(LlmData.embedRp(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    // one exchange: the final one-row moment aggregate
+    "Exchange".r.findAllIn(p).size should be <= 2
+  }
+
+  it should "take the concurrency peak via TakeOrdered, never a global sort" in {
+    val p = plan(AnalyticsPack.peakConcurrency(spark, dir))
+    p should include ("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
+  it should "prune the isotonic scan to the score/label columns" in {
+    val p = plan(MetricsPack.isotonicCalibration(spark, dir))
+    p.linesIterator.filter(_.contains("ReadSchema")).mkString should
+      (include ("o_totalprice") and include ("o_orderstatus")
+        and not include "o_orderdate")
+    p should not include "CartesianProduct"
+  }
 }

@@ -578,6 +578,89 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "cusumAlerts"
+
+  it should "equal the batch CUSUM alert set across a micro-batch split" in {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // user 1 drifts upward from event 8 on (sustained +shift the point
+    // detector in rollingZscore would NOT flag); user 2 stays flat
+    val calm = (1 to 7).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "view", 10.0 + (i % 2)))
+    val drift = (8 to 20).map(i =>
+      Event(i.toLong, ts(i.toLong), 1, "view", 40.0 + (i % 3)))
+    val u2 = (30 to 40).map(i =>
+      Event(i.toLong, ts(i.toLong), 2, "view", 10.5))
+    val evs = calm ++ drift ++ u2
+    // control parameters from the full reference set, rounded exactly as
+    // the batch op rounds its global moments
+    val df = evs.toDF().withColumn("us", unix_micros(col("ts")))
+    val stats = df.agg(
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.avg("value").plus(
+          org.apache.spark.sql.functions.lit(0.5).multiply(
+            org.apache.spark.sql.functions.stddev_samp(col("value")))), 6)
+        .as("mk"),
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.stddev_samp(col("value")), 6).as("sd"))
+      .head()
+    val (mk, sd) = (stats.getDouble(0), stats.getDouble(1))
+
+    val (b1, b2) = evs.splitAt(12) // split lands mid-drift for user 1
+    val in = MemoryStream[Event]
+    val q = StreamOps.cusumAlerts(in.toDS(), mk, sd)
+      .writeStream.format("memory").queryName("cusum_alerts")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cusum_alerts")
+        .select("user_id", "rn", "event_id", "cusum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = graft.queries.AnalyticsPack.cusumAlertsOf(df)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      batch should not be empty
+      streamed shouldBe batch
+      // the drift is sustained, so alerts persist once fired
+      streamed.map(_._1) should contain (1L)
+      streamed.map(_._1) should not contain 2L
+    } finally q.stop()
+  }
+
+  behavior of "cmsCounters"
+
+  it should "converge to the batch sketch grid across micro-batches" in {
+    // skewed keys: user 1 dominates, users 2-5 trail
+    val evs = (1 to 30).map(i => Event(i.toLong, ts(i.toLong), 1, "view", 1.0)) ++
+      (31 to 42).map(i => Event(i.toLong, ts(i.toLong), (i % 4 + 2).toLong, "view", 1.0))
+    val (b1, b2) = evs.splitAt(17)
+    val in = MemoryStream[Event]
+    val q = StreamOps.cmsCounters(in.toDS(), width = 64)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_cells")
+        .groupBy("row", "bucket")
+        .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+        .as[(Int, Long, Long)].collect().toSet
+      // batch reference: the same universal hashes over the same events
+      val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+        (22695477L, 1L), (1664525L, 1013904223L))
+      val batch = evs.flatMap(e => hashes.zipWithIndex.map { case ((a, b), i) =>
+          (i, ((a * e.user_id + b) % 2147483647L) % 64)
+        }).groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+        .toSet
+      streamed shouldBe batch
+      // point estimate for the heavy key: min over rows ≥ true count
+      val estU1 = hashes.zipWithIndex.map { case ((a, b), i) =>
+        val bkt = ((a * 1L + b) % 2147483647L) % 64
+        streamed.collectFirst { case (`i`, `bkt`, c) => c }.get
+      }.min
+      estU1 should be >= 30L
+    } finally q.stop()
+  }
+
   behavior of "rollingZscore"
 
   it should "alert on the same outliers as the batch gate across micro-batches" in {
