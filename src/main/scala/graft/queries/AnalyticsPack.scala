@@ -404,6 +404,67 @@ object AnalyticsPack extends QueryPack {
       .orderBy(desc("exact"), asc("k"))
   }
 
+  // ------------------------------------------------------- HyperLogLog
+
+  private val HllM      = 256                 // registers (p = 8)
+  /** α_m·m² for m = 256 — the bias constant from Flajolet et al. 2007. */
+  private val HllAm2    = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) with its
+    * estimates audited against exact distincts per event type — the
+    * mergeable-summary complement of [[cmsEstErr]]: CMS summarizes
+    * FREQUENCIES in d·w counters, HLL summarizes CARDINALITY in m
+    * one-byte registers. Like CMS, the sketch IS a partial aggregate
+    * (per-(group, register) max of ρ), so a 100 TB distinct-count scan
+    * shuffles m rows per group, and sketches of corpus shards merge by
+    * register-wise max. The hash is the same integer universal family as
+    * CMS (48-bit range); ρ rides `bin()` string length — identical in any
+    * engine, no float until the final estimate. Includes the standard
+    * small-range linear-counting correction (E ≤ 2.5m with empty
+    * registers), which the ~5 event types at test SF actually exercise.
+    * Register sums Σ2^−M are dyadic — exact in doubles in any sum order.
+    *
+    * Unlike CMS (where a pairwise-independent linear hash suffices for the
+    * expectation bound), HLL estimates from the GEOMETRY of leading-zero
+    * runs, so the hash must avalanche — a linear (a·k+b) mod p map of
+    * sequential ids gave 50% bias here, measured. The mixer below is a
+    * 31-bit murmur-style finalizer (two multiply + xor-shift rounds) in
+    * plain int64 arithmetic every engine reproduces exactly. */
+  def hllEstErr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("k"))
+    val hashed = e
+      .withColumn("h", expr("((k % 2147483648) * 2654435761) % 2147483648"))
+      .withColumn("h", expr("h ^ (h div 65536)"))
+      .withColumn("h", expr("(h * 40503) % 2147483648"))
+      .withColumn("h", expr("h ^ (h div 8192)"))
+      .withColumn("bucket", col("h") % HllM)
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0, 24).otherwise(lit(24) - length(bin(col("w")))))
+    val mx = hashed.groupBy("t", "bucket").agg(max("rho").as("m"))
+    val regs = e.select("t").distinct()
+      .select(col("t"), explode(sequence(lit(0), lit(HllM - 1))).as("bucket"))
+      .join(mx, Seq("t", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+    val agg = regs.groupBy("t").agg(
+      sum(pow(lit(2.0), -col("m"))).as("z"),
+      sum(when(col("m") === 0, 1).otherwise(0)).as("v"))
+    val est = agg
+      .withColumn("e_raw", lit(HllAm2) / col("z"))
+      .withColumn("est", round(
+        when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 4))
+    e.groupBy("t").agg(countDistinct("k").as("exact"))
+      .join(est.select("t", "est"), "t")
+      .withColumn("err_pct",
+        round((col("est") - col("exact")) / col("exact") * 100, 4))
+      .select(col("t").as("event_type"), col("exact"), col("est"),
+        col("err_pct"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------- interval sweep (peak)
 
   private val ConcSessionGapUs = 600L * 1000000 // 10-min session gap
@@ -450,6 +511,7 @@ object AnalyticsPack extends QueryPack {
     "ewma_smooth" -> ewmaSmooth,
     "cusum_alerts" -> cusumAlerts,
     "cms_est_err" -> cmsEstErr,
+    "hll_est_err" -> hllEstErr,
     "peak_concurrency" -> peakConcurrency)
 
   private val eventsUs =
@@ -518,6 +580,30 @@ object AnalyticsPack extends QueryPack {
          |  round(s - least(0, ms), 6) AS cusum
          |FROM m, st WHERE s - least(0, ms) > $CusumThreshSd * sd
          |ORDER BY user_id, rn""".stripMargin,
+    "hll_est_err" ->
+      s"""WITH e AS (SELECT event_type AS t, user_id AS k FROM events),
+         | m1 AS (SELECT t, ((k % 2147483648) * 2654435761) % 2147483648 AS h FROM e),
+         | m2 AS (SELECT t, xor(h, h // 65536) AS h FROM m1),
+         | m3 AS (SELECT t, (h * 40503) % 2147483648 AS h FROM m2),
+         | hh AS (SELECT t, xor(h, h // 8192) AS h FROM m3),
+         | rr AS (SELECT t, h % $HllM AS bucket,
+         |   CASE WHEN h // $HllM = 0 THEN 24
+         |     ELSE 24 - length(bin(h // $HllM)) END AS rho FROM hh),
+         | mx AS (SELECT t, bucket, max(rho) AS m FROM rr GROUP BY 1, 2),
+         | reg AS (SELECT t, r.b AS bucket FROM (SELECT DISTINCT t FROM e),
+         |   range(0, $HllM) r(b)),
+         | rg AS (SELECT reg.t, reg.bucket, coalesce(mx.m, 0) AS m
+         |   FROM reg LEFT JOIN mx ON reg.t = mx.t AND reg.bucket = mx.bucket),
+         | ag AS (SELECT t, sum(pow(2.0, -m)) AS z,
+         |   sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v FROM rg GROUP BY t),
+         | est AS (SELECT t, round(CASE
+         |     WHEN $HllAm2 / z <= ${2.5 * HllM} AND v > 0
+         |       THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+         |     ELSE $HllAm2 / z END, 4) AS est FROM ag),
+         | ex AS (SELECT t, count(DISTINCT k)::BIGINT AS exact FROM e GROUP BY t)
+         |SELECT ex.t AS event_type, exact, est,
+         |  round((est - exact) / exact * 100, 4) AS err_pct
+         |FROM ex JOIN est USING (t) ORDER BY event_type""".stripMargin,
     "peak_concurrency" ->
       s"""WITH $eventsUs,
          | s1 AS (SELECT user_id, event_id, us,

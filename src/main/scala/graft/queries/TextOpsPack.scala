@@ -6,6 +6,7 @@ import graft.text._
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, IDFModel, NGram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-checkable queries over the REAL text-preprocessing (§2.4) and
@@ -154,6 +155,34 @@ object TextOpsPack extends QueryPack {
       .orderBy("term")
   }
 
+  /** Per-document keyword extraction: top-3 terms by tf·idf — the
+    * lightweight labeling pass a corpus browser or retrieval-debug view
+    * runs over every document. tf and df are two hash aggregates over the
+    * row-local token explode; scoring joins the O(vocab) df table; the
+    * per-doc cut is a keyed rank that pushes down as WindowGroupLimit so
+    * the exchange carries O(docs·k), not every (doc, term). Scores are
+    * ROUNDED BEFORE ranking (ties then break on the term string), so the
+    * selected set is reproducible across engines — ranking raw ln-scores
+    * would flip on the last ulp of a libm difference. */
+  def docKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** PII-style identifier scrub through the REAL RegexReplacer stage
     * (word_classes_replacement with ID classes): long digit runs →
     * `_class_id` first, remaining digit runs → `_class_num` second — the
@@ -190,7 +219,8 @@ object TextOpsPack extends QueryPack {
     "binning_intervals" -> binningIntervals,
     "tfidf_stats" -> tfidfStats,
     "gram_assemble" -> gramAssemble,
-    "pii_scrub" -> piiScrub)
+    "pii_scrub" -> piiScrub,
+    "doc_keywords" -> docKeywords)
 
   private val splitRe = "\\s|(~SP~)"
 
@@ -278,6 +308,20 @@ object TextOpsPack extends QueryPack {
         | count(*) AS n, round(min(o_totalprice), 2) AS lo,
         | round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "doc_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents),
+        | t AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |   WHERE length(term) > 0 GROUP BY 1, 2),
+        | d AS (SELECT term, count(*)::BIGINT AS df FROM t GROUP BY 1),
+        | n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        | sc AS (SELECT doc_id, term,
+        |     round(tf * ln(n_docs / df), 6) AS score
+        |   FROM t JOIN d USING (term), n),
+        | r AS (SELECT doc_id, term, score, row_number() OVER
+        |     (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "pii_scrub" ->
       """WITH txt AS (
         |  SELECT 'customer' AS src, c_name AS raw FROM customer

@@ -153,6 +153,37 @@ class ExperimentPackSpec extends SparkSpec {
     }
   }
 
+  behavior of "hllEstErr"
+
+  it should "estimate within the m=256 accuracy band on every group" in {
+    val rows = AnalyticsPack.hllEstErr(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("exact"), r.getAs[Double]("est"),
+        r.getAs[Double]("err_pct")))
+    rows should not be empty
+    rows.foreach { case (_, exact, est, err) =>
+      est should be > 0.0
+      // 1.04/√256 ≈ 6.5% standard error; 20% is a >3σ generous band
+      math.abs(err) should be < 20.0
+      math.abs(est - exact) / exact should be < 0.2
+    }
+  }
+
+  behavior of "docKeywords"
+
+  it should "pick the per-doc tf-idf top-3 with monotone scores" in {
+    val rows = TextOpsPack.docKeywords(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"),
+        r.getAs[String]("term"), r.getAs[Double]("score")))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (_, ks) =>
+      ks.map(_._2).sorted.toSeq shouldBe (1 to ks.length)
+      val byRank = ks.sortBy(_._2).map(_._4)
+      byRank.toSeq shouldBe byRank.sortBy(-_).toSeq // nonincreasing
+      ks.map(_._3).distinct.length shouldBe ks.length // distinct terms
+    }
+  }
+
   behavior of "peakConcurrency"
 
   it should "equal a brute-force interval sweep over the sessionized data" in {
