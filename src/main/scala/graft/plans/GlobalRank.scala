@@ -226,6 +226,51 @@ object GlobalRank {
     * unpersisted here — on the exact persisted reference, so the release
     * is real, not the sameResult-miss no-op the naive
     * `result.unpersist()` would be. */
+  /** Exact WEIGHTED per-group percentiles — the weighted lower quantile:
+    * the smallest value whose in-group cumulative weight reaches p·W.
+    * (The unweighted op interpolates ranks; with weights the standard
+    * estimator is threshold selection on the weight CDF.)
+    *
+    * Same scale shape as [[groupPercentilesExact]]: ONE global range sort
+    * on (group, value) with [[withRunningSums]] carrying the global weight
+    * prefix, then per-group offsets from a tiny O(groups) self-join turn
+    * the global prefix into the in-group CDF — no per-group buffer, no
+    * per-group window sort, so a handful of group keys can hold billions
+    * of rows. Threshold selection is one conditional min per requested p.
+    *
+    * Exactness contract: with INTEGRAL weights (counts, token counts,
+    * quantities) every cumulative sum is exact in doubles in any addition
+    * order, so selection is engine-identical. With fractional weights the
+    * CDF carries ulp noise near thresholds; selection then matches across
+    * engines only up to weight ties at the boundary value. */
+  def groupWeightedPercentiles(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must be in (0,1], got ${ps.mkString(",")}")
+    val in = df.select(col(groupCol), col(valueCol), col(weightCol))
+      .filter(col(valueCol).isNotNull && col(weightCol) > 0)
+    val run = withRunningSums(in, Seq(col(groupCol), col(valueCol)),
+      Seq(weightCol -> "__cumw"))
+    val tot = in.groupBy(groupCol)
+      .agg(sum(col(weightCol)).as("__tot"), count(lit(1)).as("__n"))
+    // per-group offset = total weight of groups sorted before it (the
+    // global sort is (group, value), so groups are contiguous runs)
+    val off = tot.select(col(groupCol), col("__tot"), col("__n"))
+      .join(tot.select(col(groupCol).as("__g2"), col("__tot").as("__t2")),
+        col("__g2") < col(groupCol), "left")
+      .groupBy(col(groupCol), col("__tot"), col("__n"))
+      .agg(coalesce(sum("__t2"), lit(0.0)).as("__off"))
+    val cdf = run.join(broadcast(off), groupCol)
+      .withColumn("__gw", col("__cumw") - col("__off"))
+    val aggs = Seq(max("__n").as("n"), max("__tot").as("w_total")) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        min(when(col("__gw") >= lit(p) * col("__tot"), col(valueCol)))
+          .as(s"wp$i")
+      }
+    cdf.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   def groupPercentilesExact(df: DataFrame, groupCol: String,
                             valueCol: String, ps: Seq[Double],
                             withAvg: Boolean = false): DataFrame = {

@@ -434,6 +434,24 @@ object Relational extends QueryPack {
         round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p95"))
       .orderBy("o_orderpriority")
 
+  /** Quantity-weighted price percentiles per return flag — the weighted
+    * lower quantile (smallest value whose in-group weight CDF reaches
+    * p·W) through [[graft.plans.GlobalRank.groupWeightedPercentiles]]:
+    * one global range sort + running weight sums + O(groups) offsets, no
+    * per-group buffer or window sort. l_quantity is integral, so every
+    * cumulative sum is exact in doubles and selection is engine-identical
+    * (the machinery's documented exactness contract). */
+  def weightedPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GlobalRank.groupWeightedPercentiles(
+      Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+      "l_quantity", Seq(0.25, 0.5, 0.75))
+      .select(col("l_returnflag"), col("n"),
+        round(col("w_total"), 2).as("w_total"),
+        round(col("wp0"), 2).as("p25"),
+        round(col("wp1"), 2).as("p50"),
+        round(col("wp2"), 2).as("p75"))
+      .orderBy("l_returnflag")
+
   /** Anti-join: customers with no orders. LEFT ANTI is the scale-correct
     * "NOT IN" — a keyed hash join that streams the probe side (vs a
     * NOT-IN subquery, which null-handling turns into a nested loop).
@@ -549,6 +567,7 @@ object Relational extends QueryPack {
     "robust_outliers" -> robustOutliers,
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
+    "weighted_percentiles" -> weightedPercentiles,
     "rank_functions" -> rankFunctions,
     "numeric_profile" -> numericProfile,
     "group_mode" -> groupMode,
@@ -646,6 +665,19 @@ object Relational extends QueryPack {
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "weighted_percentiles" ->
+      """WITH t AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |   l_quantity AS w FROM lineitem WHERE l_quantity > 0),
+        | s AS (SELECT flag, v, w,
+        |   sum(w) OVER (PARTITION BY flag ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cumw,
+        |   sum(w) OVER (PARTITION BY flag) AS tot FROM t)
+        |SELECT flag AS l_returnflag, count(*)::BIGINT AS n,
+        | round(max(tot), 2) AS w_total,
+        | round(min(CASE WHEN cumw >= 0.25 * tot THEN v END), 2) AS p25,
+        | round(min(CASE WHEN cumw >= 0.5 * tot THEN v END), 2) AS p50,
+        | round(min(CASE WHEN cumw >= 0.75 * tot THEN v END), 2) AS p75
+        |FROM s GROUP BY flag ORDER BY flag""".stripMargin,
     "rv_derivation" ->
       """SELECT c_custkey,
         | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT

@@ -80,6 +80,9 @@ final case class CusumAlert(user_id: Long, rn: Long, event_id: Long,
 /** One live count-min counter: sketch row id, bucket, running count. */
 final case class CmsCell(row: Int, bucket: Long, cnt: Long)
 
+/** One live HyperLogLog register: group, register index, max ρ so far. */
+final case class HllRegister(group: String, bucket: Long, rho: Int)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -617,6 +620,46 @@ object StreamOps {
           val c = state.getOption.getOrElse(0L) + rows.size
           state.update(c)
           CmsCell(key._1, key._2, c)
+      }
+  }
+
+  /** Live HyperLogLog registers per event type — the streaming twin of
+    * `AnalyticsPack.hllEstErr`'s sketch build. A register is max(ρ) over
+    * hashes, and max is idempotent + commutative, so the streaming state
+    * is ONE int per live (group, register) — bounded by groups·m forever,
+    * and redelivery-safe by construction (re-processing an event cannot
+    * move a max). Uses the identical murmur-style int64 mixer as the
+    * batch op, so a replay converges to the exact batch register grid. */
+  def hllRegisters(events: Dataset[Event],
+                   m: Int = 256): Dataset[HllRegister] = {
+    import events.sparkSession.implicits._
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    // the hash is 31-bit; after the bucket takes log2(m) bits the word is
+    // (31 − log2 m) bits wide, so ρ ∈ [1, 32 − log2 m] (= [1, 24] at the
+    // batch op's m=256)
+    val base = 32 - Integer.numberOfTrailingZeros(m)
+    def mix(k: Long): Long = {
+      var h = ((k % 2147483648L) * 2654435761L) % 2147483648L
+      h = h ^ (h / 65536)
+      h = (h * 40503) % 2147483648L
+      h ^ (h / 8192)
+    }
+    events
+      .map { e =>
+        val h = mix(e.user_id)
+        val w = h / m
+        val rho =
+          if (w == 0) base else base - java.lang.Long.toBinaryString(w).length
+        (e.event_type, h % m, rho)
+      }
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Int)],
+         state: GroupState[Int]) =>
+          val best = math.max(state.getOption.getOrElse(0),
+            rows.map(_._3).max)
+          state.update(best)
+          HllRegister(key._1, key._2, best)
       }
   }
 

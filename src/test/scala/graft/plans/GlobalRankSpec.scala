@@ -77,4 +77,33 @@ class GlobalRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GlobalRank.groupPercentilesExact(vals, "g", "v", Seq(1.5)))
   }
+
+  it should "select weighted percentiles equal to a brute-force weight CDF" in {
+    import spark.implicits._
+    // integral weights (the exactness contract), a heavy-weight row that
+    // swallows the median, a singleton group, zero-weight rows dropped
+    val rows = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0), ("a", 4.0, 1.0),
+      ("b", 5.0, 3.0), ("b", 6.0, 1.0),
+      ("z", 9.0, 2.0), ("a", 0.5, 0.0))
+    val df = rows.toDF("g", "v", "w")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val got = GlobalRank.groupWeightedPercentiles(df, "g", "v", "w", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), ps.indices.map(i => r.getDouble(3 + i))))
+      .toMap
+    def brute(g: String): Seq[Double] = {
+      val xs = rows.filter(r => r._1 == g && r._3 > 0).sortBy(_._2)
+      val tot = xs.map(_._3).sum
+      ps.map { p =>
+        var acc = 0.0
+        xs.find { x => acc += x._3; acc >= p * tot }.get._2
+      }
+    }
+    got.keySet shouldBe Set("a", "b", "z")
+    got("a")._1 shouldBe 4L // zero-weight row dropped
+    Seq("a", "b", "z").foreach { g => got(g)._2 shouldBe brute(g) }
+    // the w=10 row at v=3 must hold p25 through p75 in group a
+    got("a")._2 shouldBe Seq(3.0, 3.0, 3.0)
+  }
 }

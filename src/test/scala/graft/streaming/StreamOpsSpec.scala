@@ -661,6 +661,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "hllRegisters"
+
+  it should "converge to the batch register grid and survive redelivery" in {
+    val evs = (1 to 40).map(i =>
+      Event(i.toLong, ts(i.toLong), (i % 13 + 1).toLong,
+        if (i % 2 == 0) "click" else "view", 1.0))
+    val (b1, b2) = evs.splitAt(23)
+    val in = MemoryStream[Event]
+    val q = StreamOps.hllRegisters(in.toDS(), m = 64)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // redelivery: max is idempotent
+      val streamed = spark.table("hll_regs")
+        .groupBy("group", "bucket")
+        .agg(org.apache.spark.sql.functions.max("rho").as("rho"))
+        .as[(String, Long, Int)].collect().toSet
+      def mix(k: Long): Long = {
+        var h = ((k % 2147483648L) * 2654435761L) % 2147483648L
+        h = h ^ (h / 65536); h = (h * 40503) % 2147483648L; h ^ (h / 8192)
+      }
+      val batch = evs.map { e =>
+        val h = mix(e.user_id); val w = h / 64
+        // base = 32 − log2(64) = 26
+        (e.event_type, h % 64,
+          if (w == 0) 26 else 26 - java.lang.Long.toBinaryString(w).length)
+      }.groupBy(r => (r._1, r._2))
+        .map { case (k, v) => (k._1, k._2, v.map(_._3).max) }.toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   behavior of "rollingZscore"
 
   it should "alert on the same outliers as the batch gate across micro-batches" in {
