@@ -229,6 +229,75 @@ object AnalyticsPack extends QueryPack {
     nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nTri))
   }
 
+  // ------------------------------------------- label propagation (LPA)
+
+  private val LpaIters = 4
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the co-purchase part graph: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbors (ties → smallest label — the determinization that makes
+    * LPA reproducible, which the usual random-order variant is not).
+    *
+    * Scale shape matches [[pagerank]]: the doubled edge list is
+    * partitioned + sorted on src ONCE and cached; each round is one keyed
+    * join against it + one (node, label) count + one argmax-by-min-struct
+    * agg — no windows, no driver state, integer counts only (nothing to
+    * round). Per-round `localCheckpoint` kills the 2^K lazy-tree blowup;
+    * AQE pauses inside the loop like the PageRank body. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val inc = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = inc.select(col("ok"), col("pk").as("a"))
+      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= CooccurMinSupport)
+    val ed = e.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("d")))
+      .repartition(col("s")).sortWithinPartitions("s").cache()
+    var lab = ed.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    if (graft.plans.Eager.enabled) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (_ <- 1 to LpaIters) {
+      lab = lab.join(ed, col("node") === col("s"))
+        .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("d").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .getField("l").as("lbl"))
+      if (graft.plans.Eager.enabled) lab = lab.localCheckpoint(true)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"), min("node").as("min_member"))
+      .orderBy(desc("size"), asc("community")).limit(20)
+  }
+
+  private def labelPropSql: String = {
+    val base =
+      s"""inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         | e AS (SELECT a.pk AS a, b.pk AS b FROM inc a
+         |   JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |   GROUP BY 1, 2 HAVING count(*) >= $CooccurMinSupport),
+         | ed AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+         | lab0 AS (SELECT DISTINCT s AS node, s AS lbl FROM ed)""".stripMargin
+    val steps = (1 to LpaIters).map { i =>
+      s""" cnt$i AS (SELECT ed.d AS node, l.lbl, count(*) AS c
+         |   FROM ed JOIN lab${i - 1} l ON ed.s = l.node GROUP BY 1, 2),
+         | lab$i AS (SELECT node, lbl FROM (
+         |   SELECT node, lbl, row_number() OVER
+         |     (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM cnt$i)
+         |   WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT lbl AS community, count(*)::BIGINT AS size,
+       | min(node) AS min_member
+       |FROM lab$LpaIters GROUP BY 1
+       |ORDER BY size DESC, community LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------- sequential patterns
 
   /** Frequent 3-event sequences (consecutive event-type trigrams within a
@@ -512,7 +581,8 @@ object AnalyticsPack extends QueryPack {
     "cusum_alerts" -> cusumAlerts,
     "cms_est_err" -> cmsEstErr,
     "hll_est_err" -> hllEstErr,
-    "peak_concurrency" -> peakConcurrency)
+    "peak_concurrency" -> peakConcurrency,
+    "label_prop" -> labelProp)
 
   private val eventsUs =
     """e AS (SELECT user_id, event_id, event_type, value,
@@ -520,6 +590,7 @@ object AnalyticsPack extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
+    "label_prop" -> labelPropSql,
     "triangle_count" ->
       s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          | e AS (SELECT a.pk AS a, b.pk AS b FROM inc a

@@ -714,6 +714,33 @@ object LlmData extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** Retrieval-quality evaluation of the LSH scale path against the exact
+    * brute-force gold standard: recall@3, MRR, and binary-relevance
+    * nDCG@3, averaged over the query set — the numbers that tell you
+    * whether an ANN shortcut is GOOD ENOUGH to serve, not just fast. Both
+    * rankings come from the already-verified operators ([[annLsh]] /
+    * [[annTopK]]), so this is one membership join on the tiny per-query
+    * result frames plus closed-form aggregates; MRR rides max(1/rnk) over
+    * the relevant hits — no window. */
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val gold = annTopK(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id"), lit(1).as("rel"))
+    val sys = annLsh(s, dir).select(col("q_id"), col("rnk"), col("c_id"))
+    val idcg = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    sys.join(gold, Seq("q_id", "c_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .groupBy("q_id").agg(
+        (sum("rel") / lit(3.0)).as("recall"),
+        coalesce(max(when(col("rel") === 1, lit(1.0) / col("rnk"))),
+          lit(0.0)).as("rr"),
+        coalesce(sum(when(col("rel") === 1,
+          lit(1.0) / log2(col("rnk") + lit(1.0)))), lit(0.0)).as("dcg"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg("recall"), 6).as("recall_at_3"),
+        round(avg("rr"), 6).as("mrr"),
+        round(avg(col("dcg") / lit(idcg)), 6).as("ndcg_at_3"))
+  }
+
   /** Maximal Marginal Relevance (MMR) diversified top-k — the re-ranking
     * step between retrieval and consumption (RAG context assembly,
     * dedup-aware search): greedily pick k results maximizing
@@ -3266,6 +3293,7 @@ object LlmData extends QueryPack {
     "dedup_clusters" -> dedupClusters,
     "simhash_sig" -> simhashSig,
     "ann_topk" -> annTopK,
+    "ann_ndcg" -> annNdcg,
     "ann_mmr" -> ((s, d) => annMmr(s, d)),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
@@ -3444,6 +3472,46 @@ object LlmData extends QueryPack {
        |SELECT q_id, rnk, c_id, rel, score FROM ($union)
        |ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** Shared ANN oracle blocks — `ann_ndcg` composes them as CTEs so the
+    * eval's gold standard and system ranking are THE SAME SQL the
+    * individual queries are checked against (no drift possible). */
+  private val annTopKSql: String =
+    """WITH e AS (SELECT vec_id,
+      |   list_transform(embedding::DOUBLE[],
+      |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
+      |  FROM embeddings),
+      | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |   round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
+      |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |SELECT q_id, rnk, c_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private val annLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
+      |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END) AS wv
+      |   FROM generate_series(0, 31) AS t(j)),
+      | sigv AS (SELECT vec_id, j // 4 AS band,
+      |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << (j % 4)) ELSE 0 END)::BIGINT AS sig
+      |   FROM e, w GROUP BY vec_id, j // 4),
+      | nrm AS (SELECT vec_id,
+      |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+      | cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      |   FROM sigv q JOIN sigv c ON q.band = c.band AND q.sig = c.sig
+      |     AND q.vec_id <> c.vec_id
+      |   WHERE q.vec_id < 8),
+      | sc AS (SELECT cand.q_id, cand.c_id,
+      |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
+      |   FROM cand JOIN nrm a ON cand.q_id = a.vec_id
+      |             JOIN nrm b ON cand.c_id = b.vec_id)
+      |SELECT q_id, rnk, c_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ann_mmr" -> mmrOracleSql(k = 5, lam = 0.7, nCand = 12),
@@ -3736,18 +3804,24 @@ object LlmData extends QueryPack {
         |   GROUP BY hamming)
         |SELECT hamming, n_pairs, n_docs FROM np JOIN nd USING (hamming)
         |ORDER BY hamming""".stripMargin,
-    "ann_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |   list_transform(embedding::DOUBLE[],
-        |     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vn
-        |  FROM embeddings),
-        | sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   round(list_dot_product(q.vn, c.vn), 4) AS cos_sim
-        |   FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
-        |SELECT q_id, rnk, c_id, cos_sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_topk" -> annTopKSql,
+    "ann_ndcg" ->
+      s"""WITH sys AS ($annLshSql),
+         | gold AS (SELECT q_id, c_id FROM ($annTopKSql) WHERE rnk <= 3),
+         | per AS (SELECT s.q_id,
+         |   sum(CASE WHEN g.c_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0 AS recall,
+         |   coalesce(max(CASE WHEN g.c_id IS NOT NULL
+         |     THEN 1.0 / s.rnk END), 0.0) AS rr,
+         |   coalesce(sum(CASE WHEN g.c_id IS NOT NULL
+         |     THEN 1.0 / log2(s.rnk + 1.0) END), 0.0) AS dcg
+         |  FROM sys s LEFT JOIN gold g ON s.q_id = g.q_id AND s.c_id = g.c_id
+         |  GROUP BY s.q_id)
+         |SELECT count(*)::BIGINT AS n_queries,
+         | round(avg(recall), 6) AS recall_at_3,
+         | round(avg(rr), 6) AS mrr,
+         | round(avg(dcg / (1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0))), 6)
+         |   AS ndcg_at_3
+         |FROM per""".stripMargin,
     "hard_negatives" ->
       """WITH e AS (SELECT vec_id, label,
         |   list_transform(embedding::DOUBLE[],
@@ -3766,29 +3840,7 @@ object LlmData extends QueryPack {
         |   WHERE rnk = 1)
         |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos
         |FROM pos JOIN neg USING (q_id) ORDER BY q_id""".stripMargin,
-    "ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | w AS (SELECT j, list_transform(generate_series(1, 64), i ->
-        |     CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), j + 1, 1))::INT % 2 = 0
-        |          THEN 1.0 ELSE -1.0 END) AS wv
-        |   FROM generate_series(0, 31) AS t(j)),
-        | sigv AS (SELECT vec_id, j // 4 AS band,
-        |     sum(CASE WHEN list_dot_product(v, wv) >= 0 THEN (1 << (j % 4)) ELSE 0 END)::BIGINT AS sig
-        |   FROM e, w GROUP BY vec_id, j // 4),
-        | nrm AS (SELECT vec_id,
-        |     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
-        | cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-        |   FROM sigv q JOIN sigv c ON q.band = c.band AND q.sig = c.sig
-        |     AND q.vec_id <> c.vec_id
-        |   WHERE q.vec_id < 8),
-        | sc AS (SELECT cand.q_id, cand.c_id,
-        |     round(list_dot_product(a.vn, b.vn), 4) AS cos_sim
-        |   FROM cand JOIN nrm a ON cand.q_id = a.vec_id
-        |             JOIN nrm b ON cand.c_id = b.vec_id)
-        |SELECT q_id, rnk, c_id, cos_sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
-        |  FROM sc)
-        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh" -> annLshSql,
     "ann_ivf" ->
       s"""WITH $adaptiveKCte,
         | e AS (SELECT vec_id,

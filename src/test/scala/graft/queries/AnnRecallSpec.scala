@@ -30,6 +30,21 @@ class AnnRecallSpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  it should "grade the LSH path with consistent retrieval-eval metrics" in {
+    val r = LlmData.annNdcg(spark, dir).head()
+    r.getAs[Long]("n_queries") shouldBe 8L
+    val (rec, mrr, ndcg) = (r.getAs[Double]("recall_at_3"),
+      r.getAs[Double]("mrr"), r.getAs[Double]("ndcg_at_3"))
+    Seq(rec, mrr, ndcg).foreach { m =>
+      m should (be >= 0.0 and be <= 1.0)
+    }
+    // the eval must agree with the recall floor asserted above
+    rec should be >= 0.5
+    // relevant hits exist, so position-discounted gain is strictly positive
+    ndcg should be > 0.0
+    mrr should be >= rec // first-hit rank ≥ average coverage on this corpus
+  }
+
   it should "keep high recall of the exact top-k in the IVF path" in {
     val exact = resultSet(
       LlmData.annTopK(spark, dir).filter(org.apache.spark.sql.functions.col("rnk") <= 3))

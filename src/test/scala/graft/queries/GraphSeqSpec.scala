@@ -45,6 +45,43 @@ class GraphSeqSpec extends SparkSpec {
     top.getAs[Double]("rank") should be > bottom.getAs[Double]("rank")
   }
 
+  behavior of "labelProp"
+
+  it should "equal a plain-Scala synchronous LPA replay" in {
+    // rebuild the same >= 2-shared-orders co-purchase edge list
+    val inc = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = inc.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        pairCounts((parts(i), parts(j))) =
+          pairCounts.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lbl = adj.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        n -> best
+      }.toMap
+    }
+    val want = lbl.groupBy(_._2)
+      .map { case (c, m) => (c, m.size.toLong, m.keys.min) }
+      .toSeq.sortBy { case (c, sz, _) => (-sz, c) }.take(20)
+    val got = AnalyticsPack.labelProp(spark, dir)
+      .collect().map(r => (r.getAs[Long]("community"), r.getAs[Long]("size"),
+        r.getAs[Long]("min_member"))).toSeq
+    got shouldBe want
+  }
+
   behavior of "triangleCount"
 
   it should "agree with a naive unoriented three-way edge join" in {
