@@ -42,7 +42,14 @@ object ScalingBench {
     "ewma_smooth",        // bucket-blocked band join (bounded fan-out)
     "triangle_count",     // degree-ordered wedge join (O(E^1.5))
     "fuzzy_pairs",        // prefix/suffix blocking + banded Levenshtein
-    "ann_mmr")            // bounded greedy re-rank rounds over candidates
+    "ann_mmr",            // bounded greedy re-rank rounds over candidates
+    "cusum_alerts",       // keyed prefix-sum/running-min windows
+    "cms_est_err",        // mergeable counter grid + broadcast probe
+    "hll_est_err",        // register partial agg + tiny estimate join
+    "weighted_percentiles", // global range sort + running weight CDF
+    "peak_concurrency",   // two-pass running sum over the sweep order
+    "label_prop",         // iterative keyed label joins
+    "embed_rp")           // row-local JL projection (scan-bound)
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
