@@ -452,6 +452,41 @@ object Relational extends QueryPack {
         round(col("wp2"), 2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Data-quality expectation report (Great-Expectations-style): each rule
+    * is one boolean column summed over a scan — null checks, range checks,
+    * domain membership, and referential integrity (the FK rule is a keyed
+    * left join with an is-null flag, the scale form of "orphan rows").
+    * Every rule reports (rows, violations, pass), so the table doubles as
+    * a pipeline gate: `pass` AND-folds into an admission decision. One
+    * deliberately tight rule (quantity ≤ 40) exercises the failure path —
+    * a DQ report that can only ever print zeros proves nothing. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def report(rule: String, table: String, df: DataFrame,
+               viol: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(viol.cast("long")), lit(0L)).as("n_violations"))
+        .select(lit(rule).as("rule"), lit(table).as("table_name"),
+          col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    val fk = li.select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    Seq(
+      report("quantity_in_1_50", "lineitem", li,
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      report("quantity_le_40", "lineitem", li, col("l_quantity") > 40),
+      report("totalprice_positive", "orders", Tables.orders(s, dir),
+        col("o_totalprice") <= 0 || col("o_totalprice").isNull),
+      report("orderkey_fk_orders", "lineitem", fk, col("o_orderkey").isNull),
+      report("mktsegment_in_domain", "customer", Tables.customer(s, dir),
+        !col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")),
+      report("event_value_not_null", "events", Tables.events(s, dir),
+        col("value").isNull)
+    ).reduce(_ unionAll _).orderBy("rule")
+  }
+
   /** Anti-join: customers with no orders. LEFT ANTI is the scale-correct
     * "NOT IN" — a keyed hash join that streams the probe side (vs a
     * NOT-IN subquery, which null-handling turns into a nested loop).
@@ -568,6 +603,7 @@ object Relational extends QueryPack {
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
     "weighted_percentiles" -> weightedPercentiles,
+    "dq_checks" -> dqChecks,
     "rank_functions" -> rankFunctions,
     "numeric_profile" -> numericProfile,
     "group_mode" -> groupMode,
@@ -665,6 +701,34 @@ object Relational extends QueryPack {
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dq_checks" ->
+      """WITH u AS (
+        | SELECT 'quantity_in_1_50' AS rule, 'lineitem' AS table_name,
+        |   count(*)::BIGINT AS n_rows,
+        |   sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'quantity_le_40', 'lineitem', count(*)::BIGINT,
+        |   sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        | UNION ALL
+        | SELECT 'totalprice_positive', 'orders', count(*)::BIGINT,
+        |   sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        | UNION ALL
+        | SELECT 'orderkey_fk_orders', 'lineitem', count(*)::BIGINT,
+        |   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | UNION ALL
+        | SELECT 'mktsegment_in_domain', 'customer', count(*)::BIGINT,
+        |   sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+        |     'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM customer
+        | UNION ALL
+        | SELECT 'event_value_not_null', 'events', count(*)::BIGINT,
+        |   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events)
+        |SELECT rule, table_name, n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM u ORDER BY rule""".stripMargin,
     "weighted_percentiles" ->
       """WITH t AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
         |   l_quantity AS w FROM lineitem WHERE l_quantity > 0),

@@ -83,6 +83,10 @@ final case class CmsCell(row: Int, bucket: Long, cnt: Long)
 /** One live HyperLogLog register: group, register index, max ρ so far. */
 final case class HllRegister(group: String, bucket: Long, rho: Int)
 
+/** Rolling drift emission: one tumbling event-time window's PSI against
+  * the fixed baseline histogram, re-emitted as the window's counts grow. */
+final case class PsiUpdate(window_start_us: Long, n: Long, psi: Double)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -660,6 +664,47 @@ object StreamOps {
             rows.map(_._3).max)
           state.update(best)
           HllRegister(key._1, key._2, best)
+      }
+  }
+
+  /** Live PSI drift monitor — the streaming face of
+    * [[graft.metrics.ModelHealth]]'s population-stability index: each
+    * tumbling event-time window's value distribution is scored against a
+    * FIXED baseline histogram (binned on the baseline's [mn, mx] with the
+    * same clamp rule as the batch op), emitting the window's PSI as its
+    * counts grow. State per window is the O(buckets) count vector —
+    * independent of event volume — and PSI itself is recomputed from
+    * those counts each emission, so a replay converges to exactly the
+    * batch per-window PSI. Bucket pairs where either side is empty are
+    * skipped, matching the batch op's inner-join semantics. */
+  def windowedPsi(events: Dataset[Event], baseP: Seq[Double],
+                  mn: Double, mx: Double,
+                  windowUs: Long = 86400000000L): Dataset[PsiUpdate] = {
+    import events.sparkSession.implicits._
+    val buckets = baseP.length
+    val width = (mx - mn) / buckets
+    events
+      .groupByKey(e => micros(e.ts) / windowUs * windowUs)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (win: Long, evs: Iterator[Event], state: GroupState[Seq[Long]]) =>
+          val counts = state.getOption
+            .map(_.toArray).getOrElse(Array.fill(buckets)(0L))
+          evs.foreach { e =>
+            val b = math.min(buckets - 1,
+              math.max(0, math.floor((e.value - mn) / width).toInt))
+            counts(b) += 1
+          }
+          state.update(counts.toSeq)
+          val n = counts.sum
+          val psi = baseP.indices.map { i =>
+            val q = counts(i).toDouble / n
+            if (baseP(i) > 0 && q > 0)
+              (baseP(i) - q) * math.log(baseP(i) / q) * 100
+            else 0.0
+          }.sum
+          PsiUpdate(win, n,
+            BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
       }
   }
 

@@ -661,6 +661,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "windowedPsi"
+
+  it should "converge to the batch per-window PSI across micro-batches" in {
+    // baseline: uniform-ish over [0, 100); the second window drifts high
+    val baseP = Seq(0.25, 0.25, 0.25, 0.25)
+    val winUs = 10L * 60 * 1000000 // 10-min windows
+    val w1 = (1 to 16).map(i =>
+      Event(i.toLong, ts(i.toLong % 9), 1, "view", (i % 4) * 25.0 + 1))
+    val w2 = (21 to 36).map(i =>
+      Event(i.toLong, ts(10 + i % 9), 1, "view", 80.0 + (i % 3)))
+    val evs = w1 ++ w2
+    val (b1, b2) = evs.splitAt(20)
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedPsi(in.toDS(), baseP, 0.0, 100.0, winUs)
+      .writeStream.format("memory").queryName("psi_updates")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("psi_updates")
+        .groupBy("window_start_us")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.expr("max_by(psi, n)").as("psi"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // plain-Scala replay of the same windows
+      def winOf(e: Event) = (e.ts.getTime * 1000L) / winUs * winUs
+      val want = evs.groupBy(winOf).map { case (win, es) =>
+        val counts = Array.fill(4)(0L)
+        es.foreach { e =>
+          counts(math.min(3, math.max(0, (e.value / 25.0).toInt))) += 1 }
+        val n = counts.sum
+        val psi = (0 until 4).map { i =>
+          val qd = counts(i).toDouble / n
+          if (baseP(i) > 0 && qd > 0)
+            (baseP(i) - qd) * math.log(baseP(i) / qd) * 100 else 0.0
+        }.sum
+        win -> (n, BigDecimal(psi).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      streamed.keySet shouldBe want.keySet
+      want.foreach { case (win, (n, psi)) =>
+        streamed(win)._1 shouldBe n
+        streamed(win)._2 shouldBe psi +- 1e-9
+      }
+      // the drifted window must score dramatically higher
+      val psis = want.toSeq.sortBy(_._1).map(_._2._2)
+      psis.last should be > psis.head + 10
+    } finally q.stop()
+  }
+
   behavior of "hllRegisters"
 
   it should "converge to the batch register grid and survive redelivery" in {
