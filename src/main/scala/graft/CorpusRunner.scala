@@ -414,6 +414,21 @@ object CorpusRunner extends Logging {
         chunked.crossJoin(broadcast(cMax))
           .withColumn(id, col(id) * col("__c") + col("__i"))
           .drop("__toks", "__i", "__c")
+      case "curriculum" =>
+        // curriculum-learning layout: tier by token count (easy = short),
+        // shuffle within tiers with the deterministic coin, and lay the
+        // frame out in training order (range partitions follow cur_ord,
+        // so a sharded write streams easy → hard). Rides the same
+        // two-pass rank machinery as rank_gate — no global window.
+        val scored = df.withColumn("__score",
+          size(split(col(text), " ")).cast("double"))
+        val ord = queries.LlmData.curriculumOrderOf(
+          scored.select(col(id), col("__score")), id, "__score", step.tiers)
+          .select(col("doc_id").as(id), col("tier").as("cur_tier"),
+            col("ord").as("cur_ord"))
+        scored.drop("__score").join(ord, id)
+          .repartitionByRange(col("cur_ord"))
+          .sortWithinPartitions("cur_ord")
       case other =>
         throw new IllegalArgumentException(s"unknown corpus op '$other'")
     }

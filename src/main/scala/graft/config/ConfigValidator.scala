@@ -160,7 +160,7 @@ object ConfigValidator {
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
       "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix",
-      "rank_gate", "semantic_decontam", "chunk")
+      "rank_gate", "semantic_decontam", "chunk", "curriculum")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       cc.steps.zipWithIndex.foreach { case (s, i) =>
@@ -187,6 +187,9 @@ object ConfigValidator {
           case "chunk" if s.stride < 0 || s.stride > s.window =>
             err("corpus", s"step $i: 'chunk' requires 0 <= stride <= " +
               "window (0 means stride = window: no overlap)")
+          case "curriculum" if s.tiers < 1 =>
+            err("corpus", s"step $i: 'curriculum' requires tiers >= 1 " +
+              "(difficulty bands)")
           case "span_scrub" if s.window < 2 =>
             err("corpus", s"step $i: 'span_scrub' requires window >= 2 " +
               "(the block size in tokens)")

@@ -161,7 +161,9 @@ final case class CorpusStepConf(
                                     // (vec_id, embedding)
     vectorSource: String = "",      // semantic_decontam: corpus embeddings
                                     // (vec_id keyed by the corpus id col)
-    pairs: Seq[Seq[String]] = Nil)  // pii_scrub: ordered [regex, class] overrides
+    pairs: Seq[Seq[String]] = Nil,  // pii_scrub: ordered [regex, class] overrides
+    tiers: Int = 10)                // curriculum: difficulty bands (shuffled
+                                    // internally; ordered easy → hard)
 
 final case class CorpusConf(
     steps: Seq[CorpusStepConf] = Nil,

@@ -3031,6 +3031,37 @@ object LlmData extends QueryPack {
         .select("doc_id", "pos", "shard")) { rankedP.unpersist() }
   }
 
+  /** Curriculum training order: tier the corpus by a difficulty score
+    * (easy → hard), then shuffle WITHIN each tier with the deterministic
+    * md5 coin — the curriculum-learning layout (Bengio et al. 2009): the
+    * model sees easy examples first, but inside a difficulty band the
+    * order is still random (a raw score sort would feed pathologically
+    * correlated neighbors). Both passes ride the two-pass range-sort
+    * machinery: exact global NTILE for the tiers, exact global row number
+    * for the final order — partition-parallel at any scale, reproducible
+    * on any cluster size (salt the coin to re-deal per epoch). */
+  def curriculumOrderOf(docs: DataFrame, idCol: String, scoreCol: String,
+                        tiers: Int): DataFrame = {
+    val (tiered, tieredP) = graft.plans.GlobalRank.withNtilePersisted(
+      docs.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("double").as("__s")),
+      Seq(col("__s"), col("doc_id")), tiers, "tier")
+    val keyed = tiered.select(col("doc_id"), col("tier").cast("long").as("tier"),
+      md5(concat(lit("curr|"), col("doc_id").cast("string"))).as("__c"))
+    val (ordered, orderedP) = graft.plans.GlobalRank.withRowNumberPersisted(
+      keyed, Seq(col("tier"), col("__c"), col("doc_id")), "ord")
+    graft.plans.Eager.checkpoint(
+      ordered.select("doc_id", "tier", "ord")) {
+      tieredP.unpersist(); orderedP.unpersist()
+    }
+  }
+
+  /** Driver query: curriculum order over documents with char count as the
+    * difficulty proxy (short first), 10 tiers. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(Tables.documents(s, dir), "doc_id", "n_chars", 10)
+      .orderBy("ord")
+
   /** Corpus profile per (lang, source). */
   def langProfile(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -3301,6 +3332,7 @@ object LlmData extends QueryPack {
     "quality_filter" -> qualityFilter,
     "embed_stats" -> embedStats,
     "embed_rp" -> embedRp,
+    "curriculum_order" -> curriculumOrder,
     "text_stats" -> textStats,
     "token_bpe" -> tokenBpe,
     "bpe_train" -> bpeTrain,
@@ -3900,6 +3932,14 @@ object LlmData extends QueryPack {
         | round(avg(stop_ratio), 6) AS avg_stop_ratio,
         | round(avg(mean_tok_len), 6) AS avg_tok_len
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "curriculum_order" ->
+      """WITH t AS (SELECT doc_id, n_chars::DOUBLE AS s FROM documents),
+        | tt AS (SELECT doc_id,
+        |   CAST(ntile(10) OVER (ORDER BY s, doc_id) AS BIGINT) AS tier FROM t),
+        | o AS (SELECT doc_id, tier, row_number() OVER
+        |   (ORDER BY tier, md5('curr|' || doc_id::VARCHAR), doc_id) AS ord
+        |  FROM tt)
+        |SELECT doc_id, tier, ord FROM o ORDER BY ord""".stripMargin,
     "embed_rp" ->
       s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | p AS (SELECT vec_id,

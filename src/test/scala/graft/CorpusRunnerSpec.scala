@@ -117,6 +117,37 @@ class CorpusRunnerSpec extends SparkSpec {
     result.metrics("rows_after_1_chunk") shouldBe out.count().toDouble
   }
 
+  it should "lay the corpus out in curriculum order through the curriculum step" in {
+    val c = conf("""{"op": "curriculum", "tiers": 5}""")
+    val result = CorpusRunner.run(spark, c)
+    val out = result.corpus
+    val docs = Tables.documents(spark, dir)
+    out.count() shouldBe docs.count() // ordering, not filtering
+    (out.columns.toSet -- docs.columns.toSet) shouldBe Set("cur_tier", "cur_ord")
+    val rows = out.select(col("cur_tier"), col("cur_ord"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cur_ord is a permutation of 1..n
+    rows.map(_._2).sorted.toSeq shouldBe (1L to rows.length.toLong)
+    // tiers are contiguous runs of the order (easy band finishes first)
+    val byTier = rows.groupBy(_._1)
+    byTier.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        byTier(a).map(_._2).max should be < byTier(b).map(_._2).min
+      case _ =>
+    }
+    // difficulty actually rises: first tier's mean tokens < last tier's
+    val tmin = byTier.keys.min; val tmax = byTier.keys.max
+    val meanOf = (t: Long) =>
+      byTier(t).map(_._3).sum.toDouble / byTier(t).length
+    meanOf(tmin) should be < meanOf(tmax)
+    // validator: bad tiers is rejected loudly
+    val bad = conf("""{"op": "curriculum", "tiers": 0}""")
+    intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))
+  }
+
   it should "reject invalid corpus configs with every violation listed" in {
     val bad = conf("""{"op": "lang_filter"}, {"op": "nope"}""")
     val ex = intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))
