@@ -118,9 +118,19 @@ object StandardMetrics {
                           bins: Int = 20): DataFrame = {
     val mx = df.agg(max(col(scoreCol)).cast("double").as("__mx"))
     val b = df.crossJoin(broadcast(mx))
-      .withColumn("__p", col(scoreCol) / col("__mx"))
+      // a non-positive score ceiling makes __p meaningless (null or
+      // sign-flipped for every row) — fail loudly instead of returning a
+      // silently-wrong fit. assert_true yields null on success, so the
+      // division only evaluates behind the guard.
+      .withColumn("__p", when(
+        assert_true(col("__mx") > 0,
+          lit(s"isotonicCalibration: max($scoreCol) must be > 0")).isNull,
+        col(scoreCol) / col("__mx")))
+      // clamp BOTH ends like ModelHealth's bucketing: negative scores
+      // otherwise land on negative bin ids and vanish from the fit
       .withColumn("bin",
-        least(lit(bins - 1), floor(col("__p") * bins)).cast("int"))
+        least(lit(bins - 1), greatest(lit(0), floor(col("__p") * bins)))
+          .cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), avg("__p").as("mean_pred"),
         sum(col(labelCol).cast("long")).as("sy"))

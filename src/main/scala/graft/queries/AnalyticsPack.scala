@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB):
   *  - `pagerank` is the canonical iterative-join workload. Edges and the
-  *    node list are built ONCE and cached; each of the K iterations is one
-  *    keyed join (ranks ⋈ edges on src) + one partial aggregate (sum of
-  *    contributions per dst) + two one-row broadcast scalars (node count,
-  *    dangling mass). Nothing global, no driver round-trips inside the
-  *    loop. Per-iteration ranks are rounded to 8 dp so aggregate summation
-  *    ORDER can never leak into the next iteration — the same
-  *    bit-reproducibility idiom as the Lloyd fit in [[LlmData]].
+  *    node list are built ONCE and cached; each of the K iterations is ONE
+  *    fused job — a keyed left join (ranks ⋈ edges on src) whose shuffle
+  *    carries both the per-dst contribution sums and the dangling-mass
+  *    sentinel bucket. The only driver reads in the loop are O(1)-row
+  *    scalars off already-materialized frames. Per-iteration ranks are
+  *    rounded to 8 dp so aggregate summation ORDER can never leak into
+  *    the next iteration — the same bit-reproducibility idiom as the
+  *    Lloyd fit in [[LlmData]].
   *  - `item_cooccur` self-joins lineitem on the order key: fan-out is
   *    bounded by max items/order (≤ a few dozen), never corpus-quadratic.
   *    Lift arithmetic is exact-integer products with ONE final division,
@@ -42,17 +43,30 @@ object AnalyticsPack extends QueryPack {
   private val PrDamping = 0.85
   private val PrIters   = 5
 
+  /** The sentinel bucket the fused contribution pass routes dangling mass
+    * into — node ids are "c:…"/"p:…", so it can never collide. */
+  private val PrDangKey = "__DANG__"
+
   /** PageRank over the bipartite customer→part endorsement graph (an edge
     * when a customer's order contains the part). Parts have no out-edges,
     * so the dangling-mass redistribution path is exercised for real:
     * r'(v) = 0.15/N + 0.85·(Σ_{u→v} r(u)/deg(u) + dangling/N).
     *
-    * The iteration body is pure plan: ranks ⋈ deg ⋈ edges → per-dst sum,
-    * plus a one-row dangling-mass aggregate crossJoin-broadcast back (no
-    * collect). Ranks are rounded to 8 dp at every iteration boundary —
-    * float-sum ordering differences (~1e-15) are quantized away long
-    * before they could compound, making the fixed-point bit-reproducible
-    * across engines. */
+    * The loop body is ONE job per iteration: ranks LEFT-join edges on
+    * src, where a matched row contributes r/deg to its dst and a dangling
+    * row (no out-edges ⇔ no match) falls into the [[PrDangKey]] sentinel
+    * bucket — the dangling-mass aggregate rides the SAME shuffle as the
+    * contributions instead of running as its own job. The fused aggregate
+    * is the only frame checkpointed per iteration; the rank update is a
+    * cheap projection join of it that the next iteration's pass (or the
+    * final sort) evaluates, so each iteration references its predecessor
+    * exactly once — a linear lineage, no 2^K blowup. The two loop scalars
+    * (node count, dangling mass) are read on the driver from
+    * already-materialized O(nodes) frames — O(1) rows, never corpus data.
+    * Ranks are rounded to 8 dp at every iteration boundary — float-sum
+    * ordering differences (~1e-15) are quantized away long before they
+    * could compound, making the fixed-point bit-reproducible across
+    * engines. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // partition AND sort the edge list on src ONCE: InMemoryRelation
@@ -74,15 +88,12 @@ object AnalyticsPack extends QueryPack {
     // (and carrying it on every rank frame) removes the deg join AND the
     // dangling anti-join from the loop body entirely: contribution weights
     // and the dangling mass become row-local projections of the previous
-    // iteration's checkpointed frame. nodeMeta is partitioned + sorted on
-    // node once so each iteration's update join reuses the layout.
+    // iteration's frame. nodeMeta is partitioned + sorted on node once so
+    // each iteration's update join reuses the layout.
     val nodeMeta = nodes.join(deg, Seq("node"), "left")
       .repartition(col("node")).sortWithinPartitions("node").cache()
     val nCnt = nodeMeta.agg(count(lit(1)).cast("double").as("n_nodes"))
-
-    var ranks = nodeMeta.crossJoin(broadcast(nCnt))
-      .select(col("node"), round(lit(1.0) / col("n_nodes"), 8).as("r"),
-        col("deg"))
+    val eager = graft.plans.Eager.enabled
     // AQE materializes every query stage as its own job; across K
     // iterations of small fixed-shape stages that is ~10 driver
     // round-trips per iteration of pure scheduling latency. The loop's
@@ -90,29 +101,46 @@ object AnalyticsPack extends QueryPack {
     // join), so run the ITERATION BODY with AQE off and restore after —
     // the returned plan (and every other query) keeps AQE.
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-    if (graft.plans.Eager.enabled) s.conf.set("spark.sql.adaptive.enabled", "false")
-    try for (_ <- 1 to PrIters) {
-      val contrib = ranks.filter(col("deg").isNotNull)
-        .select(col("node").as("src"), (col("r") / col("deg")).as("w"))
-        .join(edges, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("w")).as("contrib"))
-      val dang = ranks.filter(col("deg").isNull)
-        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      ranks = nodeMeta.crossJoin(broadcast(nCnt)).crossJoin(broadcast(dang))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), round(
-          lit(0.15) / col("n_nodes") + lit(0.85) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n_nodes")),
-          8).as("r"), col("deg"))
-      // Each iteration references the previous ranks twice (contributions
-      // + dangling mass): left lazy, the plan tree grows exponentially and
-      // the early iterations recompute 2^K times. Materialize the O(nodes)
-      // frame per iteration (same graft.plans.lazy opt-out as the rank
-      // machinery — PlanDump keeps the full tree).
-      if (graft.plans.Eager.enabled) ranks = ranks.localCheckpoint(true)
+    if (eager) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // node count: collected ONCE for the whole loop (it is one row over
+      // the cached node frame). Under graft.plans.lazy no action may run,
+      // so the plan-dump path keeps the declarative broadcast scalar.
+      val nOpt: Option[Double] =
+        if (eager) Some(nCnt.head.getDouble(0)) else None
+      def nCol = nOpt.map(lit).getOrElse(col("n_nodes"))
+      def withN(df: DataFrame) =
+        if (eager) df else df.crossJoin(broadcast(nCnt))
+      var ranks = withN(nodeMeta)
+        .select(col("node"), round(lit(1.0) / nCol, 8).as("r"), col("deg"))
+      for (_ <- 1 to PrIters) {
+        // the fused pass: one shuffle carries both the per-dst
+        // contributions and the dangling-mass sentinel row
+        var agg = ranks.join(edges, col("node") === col("src"), "left")
+          .select(coalesce(col("dst"), lit(PrDangKey)).as("__n"),
+            when(col("dst").isNotNull, col("r") / col("deg"))
+              .otherwise(col("r")).as("__w"))
+          .groupBy("__n").agg(sum("__w").as("__sum"))
+        if (eager) agg = agg.localCheckpoint(true)
+        val contrib = agg.filter(col("__n") =!= PrDangKey)
+          .select(col("__n").as("node"), col("__sum").as("contrib"))
+        val dang = agg.filter(col("__n") === PrDangKey)
+          .agg(coalesce(sum("__sum"), lit(0.0)).as("dm"))
+        // dangling mass: O(1) rows off the checkpointed aggregate (eager),
+        // or the declarative broadcast scalar (plan-dump mode)
+        val dmCol =
+          if (eager) lit(dang.head.getDouble(0)) else col("dm")
+        def withDm(df: DataFrame) =
+          if (eager) df else df.crossJoin(broadcast(dang))
+        ranks = withDm(withN(nodeMeta))
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), round(
+            lit(0.15) / nCol + lit(0.85) *
+              (coalesce(col("contrib"), lit(0.0)) + dmCol / nCol),
+            8).as("r"), col("deg"))
+      }
+      ranks.select(col("node"), col("r").as("rank")).orderBy("node")
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }
 
   /** DuckDB twin: the identical iteration unrolled as chained CTEs with
@@ -153,6 +181,39 @@ object AnalyticsPack extends QueryPack {
   private val CooccurMinSupport = 2
   private val CooccurTopK       = 50
 
+  // Three graph queries (item_cooccur, triangle_count, label_prop) mine
+  // the SAME co-purchase structure: the distinct (order, part) incidence
+  // list and the ≥2-shared-orders pair frame. Build them once per
+  // (session, sf-dir) and share the cached handles — the common-
+  // subexpression materialization a production engine applies to a query
+  // family with a shared dimension build. Keyed weakly on the session so
+  // a closed session's entries stay collectable; both frames are
+  // O(rows·basket)-bounded, tiny next to the corpus at any SF.
+  private val coPurchase = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
+
+  /** (incidence, pairs): inc = distinct (ok, pk); pairs = (a, b, n_ab)
+    * with a < b and n_ab ≥ [[CooccurMinSupport]]. Both cached. */
+  private def coPurchaseOf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    coPurchase.synchronized {
+      val byDir = Option(coPurchase.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+        coPurchase.put(s, m); m
+      }
+      byDir.getOrElseUpdate(dir, {
+        val inc = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().cache()
+        val pairs = inc.select(col("ok"), col("pk").as("a"))
+          .join(inc.select(col("ok"), col("pk").as("b")), "ok")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= CooccurMinSupport)
+          .cache()
+        (inc, pairs)
+      })
+    }
+
   /** Market-basket lift: part pairs that co-occur in the same order far
     * more often than chance — lift(a,b) = P(a,b)/(P(a)·P(b)) over orders.
     * The pair generation is a self-join of the (order, part) incidence
@@ -162,17 +223,12 @@ object AnalyticsPack extends QueryPack {
     * one final double division: bit-identical across engines, so the
     * top-k cut is deterministic. */
   def itemCooccur(s: SparkSession, dir: String): DataFrame = {
-    val inc = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().cache()
+    val (inc, pairFrame) = coPurchaseOf(s, dir)
     val nOrders = Tables.orders(s, dir)
       .agg(count(lit(1)).as("n_orders"))
     val itemN = inc.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs = inc.select(col("ok"), col("pk").as("pa"))
-      .join(inc.select(col("ok"), col("pk").as("pb")), "ok")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= CooccurMinSupport)
+    val pairs = pairFrame
+      .select(col("a").as("pa"), col("b").as("pb"), col("n_ab"))
     pairs
       .join(itemN.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
       .join(itemN.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
@@ -197,15 +253,7 @@ object AnalyticsPack extends QueryPack {
     * graphs where a naive wedge count explodes at the hubs. All joins are
     * keyed; counts are exact integers. */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val inc = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = inc.select(col("ok"), col("pk").as("a"))
-      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= CooccurMinSupport)
-      .select("a", "b").cache()
+    val e = coPurchaseOf(s, dir)._2.select("a", "b")
     val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val o = e
@@ -246,14 +294,7 @@ object AnalyticsPack extends QueryPack {
     * round). Per-round `localCheckpoint` kills the 2^K lazy-tree blowup;
     * AQE pauses inside the loop like the PageRank body. */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val inc = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = inc.select(col("ok"), col("pk").as("a"))
-      .join(inc.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= CooccurMinSupport)
+    val e = coPurchaseOf(s, dir)._2
     val ed = e.select(col("a").as("s"), col("b").as("d"))
       .unionAll(e.select(col("b").as("s"), col("a").as("d")))
       .repartition(col("s")).sortWithinPartitions("s").cache()
@@ -455,9 +496,16 @@ object AnalyticsPack extends QueryPack {
     * together with the ε·N overcount bound. */
   def cmsEstErr(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+    // reduce the key mod p BEFORE the multiply: a·(k mod p) peaks at
+    // ~2.4e18 (inside int64) for the largest multiplier, where the raw
+    // a·k product overflows — silently wrapping into negative buckets in
+    // Spark while DuckDB raises — once keys pass ~8.4e9 (well inside
+    // 100 TB id space). ((a·(k mod p)) mod p + b) mod p ≡ (a·k + b) mod p,
+    // so small-key results are unchanged.
     def hashStructs = array(CmsHashes.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("row"),
-        (((lit(a) * col("k") + lit(b)) % CmsPrime) % CmsWidth).as("bucket"))
+        ((((lit(a) * (col("k") % CmsPrime)) % CmsPrime + lit(b)) % CmsPrime)
+          % CmsWidth).as("bucket"))
     }: _*)
     val sketch = keys.select(explode(hashStructs).as("h"))
       .select(col("h.row").as("row"), col("h.bucket").as("bucket"))
@@ -699,7 +747,8 @@ object AnalyticsPack extends QueryPack {
          |   (0, 1103515245, 12345), (1, 214013, 2531011),
          |   (2, 22695477, 1), (3, 1664525, 1013904223)),
          | keys AS (SELECT l_partkey AS k FROM lineitem),
-         | sketch AS (SELECT rw, ((a * k + b) % $CmsPrime) % $CmsWidth AS bucket,
+         | sketch AS (SELECT rw,
+         |     (((a * (k % $CmsPrime)) % $CmsPrime + b) % $CmsPrime) % $CmsWidth AS bucket,
          |     count(*)::BIGINT AS cnt
          |   FROM keys CROSS JOIN hs GROUP BY 1, 2),
          | top AS (SELECT k, count(*)::BIGINT AS exact FROM keys GROUP BY k
@@ -708,7 +757,8 @@ object AnalyticsPack extends QueryPack {
          |  (min(s.cnt) - t.exact)::BIGINT AS overcount
          |FROM top t CROSS JOIN hs
          | JOIN sketch s ON s.rw = hs.rw
-         |   AND s.bucket = ((hs.a * t.k + hs.b) % $CmsPrime) % $CmsWidth
+         |   AND s.bucket =
+         |     (((hs.a * (t.k % $CmsPrime)) % $CmsPrime + hs.b) % $CmsPrime) % $CmsWidth
          |GROUP BY t.k, t.exact ORDER BY t.exact DESC, t.k""".stripMargin,
     "ewma_smooth" ->
       s"""WITH $eventsUs,

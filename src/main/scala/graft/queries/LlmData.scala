@@ -724,16 +724,20 @@ object LlmData extends QueryPack {
     * the relevant hits — no window. */
   def annNdcg(s: SparkSession, dir: String): DataFrame = {
     val gold = annTopK(s, dir).filter(col("rnk") <= 3)
-      .select(col("q_id"), col("c_id"), lit(1).as("rel"))
+      .select(col("q_id"), col("c_id"))
     val sys = annLsh(s, dir).select(col("q_id"), col("rnk"), col("c_id"))
     val idcg = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
-    sys.join(gold, Seq("q_id", "c_id"), "left")
-      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    // the aggregation is driven from the GOLD side: a query whose LSH
+    // bands produce zero candidates still contributes 0 to every metric
+    // instead of silently vanishing from n_queries (which would inflate
+    // the averages — the eval must charge the index for total misses)
+    gold.join(sys, Seq("q_id", "c_id"), "left")
       .groupBy("q_id").agg(
-        (sum("rel") / lit(3.0)).as("recall"),
-        coalesce(max(when(col("rel") === 1, lit(1.0) / col("rnk"))),
+        (sum(when(col("rnk").isNotNull, 1).otherwise(0)) / lit(3.0))
+          .as("recall"),
+        coalesce(max(when(col("rnk").isNotNull, lit(1.0) / col("rnk"))),
           lit(0.0)).as("rr"),
-        coalesce(sum(when(col("rel") === 1,
+        coalesce(sum(when(col("rnk").isNotNull,
           lit(1.0) / log2(col("rnk") + lit(1.0)))), lit(0.0)).as("dcg"))
       .agg(count(lit(1)).as("n_queries"),
         round(avg("recall"), 6).as("recall_at_3"),
@@ -3840,14 +3844,14 @@ object LlmData extends QueryPack {
     "ann_ndcg" ->
       s"""WITH sys AS ($annLshSql),
          | gold AS (SELECT q_id, c_id FROM ($annTopKSql) WHERE rnk <= 3),
-         | per AS (SELECT s.q_id,
-         |   sum(CASE WHEN g.c_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0 AS recall,
-         |   coalesce(max(CASE WHEN g.c_id IS NOT NULL
+         | per AS (SELECT g.q_id,
+         |   sum(CASE WHEN s.rnk IS NOT NULL THEN 1 ELSE 0 END) / 3.0 AS recall,
+         |   coalesce(max(CASE WHEN s.rnk IS NOT NULL
          |     THEN 1.0 / s.rnk END), 0.0) AS rr,
-         |   coalesce(sum(CASE WHEN g.c_id IS NOT NULL
+         |   coalesce(sum(CASE WHEN s.rnk IS NOT NULL
          |     THEN 1.0 / log2(s.rnk + 1.0) END), 0.0) AS dcg
-         |  FROM sys s LEFT JOIN gold g ON s.q_id = g.q_id AND s.c_id = g.c_id
-         |  GROUP BY s.q_id)
+         |  FROM gold g LEFT JOIN sys s ON s.q_id = g.q_id AND s.c_id = g.c_id
+         |  GROUP BY g.q_id)
          |SELECT count(*)::BIGINT AS n_queries,
          | round(avg(recall), 6) AS recall_at_3,
          | round(avg(rr), 6) AS mrr,

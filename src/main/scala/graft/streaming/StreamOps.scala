@@ -614,8 +614,12 @@ object StreamOps {
     val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
       (22695477L, 1L), (1664525L, 1013904223L))
     events
+      // key reduced mod p BEFORE the multiply — same overflow guard as the
+      // batch op: a·(k mod p) stays inside int64 where a raw a·k wraps
+      // negative once keys pass ~8.4e9; identical buckets for small keys
       .flatMap(e => hashes.zipWithIndex.map { case ((a, b), i) =>
-        (i, ((a * e.user_id + b) % 2147483647L) % width)
+        (i, ((a * (e.user_id % 2147483647L) % 2147483647L + b)
+          % 2147483647L) % width)
       })
       .groupByKey(identity)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
