@@ -680,35 +680,62 @@ object StreamOps {
     * independent of event volume — and PSI itself is recomputed from
     * those counts each emission, so a replay converges to exactly the
     * batch per-window PSI. Bucket pairs where either side is empty are
-    * skipped, matching the batch op's inner-join semantics. */
+    * skipped, matching the batch op's inner-join semantics.
+    *
+    * State is EVICTED: window keys otherwise accumulate one per window
+    * forever on a continuous stream (a slow leak even at O(buckets) per
+    * window). The input is watermarked on event time and each window's
+    * state carries an event-time timeout at window-end + `watermarkDelay`;
+    * when the watermark passes it the window emits one final PsiUpdate
+    * (same counts as its last emission — idempotent for downstream
+    * latest-wins consumers) and its state is removed. Same pattern as
+    * `nearDupProbe`'s watermark-bounded band index. */
   def windowedPsi(events: Dataset[Event], baseP: Seq[Double],
                   mn: Double, mx: Double,
-                  windowUs: Long = 86400000000L): Dataset[PsiUpdate] = {
+                  windowUs: Long = 86400000000L,
+                  watermarkDelay: String = "1 hour"): Dataset[PsiUpdate] = {
     import events.sparkSession.implicits._
     val buckets = baseP.length
     val width = (mx - mn) / buckets
+    def psiOf(counts: Array[Long]): PsiUpdate = {
+      val n = counts.sum
+      val psi = baseP.indices.map { i =>
+        val q = counts(i).toDouble / n
+        if (baseP(i) > 0 && q > 0)
+          (baseP(i) - q) * math.log(baseP(i) / q) * 100
+        else 0.0
+      }.sum
+      PsiUpdate(0L, n,
+        BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(e => micros(e.ts) / windowUs * windowUs)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (win: Long, evs: Iterator[Event], state: GroupState[Seq[Long]]) =>
-          val counts = state.getOption
-            .map(_.toArray).getOrElse(Array.fill(buckets)(0L))
-          evs.foreach { e =>
-            val b = math.min(buckets - 1,
-              math.max(0, math.floor((e.value - mn) / width).toInt))
-            counts(b) += 1
+          if (state.hasTimedOut) {
+            // window closed by the watermark: final emission, state gone
+            val counts = state.get.toArray
+            state.remove()
+            psiOf(counts).copy(window_start_us = win)
+          } else {
+            val counts = state.getOption
+              .map(_.toArray).getOrElse(Array.fill(buckets)(0L))
+            evs.foreach { e =>
+              val b = math.min(buckets - 1,
+                math.max(0, math.floor((e.value - mn) / width).toInt))
+              counts(b) += 1
+            }
+            state.update(counts.toSeq)
+            // keep the window's state until the watermark passes its end
+            // (the timeout must sit strictly ahead of the current
+            // watermark — late-but-in-watermark rows still land here)
+            val winEndMs = (win + windowUs) / 1000
+            state.setTimeoutTimestamp(
+              math.max(winEndMs, state.getCurrentWatermarkMs() + 1))
+            psiOf(counts).copy(window_start_us = win)
           }
-          state.update(counts.toSeq)
-          val n = counts.sum
-          val psi = baseP.indices.map { i =>
-            val q = counts(i).toDouble / n
-            if (baseP(i) > 0 && q > 0)
-              (baseP(i) - q) * math.log(baseP(i) / q) * 100
-            else 0.0
-          }.sum
-          PsiUpdate(win, n,
-            BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
       }
   }
 

@@ -667,10 +667,12 @@ class StreamOpsSpec extends SparkSpec {
     // baseline: uniform-ish over [0, 100); the second window drifts high
     val baseP = Seq(0.25, 0.25, 0.25, 0.25)
     val winUs = 10L * 60 * 1000000 // 10-min windows
+    // shifted off epoch 0: with a watermark on the input (state eviction),
+    // a row AT the initial watermark (ts = 0) is late by definition
     val w1 = (1 to 16).map(i =>
-      Event(i.toLong, ts(i.toLong % 9), 1, "view", (i % 4) * 25.0 + 1))
+      Event(i.toLong, ts(60 + i.toLong % 9), 1, "view", (i % 4) * 25.0 + 1))
     val w2 = (21 to 36).map(i =>
-      Event(i.toLong, ts(10 + i % 9), 1, "view", 80.0 + (i % 3)))
+      Event(i.toLong, ts(70 + i % 9), 1, "view", 80.0 + (i % 3)))
     val evs = w1 ++ w2
     val (b1, b2) = evs.splitAt(20)
     val in = MemoryStream[Event]
@@ -709,6 +711,58 @@ class StreamOpsSpec extends SparkSpec {
       // the drifted window must score dramatically higher
       val psis = want.toSeq.sortBy(_._1).map(_._2._2)
       psis.last should be > psis.head + 10
+    } finally q.stop()
+  }
+
+  it should "evict a window's state once the watermark passes its end" in {
+    val baseP = Seq(0.25, 0.25, 0.25, 0.25)
+    val winUs = 10L * 60 * 1000000 // 10-min windows
+    // window 1 = [60min, 70min); window 2 = [90min, 100min)
+    val w1 = (1 to 8).map(i =>
+      Event(i.toLong, ts(60 + i.toLong % 6), 1, "view", (i % 4) * 25.0 + 1))
+    val w2 = (21 to 28).map(i =>
+      Event(i.toLong, ts(91 + i % 5), 1, "view", 80.0 + (i % 3)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedPsi(in.toDS(), baseP, 0.0, 100.0, winUs,
+      watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("psi_evict")
+      .outputMode("update").start()
+    try {
+      in.addData(w1: _*); q.processAllAvailable()
+      // watermark after this batch ≈ 35min − 1s, past window 1's end …
+      in.addData(w2: _*); q.processAllAvailable()
+      // … so this batch's timeout pass must emit window 1's final PSI
+      // and REMOVE its state: only window 2 remains in the store
+      in.addData(Event(29, ts(95), 1, "view", 81.0)); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      stateRows shouldBe 1L
+      // the evicted window's final emission still equals the batch replay
+      val streamed = spark.table("psi_evict")
+        .groupBy("window_start_us")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.expr("max_by(psi, n)").as("psi"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      def winOf(e: Event) = (e.ts.getTime * 1000L) / winUs * winUs
+      val evs = w1 ++ w2 :+ Event(29, ts(95), 1, "view", 81.0)
+      val want = evs.groupBy(winOf).map { case (win, es) =>
+        val counts = Array.fill(4)(0L)
+        es.foreach { e =>
+          counts(math.min(3, math.max(0, (e.value / 25.0).toInt))) += 1 }
+        val n = counts.sum
+        val psi = (0 until 4).map { i =>
+          val qd = counts(i).toDouble / n
+          if (baseP(i) > 0 && qd > 0)
+            (baseP(i) - qd) * math.log(baseP(i) / qd) * 100 else 0.0
+        }.sum
+        win -> (n, BigDecimal(psi).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      streamed.keySet shouldBe want.keySet
+      want.foreach { case (win, (n, psi)) =>
+        streamed(win)._1 shouldBe n
+        streamed(win)._2 shouldBe psi +- 1e-9
+      }
     } finally q.stop()
   }
 
