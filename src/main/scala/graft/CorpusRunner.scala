@@ -423,7 +423,8 @@ object CorpusRunner extends Logging {
         val scored = df.withColumn("__score",
           size(split(col(text), " ")).cast("double"))
         val ord = queries.LlmData.curriculumOrderOf(
-          scored.select(col(id), col("__score")), id, "__score", step.tiers)
+          scored.select(col(id), col("__score")), id, "__score", step.tiers,
+          step.salt)
           .select(col("doc_id").as(id), col("tier").as("cur_tier"),
             col("ord").as("cur_ord"))
         scored.drop("__score").join(ord, id)

@@ -162,8 +162,10 @@ final case class CorpusStepConf(
     vectorSource: String = "",      // semantic_decontam: corpus embeddings
                                     // (vec_id keyed by the corpus id col)
     pairs: Seq[Seq[String]] = Nil,  // pii_scrub: ordered [regex, class] overrides
-    tiers: Int = 10)                // curriculum: difficulty bands (shuffled
+    tiers: Int = 10,                // curriculum: difficulty bands (shuffled
                                     // internally; ordered easy → hard)
+    salt: String = "")              // curriculum: epoch re-deal salt — same
+                                    // tiers, fresh in-tier permutation
 
 final case class CorpusConf(
     steps: Seq[CorpusStepConf] = Nil,

@@ -271,6 +271,80 @@ object GlobalRank {
     cdf.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** INTERPOLATED weighted per-group percentiles — the fractional-weight-
+    * safe companion of [[groupWeightedPercentiles]]. The lower quantile is
+    * exact for integral weights but discontinuous in the weight CDF: with
+    * fractional weights, ulp noise in a cumulative sum near a threshold
+    * can flip the SELECTED VALUE between engines. This variant removes
+    * the discontinuity instead of chasing the ulps:
+    *
+    *  1. equal values are collapsed first (`groupBy(group, value)` weight
+    *     sum) — the sort order over distinct values is total, so the CDF
+    *     is a pure function of the data, never of tie placement;
+    *  2. each distinct value v_i sits at the MIDPOINT of its weight mass,
+    *     s_i = (c_i − w_i/2)/W (the Hyndman–Fan-style weighted plotting
+    *     position; reduces to HF7's (i−1)/(n−1) grid at unit weights as
+    *     the interior knots shift by a constant ½/n);
+    *  3. a requested p interpolates linearly between the flanking knots
+    *     (clamped to the extreme values beyond the first/last midpoint):
+    *     v = v_lo + (p − s_lo)/(s_hi − s_lo)·(v_hi − v_lo).
+    *
+    * Because the estimate is CONTINUOUS in the CDF, fractional-weight ulp
+    * noise perturbs the result by ulps instead of flipping it to a
+    * different value — the cross-engine guarantee integral weights get
+    * from exact sums, extended to arbitrary positive weights.
+    *
+    * Scale shape is identical to the lower-quantile op: one keyed
+    * collapse, ONE global range sort with the running-weight prefix,
+    * O(groups) offsets, and per-p conditional min/max aggregates — no
+    * per-group buffer anywhere. The flanking knots of p are found
+    * without a neighbor join: knots are strictly increasing in s within
+    * a group (w > 0), so max(s ≤ p) and min(s ≥ p) ARE adjacent. */
+  def groupWeightedPercentilesInterp(df: DataFrame, groupCol: String,
+                                     valueCol: String, weightCol: String,
+                                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got ${ps.mkString(",")}")
+    val in = df.select(col(groupCol), col(valueCol), col(weightCol))
+      .filter(col(valueCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val run = withRunningSums(in, Seq(col(groupCol), col(valueCol)),
+      Seq("__w" -> "__cumw"))
+    val tot = in.groupBy(groupCol)
+      .agg(sum(col("__w")).as("__tot"), count(lit(1)).as("__nv"))
+    val off = tot.select(col(groupCol), col("__tot"), col("__nv"))
+      .join(tot.select(col(groupCol).as("__g2"), col("__tot").as("__t2")),
+        col("__g2") < col(groupCol), "left")
+      .groupBy(col(groupCol), col("__tot"), col("__nv"))
+      .agg(coalesce(sum("__t2"), lit(0.0)).as("__off"))
+    val cdf = run.join(broadcast(off), groupCol)
+      .withColumn("__s",
+        (col("__cumw") - col("__off") - col("__w") / 2) / col("__tot"))
+    val aggs = Seq(max("__nv").as("n_values"), max("__tot").as("w_total")) ++
+      ps.zipWithIndex.flatMap { case (p, i) =>
+        Seq(
+          max(when(col("__s") <= p, struct(col("__s").as("s"),
+            col(valueCol).cast("double").as("v")))).as(s"__lo$i"),
+          min(when(col("__s") >= p, struct(col("__s").as("s"),
+            col(valueCol).cast("double").as("v")))).as(s"__hi$i"))
+      }
+    val agged = cdf.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq(col(groupCol), col("n_values"), col("w_total")) ++
+      ps.indices.map { i =>
+        val (lo, hi) = (col(s"__lo$i"), col(s"__hi$i"))
+        when(lo.isNull, hi.getField("v"))
+          .when(hi.isNull, lo.getField("v"))
+          .when(hi.getField("s") === lo.getField("s"), lo.getField("v"))
+          .otherwise(lo.getField("v") +
+            (lit(ps(i)) - lo.getField("s")) /
+              (hi.getField("s") - lo.getField("s")) *
+              (hi.getField("v") - lo.getField("v")))
+          .as(s"wp$i")
+      }
+    agged.select(outCols: _*)
+  }
+
   def groupPercentilesExact(df: DataFrame, groupCol: String,
                             valueCol: String, ps: Seq[Double],
                             withAvg: Boolean = false): DataFrame = {

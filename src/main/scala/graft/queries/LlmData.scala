@@ -3043,15 +3043,20 @@ object LlmData extends QueryPack {
     * correlated neighbors). Both passes ride the two-pass range-sort
     * machinery: exact global NTILE for the tiers, exact global row number
     * for the final order — partition-parallel at any scale, reproducible
-    * on any cluster size (salt the coin to re-deal per epoch). */
+    * on any cluster size. `salt` re-deals the in-tier permutation per
+    * epoch (each epoch's coin is md5("curr|<salt>|id")): tiers are a pure
+    * function of the scores, so every epoch sees the same easy → hard
+    * bands in a fresh within-band order — the curriculum-learning epoch
+    * contract. The default (empty) salt keeps the original coin. */
   def curriculumOrderOf(docs: DataFrame, idCol: String, scoreCol: String,
-                        tiers: Int): DataFrame = {
+                        tiers: Int, salt: String = ""): DataFrame = {
     val (tiered, tieredP) = graft.plans.GlobalRank.withNtilePersisted(
       docs.select(col(idCol).as("doc_id"),
         col(scoreCol).cast("double").as("__s")),
       Seq(col("__s"), col("doc_id")), tiers, "tier")
+    val coinPrefix = if (salt.isEmpty) "curr|" else s"curr|$salt|"
     val keyed = tiered.select(col("doc_id"), col("tier").cast("long").as("tier"),
-      md5(concat(lit("curr|"), col("doc_id").cast("string"))).as("__c"))
+      md5(concat(lit(coinPrefix), col("doc_id").cast("string"))).as("__c"))
     val (ordered, orderedP) = graft.plans.GlobalRank.withRowNumberPersisted(
       keyed, Seq(col("tier"), col("__c"), col("doc_id")), "ord")
     graft.plans.Eager.checkpoint(

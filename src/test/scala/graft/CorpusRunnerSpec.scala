@@ -148,6 +148,31 @@ class CorpusRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))
   }
 
+  it should "re-deal the in-tier permutation per epoch salt, keeping tiers fixed" in {
+    val docs = Tables.documents(spark, dir)
+    def epoch(salt: String) = queries.LlmData
+      .curriculumOrderOf(docs, "doc_id", "n_chars", 5, salt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e0 = epoch("")       // the default coin
+    val e1 = epoch("epoch1")
+    val e2 = epoch("epoch2")
+    e1.keySet shouldBe e0.keySet
+    // tiers are a pure function of the scores — identical across epochs
+    e0.foreach { case (id, (tier, _)) =>
+      e1(id)._1 shouldBe tier
+      e2(id)._1 shouldBe tier
+    }
+    // each epoch's order is a permutation of 1..n …
+    Seq(e0, e1, e2).foreach { e =>
+      e.values.map(_._2).toSeq.sorted shouldBe (1L to e.size.toLong)
+    }
+    // … and a DIFFERENT permutation per salt (in-tier re-deal)
+    e1.count { case (id, (_, ord)) => e0(id)._2 != ord } should be > 0
+    e2.count { case (id, (_, ord)) => e1(id)._2 != ord } should be > 0
+    // same salt ⇒ bit-identical layout (reproducibility)
+    epoch("epoch1") shouldBe e1
+  }
+
   it should "reject invalid corpus configs with every violation listed" in {
     val bad = conf("""{"op": "lang_filter"}, {"op": "nope"}""")
     val ex = intercept[IllegalArgumentException](CorpusRunner.run(spark, bad))

@@ -106,4 +106,52 @@ class GlobalRankSpec extends SparkSpec {
     // the w=10 row at v=3 must hold p25 through p75 in group a
     got("a")._2 shouldBe Seq(3.0, 3.0, 3.0)
   }
+
+  it should "interpolate weighted percentiles equal to a brute-force CDF, fractional weights included" in {
+    import spark.implicits._
+    // fractional weights (the case the lower quantile can't make
+    // engine-stable), duplicate values with unequal weights (collapse
+    // rule), a heavy row, a singleton group, zero-weight rows dropped
+    val rows = Seq(
+      ("a", 1.0, 0.3), ("a", 2.0, 1.7), ("a", 2.0, 0.4), ("a", 3.0, 2.25),
+      ("a", 4.0, 0.35),
+      ("b", 5.0, 1.5), ("b", 6.0, 0.5), ("b", 7.0, 1.0),
+      ("z", 9.0, 0.75), ("a", 0.5, 0.0))
+    val df = rows.toDF("g", "v", "w")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val out = GlobalRank.groupWeightedPercentilesInterp(df, "g", "v", "w", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_values"), ps.indices.map(i => r.getDouble(3 + i))))
+      .toMap
+    def brute(g: String): Seq[Double] = {
+      val pts = rows.filter(r => r._1 == g && r._3 > 0)
+        .groupBy(_._2).map { case (v, rs) => (v, rs.map(_._3).sum) }
+        .toSeq.sortBy(_._1)
+      val tot = pts.map(_._2).sum
+      val knots = pts.scanLeft(0.0)(_ + _._2).tail.zip(pts)
+        .map { case (c, (v, w)) => ((c - w / 2) / tot, v) }
+      ps.map { p =>
+        if (p <= knots.head._1) knots.head._2
+        else if (p >= knots.last._1) knots.last._2
+        else {
+          val hiIdx = knots.indexWhere(_._1 >= p)
+          val (sHi, vHi) = knots(hiIdx)
+          val (sLo, vLo) = knots(hiIdx - 1)
+          if (sHi == sLo) vLo else vLo + (p - sLo) / (sHi - sLo) * (vHi - vLo)
+        }
+      }
+    }
+    out.keySet shouldBe Set("a", "b", "z")
+    out("a")._1 shouldBe 4L // 5 positive-weight rows, 4 distinct values
+    out("z")._1 shouldBe 1L
+    Seq("a", "b", "z").foreach { g =>
+      out(g)._2.zip(brute(g)).foreach { case (gotV, wantV) =>
+        gotV shouldBe wantV +- 1e-12
+      }
+    }
+    // a singleton group answers its one value at every p
+    out("z")._2.distinct shouldBe Seq(9.0)
+    intercept[IllegalArgumentException](
+      GlobalRank.groupWeightedPercentilesInterp(df, "g", "v", "w", Seq(-0.1)))
+  }
 }
