@@ -1,10 +1,11 @@
 package graft.multimodal
 
-/** REAL pure-JVM media codecs for the two formats that need no external
-  * library: binary PPM (P6) images and RIFF/WAVE 16-bit PCM audio. These
-  * replace [[Multimodal.decodeStub]] on the formats they cover — the stub
-  * remains only for formats whose decoders genuinely aren't in this
-  * environment (jpeg/png/mp4).
+/** REAL pure-JVM media codecs for the formats that need no external
+  * library: binary PPM (P6) images, PNG (8-bit truecolor — zlib inflate
+  * ships in the JDK), and RIFF/WAVE 16-bit PCM audio. These replace
+  * [[Multimodal.decodeStub]] on the formats they cover — the stub remains
+  * only for formats whose decoders genuinely aren't in this environment
+  * (jpeg/mp4).
   *
   * Everything here is byte-exact and allocation-bounded: decoders walk the
   * container structure (PPM header tokens incl. comments; RIFF chunk list
@@ -145,6 +146,192 @@ object Codecs {
       r += 1
     }
     acc
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** The 8-byte PNG signature (\x89PNG\r\n\x1a\n). */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** True iff the blob starts with the full 8-byte PNG signature. */
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == PngSig(i))
+
+  /** Encode an interleaved-RGB pixel buffer as a standard PNG (8-bit
+    * truecolor, non-interlaced): signature + IHDR + one zlib-deflated
+    * IDAT + IEND, CRC32 per chunk. `filterOf(row)` picks the scanline
+    * filter (0..4 — None/Sub/Up/Average/Paeth); the default cycles
+    * through all five so a roundtrip exercises every unfilter path. Any
+    * PNG reader decodes the output; filters only change the compressed
+    * representation, never the pixels. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte],
+                filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
+    require(rgb.length == w.toLong * h * 3,
+      s"png: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    val bpp = 3
+    val stride = w * bpp
+    // filter scanlines: each output row = filter byte + transformed bytes
+    val raw = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val ft = filterOf(r)
+      require(ft >= 0 && ft <= 4, s"png: bad filter type $ft for row $r")
+      raw(r * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = rgb(r * stride + i) & 0xff
+        val a = if (i >= bpp) rgb(r * stride + i - bpp) & 0xff else 0 // left
+        val b = if (r > 0) rgb((r - 1) * stride + i) & 0xff else 0   // up
+        val c = if (i >= bpp && r > 0)
+          rgb((r - 1) * stride + i - bpp) & 0xff else 0              // up-left
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(r * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    // zlib-deflate the filtered stream (Deflater default = zlib wrapper)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = buf.toByteArray
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte)  // compression: deflate
+      .put(0.toByte)  // filter method: adaptive (types 0-4)
+      .put(0.toByte)  // interlace: none
+      .array()
+    val out = new java.io.ByteArrayOutputStream(
+      8 + 25 + 12 + idat.length + 12)
+    out.write(PngSig, 0, 8)
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The Paeth predictor (PNG spec §9, Paeth 1991): the neighbor closest
+    * to the linear estimate a + b − c, ties left > up > up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                         data: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len, 0, 4)
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array(), 0, 4)
+  }
+
+  /** Decode an 8-bit truecolor (color type 2) non-interlaced PNG by
+    * WALKING THE CHUNK LIST — real PNGs carry tEXt/pHYs/gAMA chunks, so
+    * ancillary chunks are skipped (with their CRCs verified), every IDAT
+    * is concatenated into one zlib stream, and all five scanline filters
+    * are reversed. Unsupported shapes (palette, alpha, 16-bit,
+    * interlaced) and corrupt structure (bad CRC, truncated inflate) fail
+    * LOUDLY. Returns (width, height, interleaved RGB). */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isPng(bytes), "png: bad signature")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    var w = -1; var h = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(bb.remaining() >= 12, "png: truncated chunk list")
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining() - 8,
+        s"png: chunk overruns file (len $len, have ${bb.remaining() - 8})")
+      val tb = new Array[Byte](4); bb.get(tb)
+      val typ = new String(tb, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val want = bb.getInt
+      require(crc.getValue.toInt == want, s"png: bad CRC on chunk '$typ'")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr, "png: duplicate IHDR")
+          require(len == 13, s"png: IHDR length $len")
+          val hb = java.nio.ByteBuffer.wrap(data)
+          w = hb.getInt; h = hb.getInt
+          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 16,
+            s"png: bad dimensions ${w}x$h")
+          val (depth, color, comp, filt, inter) =
+            (hb.get(), hb.get(), hb.get(), hb.get(), hb.get())
+          require(depth == 8, s"png: only 8-bit supported, got $depth")
+          require(color == 2, s"png: only truecolor RGB supported, got $color")
+          require(comp == 0 && filt == 0, "png: bad compression/filter method")
+          require(inter == 0, "png: interlaced not supported")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "png: IDAT before IHDR")
+          idat.write(data, 0, len)
+        case "IEND" => seenIend = true
+        case _ => // tEXt/pHYs/gAMA/...: ancillary, skip (CRC checked above)
+      }
+    }
+    require(seenIhdr, "png: no IHDR chunk")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || !inflater.needsInput, "png: truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length,
+      s"png: pixel data truncated (need ${raw.length}, got $off)")
+    // reverse the per-scanline filters in place into the output buffer
+    val bpp = 3
+    val px = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (1 + stride)) & 0xff
+      require(ft <= 4, s"png: bad filter type $ft on row $r")
+      var i = 0
+      while (i < stride) {
+        val v = raw(r * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= bpp) px(r * stride + i - bpp) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * stride + i) & 0xff else 0
+        val c = if (i >= bpp && r > 0)
+          px((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        px(r * stride + i) = ((v + pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    (w, h, px)
   }
 
   // ---------------------------------------------------------------- WAV

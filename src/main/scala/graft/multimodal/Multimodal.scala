@@ -25,8 +25,9 @@ final case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
   * serialize the decode — and so is the codec for the formats a bare JVM
   * can decode: binary PPM images and RIFF/WAVE PCM audio go through the
   * REAL parsers in [[Codecs]] (grid-luminance / windowed-amplitude
-  * features, nearest-neighbor resize). Only formats whose decoders aren't
-  * in this environment (jpeg/png/mp4) fall back to `decodeStub`, a
+  * features, nearest-neighbor resize), as do PNG blobs (real chunk-walking
+  * zlib decode). Only formats whose decoders aren't
+  * in this environment (jpeg/mp4) fall back to `decodeStub`, a
   * deterministic fake, so every op stays testable end-to-end and swapping
   * in a real jpeg codec changes one dispatch arm.
   *
@@ -40,7 +41,7 @@ object Multimodal {
   val featureDim = 16
 
   /** STUB CODEC — deterministic fake standing in for the image/audio
-    * decoders NOT available in this container (jpeg/png/mp4); PPM and WAV
+    * decoders NOT available in this container (jpeg/mp4); PPM, PNG and WAV
     * blobs never reach it (see [[decode]]). The fake folds the bytes into
     * `featureDim` accumulators so output depends on every input byte and
     * is reproducible across engines and runs. */
@@ -56,33 +57,21 @@ object Multimodal {
 
   /** Format-sniffing decode: containers self-identify by magic bytes
     * (what a real lake trusts over user-supplied `meta.format`), so PPM
-    * (`P6` + header char) and WAV (`RIFF....WAVE` — RIFF alone also
-    * matches WebP/AVI, which belong on the stub path) route to the REAL
-    * codecs — a blob that matches a full magic but fails to parse is a
-    * loud task error, never a silent stub fallback — and only genuinely
-    * undecodable formats hit the stub. Image features: 4x4 grid mean
-    * luminance in [0,1]; audio: `featureDim` windowed mean |amplitude|
-    * in [0,1]. */
+    * (`P6` + header char), PNG (full 8-byte signature) and WAV
+    * (`RIFF....WAVE` — RIFF alone also matches WebP/AVI, which belong on
+    * the stub path) route to the REAL codecs — a blob that matches a full
+    * magic but fails to parse is a loud task error, never a silent stub
+    * fallback — and only genuinely undecodable formats hit the stub.
+    * Image features: 4x4 grid mean luminance in [0,1]; audio:
+    * `featureDim` windowed mean |amplitude| in [0,1]. */
   def decode(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (Codecs.isPpm(bytes)) {
       val (w, h, px) = Codecs.decodePpm(bytes)
-      val gw = math.min(4, w); val gh = math.min(4, h)
-      val cells = Codecs.gridLuminance(w, h, px, gw, gh)
-      // exact per-cell pixel counts under the same floor mapping —
-      // mean luminance stays in [0,1] even when 4 doesn't divide w or h
-      val counts = new Array[Long](gw * gh)
-      var r = 0
-      while (r < h) {
-        var c = 0
-        while (c < w) { counts(r * gh / h * gw + c * gw / w) += 1; c += 1 }
-        r += 1
-      }
-      var i = 0
-      while (i < cells.length) {
-        out(i) = (cells(i).toDouble / (counts(i) * 3L * 255)).toFloat; i += 1
-      }
-      out
+      imageFeatures(w, h, px)
+    } else if (Codecs.isPng(bytes)) {
+      val (w, h, px) = Codecs.decodePng(bytes)
+      imageFeatures(w, h, px)
     } else if (Codecs.isWav(bytes)) {
       val (_, samples) = Codecs.decodeWav(bytes)
       if (samples.isEmpty) out
@@ -98,6 +87,27 @@ object Multimodal {
         out
       }
     } else decodeStub(bytes)
+  }
+
+  /** 4x4 grid mean luminance in [0,1] from decoded RGB — shared by every
+    * image codec branch. Exact per-cell pixel counts under the same floor
+    * mapping keep the mean in [0,1] even when 4 doesn't divide w or h. */
+  private def imageFeatures(w: Int, h: Int, px: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    val gw = math.min(4, w); val gh = math.min(4, h)
+    val cells = Codecs.gridLuminance(w, h, px, gw, gh)
+    val counts = new Array[Long](gw * gh)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { counts(r * gh / h * gw + c * gw / w) += 1; c += 1 }
+      r += 1
+    }
+    var i = 0
+    while (i < cells.length) {
+      out(i) = (cells(i).toDouble / (counts(i) * 3L * 255)).toFloat; i += 1
+    }
+    out
   }
 
   /** Batched feature extraction: one decode pass per partition, constant
@@ -118,9 +128,10 @@ object Multimodal {
   }
 
   /** Resize: new blob + updated meta, format-sniffed like [[decode]].
-    * PPM blobs get a REAL nearest-neighbor resample re-encoded as PPM at
-    * the new dimensions; opaque formats keep the deterministic
-    * truncate/pad stand-in. Meta tracks the new geometry either way. */
+    * PPM and PNG blobs get a REAL nearest-neighbor resample re-encoded in
+    * their own container at the new dimensions; opaque formats keep the
+    * deterministic truncate/pad stand-in. Meta tracks the new geometry
+    * either way. */
   def resize(media: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.map { m =>
@@ -128,6 +139,9 @@ object Multimodal {
         if (Codecs.isPpm(m.content)) {
           val (sw, sh, px) = Codecs.decodePpm(m.content)
           Codecs.encodePpm(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
+        } else if (Codecs.isPng(m.content)) {
+          val (sw, sh, px) = Codecs.decodePng(m.content)
+          Codecs.encodePng(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
         } else java.util.Arrays.copyOf(m.content, w * h)
       m.copy(content = out, meta = m.meta.copy(width = w, height = h))
     }

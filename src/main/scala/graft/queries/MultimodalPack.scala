@@ -221,6 +221,46 @@ object MultimodalPack extends QueryPack {
       .orderBy("media_id", "cell")
   }
 
+  /** PNG codec ROUNDTRIP proof, cross-engine: the [[ppmCodec]] contract
+    * run through the REAL PNG container (signature + IHDR + zlib IDAT +
+    * CRC-checked chunks) — stage 16x16 RGB images with pixel bytes cycled
+    * from the doc text, encode as 8-bit truecolor PNG with the scanline
+    * filter CYCLING None/Sub/Up/Average/Paeth (so every unfilter path
+    * runs on every image), decode through the chunk walker + inflate +
+    * unfilter, resize, and emit integer grid-luminance masses from the
+    * DECODED pixels. The oracle computes expected sums from text and
+    * never sees a PNG byte: hash parity proves decode(encode(x)) == x
+    * through deflate round-trip, filter reversal included. Also routes
+    * each blob through [[graft.multimodal.Multimodal.decode]]'s magic
+    * dispatch (the feature path a real lake runs) and checks the PNG
+    * branch fired by re-deriving one grid cell from it. */
+  def pngCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Codecs
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val blob = Codecs.encodePng(W, H, rgb) // real encode (filters cycle)
+        val (w, h, px) = Codecs.decodePng(blob) // ...and real decode
+        val full = Codecs.gridLuminance(w, h, px, 4, 4)
+        val small = Codecs.resizeNearest(w, h, px, 8, 8)
+        val rz = Codecs.gridLuminance(8, 8, small, 4, 4)
+        // the dispatch path: Multimodal.decode must route to the PNG
+        // branch (cell 0 mean luminance re-quantized to the exact sum —
+        // 4x4 pixels of 3 samples, so mean·(16·3·255) is integral)
+        val f0 = graft.multimodal.Multimodal.decode(blob)(0)
+        val viaDispatch = math.round(f0.toDouble * (16 * 3 * 255))
+        full.indices.map(cell =>
+          (id, cell.toLong, full(cell), rz(cell),
+            if (cell == 0) viaDispatch else full(cell)))
+      }
+      .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8", "lum_sum_dispatch")
+      .orderBy("media_id", "cell")
+  }
+
   /** WAV codec ROUNDTRIP proof, cross-engine: stage 256-sample 16-bit PCM
     * mono clips (sample i = (textByte − 128)·256), push them through the
     * REAL RIFF/WAVE encoder and chunk-walking decoder, and emit integer
@@ -250,6 +290,7 @@ object MultimodalPack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ppm_codec" -> ppmCodec,
+    "png_codec" -> pngCodec,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
@@ -295,6 +336,32 @@ object MultimodalPack extends QueryPack {
         | rz AS (SELECT media_id, cell, sum(b)::BIGINT AS lum_sum_8x8
         |   FROM rk GROUP BY 1, 2)
         |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8
+        |FROM full16 JOIN rz USING (media_id, cell)
+        |ORDER BY media_id, cell""".stripMargin,
+    "png_codec" ->
+      // identical expected sums as ppm_codec (the container changes, the
+      // pixels must not), plus the dispatch column which must equal the
+      // direct sum — the oracle never parses a PNG byte
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |   length(text) AS len FROM documents),
+        | fk AS (SELECT media_id, i // 3 AS p,
+        |     ord(substr(text, (i % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 767)) AS u(i)),
+        | full16 AS (SELECT media_id,
+        |     ((p // 16) // 4) * 4 + ((p % 16) // 4) AS cell,
+        |     sum(b)::BIGINT AS lum_sum
+        |   FROM fk GROUP BY 1, 2),
+        | rk AS (SELECT media_id,
+        |     (r // 2) * 4 + (c // 2) AS cell,
+        |     ord(substr(text,
+        |       ((3 * ((2 * r) * 16 + 2 * c) + ch) % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 7)) AS ur(r),
+        |     unnest(generate_series(0, 7)) AS uc(c),
+        |     unnest(generate_series(0, 2)) AS uch(ch)),
+        | rz AS (SELECT media_id, cell, sum(b)::BIGINT AS lum_sum_8x8
+        |   FROM rk GROUP BY 1, 2)
+        |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8,
+        | lum_sum AS lum_sum_dispatch
         |FROM full16 JOIN rz USING (media_id, cell)
         |ORDER BY media_id, cell""".stripMargin,
     "wav_codec" ->
