@@ -203,6 +203,23 @@ def main():
             f"{b['runs']} runs/query):** {b['total']:.1f}s total over "
             f"{b['nq']} queries, {b['errors']} errors; worst "
             f"`{b['worst_name']}` {b['worst_sec']:.1f}s.")
+    # the latest driver-side bench artifact, quoted VERBATIM next to the
+    # builder's line — the two runs happen on different machine load, so
+    # the scoreboard must carry both rather than let the builder's number
+    # stand in for the driver's (scraped tolerant of the driver wrapper's
+    # truncated tail)
+    import glob as _glob
+    rounds = sorted(_glob.glob("BENCH_r*.json"),
+                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if rounds:
+        dq = driver_queries(rounds[-1]) or {}
+        dq = {k: v for k, v in dq.items() if v >= 0}
+        if dq:
+            worst = max(dq.items(), key=lambda kv: kv[1])
+            lines.append(
+                f"- **Driver bench (`{rounds[-1]}`, driver machine/load):** "
+                f"{sum(dq.values()):.1f}s over the {len(dq)} queries the "
+                f"artifact carries; worst `{worst[0]}` {worst[1]:.1f}s.")
     if sc:
         if sc["growth"]:
             pair = (f"sf{sc['small']:g}→sf{sc['large']:g} = "
