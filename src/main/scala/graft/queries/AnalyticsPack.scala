@@ -582,6 +582,102 @@ object AnalyticsPack extends QueryPack {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------ KMV distinct sketch
+
+  private val KmvK = 64
+
+  /** KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002) with
+    * its estimates audited against exact distincts — the DETERMINISTIC
+    * member of the cardinality-sketch family: where [[hllEstErr]] needs an
+    * avalanching hash and carries bias bands, KMV keeps the k smallest
+    * hash values and estimates (k−1)/h₍k₎, and because the hash here is
+    * the repo's standard md5 coin, every engine computes the identical
+    * sketch AND the identical estimate (no tolerance, hash-exact oracle).
+    *
+    * Scale shape: one distinct per (group, member) — the same shuffle the
+    * exact count needs — then the per-group bottom-k rides the
+    * WindowGroupLimit pushdown ([[groupSample]]'s pattern: each task keeps
+    * only k rows per group before the exchange, so the window stage moves
+    * O(groups·k·partitions) rows, not the corpus). Sketches of corpus
+    * shards merge by keeping the k smallest of the union — the mergeable-
+    * summary property CMS/HLL share. Groups with fewer than k members
+    * report their exact count (the standard small-range rule). */
+  def kmvEstErr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("k"))
+      .distinct().cache() // one member row per (group, user): both the
+                          // sketch and the exact audit read it
+    val topk = e
+      .withColumn("h", graft.functions.GraftFunctions.md5Coin(col("k")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("t").orderBy(col("h"), col("k"))))
+      .filter(col("rnk") <= KmvK)
+    val est = topk.groupBy("t")
+      .agg(count(lit(1)).as("nh"), max("h").as("hk"))
+      .withColumn("est", round(
+        when(col("nh") < KmvK, col("nh").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / col("hk")), 4))
+    e.groupBy("t").agg(count(lit(1)).as("exact"))
+      .join(est.select("t", "est"), "t")
+      .withColumn("err_pct",
+        round((col("est") - col("exact")) / col("exact") * 100, 4))
+      .select(col("t").as("event_type"), col("exact"), col("est"),
+        col("err_pct"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------- Bloom membership
+
+  private val BloomBits = 8192
+  private val BloomHashes: Seq[(Long, Long)] =
+    Seq((2654435761L, 1013904223L), (22695477L, 12345L))
+
+  /** Bloom-filter membership audit (Bloom 1970) — the third mergeable
+    * summary next to CMS (frequency) and HLL/KMV (cardinality): SET
+    * MEMBERSHIP in m bits. The filter is built over a dimension subset
+    * (every 10th part), probed with the fact side's distinct part keys,
+    * and audited against ground truth: a Bloom filter must have ZERO
+    * false negatives (every member probe positive — the spec asserts it)
+    * and a measurable false-positive rate the output reports.
+    *
+    * This is the RUNTIME-FILTER shape at 100 TB: the built bit set is at
+    * most m rows (broadcast — the probe side never shuffles), the build
+    * is a distinct partial aggregate over the dim, and shard filters
+    * merge by bit-OR (set union of the bit rows). Hashes are the CMS
+    * integer family with the same key-reduction overflow guard, so the
+    * grid is engine-exact and the audit replays hash-identically. */
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    def bitsOf(c: org.apache.spark.sql.Column) = BloomHashes.map {
+      case (a, b) =>
+        ((((lit(a) * (c % CmsPrime)) % CmsPrime + lit(b)) % CmsPrime)
+          % BloomBits).as("bit")
+    }
+    val dim = Tables.part(s, dir).filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("k"))
+    val bits = dim.select(explode(array(bitsOf(col("k")): _*)).as("bit"))
+      .distinct()
+    val probes = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk")).distinct()
+    val probeBits = probes
+      .select(col("pk"), explode(array(bitsOf(col("pk")): _*)).as("bit"))
+    val perProbe = probeBits
+      .join(broadcast(bits.withColumn("__in", lit(1))), Seq("bit"), "left")
+      .groupBy("pk")
+      .agg((count(lit(1)) === sum(coalesce(col("__in"), lit(0))))
+        .as("bloom_pos"))
+      .withColumn("member", col("pk") % 10 === 0)
+    perProbe
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("member").cast("long")).as("n_members"),
+        sum(col("bloom_pos").cast("long")).as("n_positives"),
+        sum((col("bloom_pos") && !col("member")).cast("long"))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .withColumn("fp_pct", round(
+        col("n_false_pos").cast("double")
+          / (col("n_probes") - col("n_members")) * 100, 4))
+  }
+
   // ---------------------------------------------- interval sweep (peak)
 
   private val ConcSessionGapUs = 600L * 1000000 // 10-min session gap
@@ -629,6 +725,8 @@ object AnalyticsPack extends QueryPack {
     "cusum_alerts" -> cusumAlerts,
     "cms_est_err" -> cmsEstErr,
     "hll_est_err" -> hllEstErr,
+    "kmv_est_err" -> kmvEstErr,
+    "bloom_filter" -> bloomFilter,
     "peak_concurrency" -> peakConcurrency,
     "label_prop" -> labelProp)
 
@@ -760,6 +858,45 @@ object AnalyticsPack extends QueryPack {
          |   AND s.bucket =
          |     (((hs.a * (t.k % $CmsPrime)) % $CmsPrime + hs.b) % $CmsPrime) % $CmsWidth
          |GROUP BY t.k, t.exact ORDER BY t.exact DESC, t.k""".stripMargin,
+    "kmv_est_err" ->
+      s"""WITH e AS (SELECT DISTINCT event_type AS t, user_id AS k FROM events),
+         | h AS (SELECT t, k,
+         |   ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+         |  FROM e),
+         | r AS (SELECT t, h,
+         |   row_number() OVER (PARTITION BY t ORDER BY h, k) AS rnk FROM h),
+         | s AS (SELECT t, count(*) AS nh, max(h) AS hk FROM r
+         |   WHERE rnk <= $KmvK GROUP BY t),
+         | est AS (SELECT t, round(CASE WHEN nh < $KmvK THEN nh
+         |     ELSE ${(KmvK - 1).toDouble} / hk END, 4) AS est FROM s),
+         | ex AS (SELECT t, count(*)::BIGINT AS exact FROM e GROUP BY t)
+         |SELECT ex.t AS event_type, exact, est,
+         | round((est - exact) / exact * 100, 4) AS err_pct
+         |FROM ex JOIN est USING (t) ORDER BY event_type""".stripMargin,
+    "bloom_filter" ->
+      s"""WITH hs(a, b) AS (VALUES
+         |   (${BloomHashes(0)._1}, ${BloomHashes(0)._2}),
+         |   (${BloomHashes(1)._1}, ${BloomHashes(1)._2})),
+         | dim AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 10 = 0),
+         | bits AS (SELECT DISTINCT
+         |     (((a * (k % $CmsPrime)) % $CmsPrime + b) % $CmsPrime) % $BloomBits AS bit
+         |   FROM dim CROSS JOIN hs),
+         | probes AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+         | pb AS (SELECT pk,
+         |     (((a * (pk % $CmsPrime)) % $CmsPrime + b) % $CmsPrime) % $BloomBits AS bit
+         |   FROM probes CROSS JOIN hs),
+         | ph AS (SELECT pk, count(*) = sum(
+         |     CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) AS pos
+         |   FROM pb GROUP BY pk),
+         | agg AS (SELECT count(*)::BIGINT AS n_probes,
+         |   sum(CASE WHEN pk % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_members,
+         |   sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_positives,
+         |   sum(CASE WHEN pos AND pk % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+         |  FROM ph)
+         |SELECT n_probes, n_members, n_positives, n_false_pos,
+         | (SELECT count(*)::BIGINT FROM bits) AS bits_set,
+         | round(n_false_pos::DOUBLE / (n_probes - n_members) * 100, 4) AS fp_pct
+         |FROM agg""".stripMargin,
     "ewma_smooth" ->
       s"""WITH $eventsUs,
          | seq AS (SELECT user_id, event_id, value,

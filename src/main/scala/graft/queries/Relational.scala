@@ -452,6 +452,28 @@ object Relational extends QueryPack {
         round(col("wp2"), 2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** INTERPOLATED weighted percentiles with FRACTIONAL weights — the
+    * cross-engine check of
+    * [[graft.plans.GlobalRank.groupWeightedPercentilesInterp]]. The weight
+    * is l_quantity + 0.5: genuinely non-integral (the case the lower
+    * quantile's threshold rule cannot make engine-stable) yet DYADIC, so
+    * every partial sum is exact in doubles in ANY addition order — the
+    * two-pass running sums and DuckDB's sequential window produce
+    * bit-identical CDFs, and the interpolation arithmetic is the same
+    * IEEE expression tree on both sides. Equal prices collapse first, so
+    * knot placement is a pure function of the data. */
+  def weightedPercentilesInterp(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GlobalRank.groupWeightedPercentilesInterp(
+      Tables.lineitem(s, dir)
+        .withColumn("__w", col("l_quantity") + lit(0.5)),
+      "l_returnflag", "l_extendedprice", "__w", Seq(0.25, 0.5, 0.75))
+      .select(col("l_returnflag"), col("n_values"),
+        round(col("w_total"), 1).as("w_total"),
+        round(col("wp0"), 6).as("p25"),
+        round(col("wp1"), 6).as("p50"),
+        round(col("wp2"), 6).as("p75"))
+      .orderBy("l_returnflag")
+
   /** Data-quality expectation report (Great-Expectations-style): each rule
     * is one boolean column summed over a scan — null checks, range checks,
     * domain membership, and referential integrity (the FK rule is a keyed
@@ -603,6 +625,7 @@ object Relational extends QueryPack {
     "rfm_tiers" -> rfmTiers,
     "group_percentiles" -> groupPercentiles,
     "weighted_percentiles" -> weightedPercentiles,
+    "weighted_percentiles_interp" -> weightedPercentilesInterp,
     "dq_checks" -> dqChecks,
     "rank_functions" -> rankFunctions,
     "numeric_profile" -> numericProfile,
@@ -742,6 +765,38 @@ object Relational extends QueryPack {
         | round(min(CASE WHEN cumw >= 0.5 * tot THEN v END), 2) AS p50,
         | round(min(CASE WHEN cumw >= 0.75 * tot THEN v END), 2) AS p75
         |FROM s GROUP BY flag ORDER BY flag""".stripMargin,
+    "weighted_percentiles_interp" ->
+      // the knot CDF mirrors the Scala op exactly: collapse equal prices,
+      // midpoint plotting positions s = (cumw − w/2)/tot (dyadic weights ⇒
+      // exact sums in any order), flanking-knot interpolation
+      """WITH pts AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |   sum(l_quantity + 0.5) AS w FROM lineitem GROUP BY 1, 2),
+        | tot AS (SELECT flag, sum(w) AS tw, count(*)::BIGINT AS nv
+        |   FROM pts GROUP BY flag),
+        | c AS (SELECT flag, v, w, sum(w) OVER (PARTITION BY flag ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cumw FROM pts),
+        | s AS (SELECT c.flag, v, (cumw - w / 2) / tw AS s
+        |   FROM c JOIN tot USING (flag)),
+        | a AS (SELECT flag,
+        |   max(s) FILTER (WHERE s <= 0.25) AS sl0, arg_max(v, s) FILTER (WHERE s <= 0.25) AS vl0,
+        |   min(s) FILTER (WHERE s >= 0.25) AS sh0, arg_min(v, s) FILTER (WHERE s >= 0.25) AS vh0,
+        |   max(s) FILTER (WHERE s <= 0.5)  AS sl1, arg_max(v, s) FILTER (WHERE s <= 0.5)  AS vl1,
+        |   min(s) FILTER (WHERE s >= 0.5)  AS sh1, arg_min(v, s) FILTER (WHERE s >= 0.5)  AS vh1,
+        |   max(s) FILTER (WHERE s <= 0.75) AS sl2, arg_max(v, s) FILTER (WHERE s <= 0.75) AS vl2,
+        |   min(s) FILTER (WHERE s >= 0.75) AS sh2, arg_min(v, s) FILTER (WHERE s >= 0.75) AS vh2
+        |  FROM s GROUP BY flag)
+        |SELECT a.flag AS l_returnflag, tot.nv AS n_values,
+        | round(tot.tw, 1) AS w_total,
+        | round(CASE WHEN sl0 IS NULL THEN vh0 WHEN sh0 IS NULL THEN vl0
+        |   WHEN sh0 = sl0 THEN vl0
+        |   ELSE vl0 + (0.25 - sl0) / (sh0 - sl0) * (vh0 - vl0) END, 6) AS p25,
+        | round(CASE WHEN sl1 IS NULL THEN vh1 WHEN sh1 IS NULL THEN vl1
+        |   WHEN sh1 = sl1 THEN vl1
+        |   ELSE vl1 + (0.5 - sl1) / (sh1 - sl1) * (vh1 - vl1) END, 6) AS p50,
+        | round(CASE WHEN sl2 IS NULL THEN vh2 WHEN sh2 IS NULL THEN vl2
+        |   WHEN sh2 = sl2 THEN vl2
+        |   ELSE vl2 + (0.75 - sl2) / (sh2 - sl2) * (vh2 - vl2) END, 6) AS p75
+        |FROM a JOIN tot USING (flag) ORDER BY l_returnflag""".stripMargin,
     "rv_derivation" ->
       """SELECT c_custkey,
         | round(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT

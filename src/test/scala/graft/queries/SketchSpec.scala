@@ -64,4 +64,28 @@ class SketchSpec extends SparkSpec {
     // every per-type estimate is ≤ the overall estimate within sketch noise
     byType.agg(max("d")).head().getLong(0) should be <= (overall * 1.05).toLong
   }
+
+  it should "keep KMV estimates inside the bottom-k error envelope" in {
+    val rows = AnalyticsPack.kmvEstErr(spark, dir).collect()
+    rows.length shouldBe 5
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact"); val est = r.getAs[Double]("est")
+      if (exact < 64) est shouldBe exact.toDouble // small-range exact rule
+      // k = 64 ⇒ relative σ ≈ 1/√(k−2) ≈ 12.7%; 4σ envelope
+      else math.abs(est - exact) / exact should be < 0.51
+    }
+  }
+
+  it should "admit every member through the Bloom filter (zero false negatives)" in {
+    val r = AnalyticsPack.bloomFilter(spark, dir).collect().head
+    val (nProbes, nMembers, nPos, nFp) = (r.getAs[Long]("n_probes"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("n_positives"),
+      r.getAs[Long]("n_false_pos"))
+    nMembers should be > 0L
+    // positives = members + false positives ⇔ no member was rejected
+    nPos - nFp shouldBe nMembers
+    nProbes should be > nMembers // the audit actually probes non-members
+    // the bit array is far from saturated at this dim size
+    r.getAs[Long]("bits_set") should be < 8192L
+  }
 }
