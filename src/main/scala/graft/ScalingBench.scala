@@ -49,6 +49,10 @@ object ScalingBench {
     "weighted_percentiles", // global range sort + running weight CDF
     "peak_concurrency",   // two-pass running sum over the sweep order
     "label_prop",         // iterative keyed label joins
+    "kmv_est_err",        // bottom-k distinct sketch (WindowGroupLimit)
+    "bloom_filter",       // broadcast membership bit set
+    "weighted_percentiles_interp", // collapsed knot CDF interpolation
+    "png_codec",          // row-local deflate codec (CPU/scan-bound)
     "embed_rp")           // row-local JL projection (scan-bound)
 
   def main(args: Array[String]): Unit = {

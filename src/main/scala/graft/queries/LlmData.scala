@@ -2048,6 +2048,61 @@ object LlmData extends QueryPack {
         round(coalesce(col("n_overlap"), lit(0L)) / col("n_sh"), 6).as("frac"))
   }
 
+  private val DecontamBloomBits  = 65536
+  private val DecontamBloomPrime = 2147483647L
+  private val DecontamBloomHashes: Seq[(Long, Long)] =
+    Seq((2654435761L, 1013904223L), (22695477L, 12345L))
+
+  /** Bloom-PREFILTERED decontamination — the GPT-3-style scale path for
+    * [[decontamOverlap]]: the eval set's shingles fold into an m-bit Bloom
+    * filter (a distinct partial aggregate, ≤ m rows, BROADCAST), corpus
+    * shingles probe it row-locally, and only the bloom-positive candidates
+    * reach the exact semi-join. A Bloom filter has zero false negatives,
+    * so the prefilter is LOSSLESS — n_overlap/frac equal the exact op's
+    * answer by construction — while the expensive eval join runs on the
+    * candidate subset instead of the corpus. n_cand (candidates per doc,
+    * false positives included) is reported so the prefilter's measured
+    * selectivity is itself oracle-checked: the md5 shingle key and the
+    * CMS-family integer bit hashes replay exactly in any engine.
+    *
+    * At 100 TB this is the decontam plan you ship: corpus shingles never
+    * shuffle for the probe (broadcast bit set), and the exact verify's
+    * shuffle carries only candidates — bounded by the eval set's true
+    * overlap plus the m-controlled FP rate. */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+      .withColumn("k",
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .cache()
+    def bitCols(kc: org.apache.spark.sql.Column) = DecontamBloomHashes.map {
+      case (a, b) =>
+        (((lit(a) * (kc % DecontamBloomPrime)) % DecontamBloomPrime + lit(b))
+          % DecontamBloomPrime) % DecontamBloomBits
+    }
+    val evalBits = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(array(bitCols(col("k")): _*)).as("bit")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // a shingle is a candidate iff EVERY one of its bits is set
+    val cand = corpus
+      .select(col("doc_id"), col("s"),
+        explode(array(bitCols(col("k")): _*)).as("bit"))
+      .join(broadcast(evalBits.withColumn("__in", lit(1))), Seq("bit"), "left")
+      .groupBy("doc_id", "s")
+      .agg((count(lit(1)) === sum(coalesce(col("__in"), lit(0)))).as("pos"))
+      .filter(col("pos")).select("doc_id", "s")
+    val nCand = cand.groupBy("doc_id").agg(count(lit(1)).as("n_cand"))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val hits = cand.join(evalSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    nCand.join(sizes, Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), col("n_cand"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / col("n_sh"), 6).as("frac"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
     * Language Models", §A1.1 repetition filters): per-doc duplicate-word
     * fraction, top-word fraction, top-bigram fraction, and a keep flag.
@@ -3351,6 +3406,7 @@ object LlmData extends QueryPack {
     "doc_winnow" -> docWinnow,
     "lang_profile" -> langProfile,
     "decontam_overlap" -> decontamOverlap,
+    "decontam_bloom" -> decontamBloom,
     "gopher_repetition" -> gopherRepetition,
     "embed_kmeans" -> embedKmeans,
     "embed_pq" -> ((s, d) => embedPq(s, d)),
@@ -4068,6 +4124,35 @@ object LlmData extends QueryPack {
         |SELECT doc_id, n_sh, n_overlap,
         | round(n_overlap::DOUBLE / n_sh, 6) AS frac
         |FROM hits JOIN sizes USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "decontam_bloom" ->
+      s"""WITH $shinglesSql,
+        | kk AS (SELECT doc_id, s,
+        |   ('0x' || substr(md5(s), 1, 8))::BIGINT AS k FROM sh),
+        | hs(a, b) AS (VALUES
+        |   (${DecontamBloomHashes(0)._1}, ${DecontamBloomHashes(0)._2}),
+        |   (${DecontamBloomHashes(1)._1}, ${DecontamBloomHashes(1)._2})),
+        | eb AS (SELECT DISTINCT
+        |     (((a * (k % $DecontamBloomPrime)) % $DecontamBloomPrime + b)
+        |       % $DecontamBloomPrime) % $DecontamBloomBits AS bit
+        |   FROM kk CROSS JOIN hs WHERE doc_id % 97 = 0),
+        | corpus AS (SELECT doc_id, s, k FROM kk WHERE doc_id % 97 <> 0),
+        | sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM corpus GROUP BY doc_id),
+        | pb AS (SELECT doc_id, s,
+        |     (((a * (k % $DecontamBloomPrime)) % $DecontamBloomPrime + b)
+        |       % $DecontamBloomPrime) % $DecontamBloomBits AS bit
+        |   FROM corpus CROSS JOIN hs),
+        | cand AS (SELECT doc_id, s FROM pb GROUP BY doc_id, s
+        |   HAVING count(*) = sum(
+        |     CASE WHEN bit IN (SELECT bit FROM eb) THEN 1 ELSE 0 END)),
+        | nc AS (SELECT doc_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY doc_id),
+        | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        | hits AS (SELECT doc_id, count(*)::BIGINT AS n_overlap
+        |   FROM cand JOIN ev USING (s) GROUP BY doc_id)
+        |SELECT nc.doc_id, n_sh, n_cand,
+        | coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+        | round(coalesce(n_overlap, 0)::DOUBLE / n_sh, 6) AS frac
+        |FROM nc JOIN sizes USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "gopher_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | wc AS (SELECT doc_id, w, count(*) AS c FROM

@@ -474,6 +474,41 @@ object Relational extends QueryPack {
         round(col("wp2"), 6).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Z-order (Morton-curve) layout audit — the multi-column data-skipping
+    * layout (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleave the low 16
+    * bits of two dimensions (customer key; total price at $10
+    * granularity), split the z-order into 16 exact global buckets, and
+    * report each bucket's row count and per-dimension min/max bounds —
+    * exactly the parquet footer stats a scan prunes on. Because the
+    * Morton curve preserves locality in BOTH dimensions, every bucket
+    * covers a tight hyper-rectangle: a predicate on EITHER column skips
+    * most buckets, where a single-column sort gives tight bounds on one
+    * dimension and useless ones on the other.
+    *
+    * Scale shape: the z-value is a row-local integer fold (one codegen'd
+    * higher-order expression, no shuffle); the bucketing is the exact
+    * two-pass global NTILE (never a single-task window); the write path
+    * at 100 TB is `repartitionByRange(z)` + per-file stats — this audit
+    * IS those stats, integer-exact in any engine. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      (col("o_custkey") % 65536).as("x"),
+      least(lit(65535L), floor(col("o_totalprice") / 10).cast("long")).as("y"),
+      col("o_orderkey"))
+    val z = base.withColumn("z", expr(
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+        |  acc + (shiftright(x, i) % 2) * shiftleft(1L, 2 * i)
+        |      + (shiftright(y, i) % 2) * shiftleft(1L, 2 * i + 1))"""
+        .stripMargin))
+    graft.plans.GlobalRank
+      .withNtile(z, Seq(col("z"), col("o_orderkey")), 16, "bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("bucket")
+  }
+
   /** Data-quality expectation report (Great-Expectations-style): each rule
     * is one boolean column summed over a scan — null checks, range checks,
     * domain membership, and referential integrity (the FK rule is a keyed
@@ -626,6 +661,7 @@ object Relational extends QueryPack {
     "group_percentiles" -> groupPercentiles,
     "weighted_percentiles" -> weightedPercentiles,
     "weighted_percentiles_interp" -> weightedPercentilesInterp,
+    "zorder_layout" -> zorderLayout,
     "dq_checks" -> dqChecks,
     "rank_functions" -> rankFunctions,
     "numeric_profile" -> numericProfile,
@@ -765,6 +801,21 @@ object Relational extends QueryPack {
         | round(min(CASE WHEN cumw >= 0.5 * tot THEN v END), 2) AS p50,
         | round(min(CASE WHEN cumw >= 0.75 * tot THEN v END), 2) AS p75
         |FROM s GROUP BY flag ORDER BY flag""".stripMargin,
+    "zorder_layout" ->
+      """WITH b AS (SELECT o_custkey % 65536 AS x,
+        |   least(65535, floor(o_totalprice / 10)::BIGINT) AS y, o_orderkey
+        |  FROM orders),
+        | z AS (SELECT x, y, o_orderkey,
+        |   list_sum(list_transform(range(0, 16), i ->
+        |     ((x >> i) & 1) * (1::BIGINT << (2 * i))
+        |     + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS z
+        |  FROM b),
+        | t AS (SELECT x, y,
+        |   CAST(ntile(16) OVER (ORDER BY z, o_orderkey) AS BIGINT) AS bucket
+        |  FROM z)
+        |SELECT bucket, count(*)::BIGINT AS n, min(x) AS x_min, max(x) AS x_max,
+        | min(y) AS y_min, max(y) AS y_max
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "weighted_percentiles_interp" ->
       // the knot CDF mirrors the Scala op exactly: collapse equal prices,
       // midpoint plotting positions s = (cumw − w/2)/tot (dyadic weights ⇒

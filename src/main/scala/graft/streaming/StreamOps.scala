@@ -87,6 +87,8 @@ final case class HllRegister(group: String, bucket: Long, rho: Int)
   * the fixed baseline histogram, re-emitted as the window's counts grow. */
 final case class PsiUpdate(window_start_us: Long, n: Long, psi: Double)
 
+final case class KmvEstimate(group: String, n_kept: Int, est: Double)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -668,6 +670,38 @@ object StreamOps {
             rows.map(_._3).max)
           state.update(best)
           HllRegister(key._1, key._2, best)
+      }
+  }
+
+  /** Live KMV distinct-count sketch — the streaming twin of
+    * `AnalyticsPack.kmvEstErr`: per group, keep the k smallest DISTINCT
+    * member hashes seen so far and estimate (k−1)/h₍k₎ (exact count below
+    * k). The hash is the repo's standard md5 coin — a pure function of
+    * the member — so the sketch is redelivery-safe (a duplicate can only
+    * collide with itself) and a replay converges to the exact batch
+    * sketch. State is O(k) doubles per group, forever. */
+  def kmvDistinct(events: Dataset[Event], k: Int = 64): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    require(k >= 2, s"kmv: k must be >= 2, got $k")
+    def coinOf(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[Event], state: GroupState[Seq[Double]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            evs.map(e => coinOf(e.user_id))).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else (k - 1).toDouble / merged.last
+          KmvEstimate(etype, merged.size,
+            BigDecimal(est).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
   }
 

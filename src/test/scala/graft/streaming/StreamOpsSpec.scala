@@ -661,6 +661,50 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "kmvDistinct"
+
+  it should "converge to the batch bottom-k sketch and survive redelivery" in {
+    val k = 8
+    val evs = (1 to 60).map(i =>
+      Event(i.toLong, ts(i.toLong), (i % 23 + 1).toLong,
+        if (i % 2 == 0) "click" else "view", 1.0))
+    val (b1, b2) = evs.splitAt(31)
+    val in = MemoryStream[Event]
+    val q = StreamOps.kmvDistinct(in.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_est")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // redelivery: set is idempotent
+      val streamed = spark.table("kmv_est")
+        .groupBy("group")
+        .agg(org.apache.spark.sql.functions.expr("max_by(est, n_kept)").as("est"),
+          org.apache.spark.sql.functions.max("n_kept").as("n_kept"))
+        .as[(String, Double, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // plain-Scala replay of the same bottom-k sketch
+      def coin(id: Long): Double = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+      }
+      val want = evs.groupBy(_.event_type).map { case (t, es) =>
+        val hs = es.map(e => coin(e.user_id)).distinct.sorted.take(k)
+        val est = if (hs.size < k) hs.size.toDouble else (k - 1).toDouble / hs.last
+        t -> (BigDecimal(est).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, hs.size)
+      }
+      streamed shouldBe want
+      // the sketch actually estimates: both groups saw > k members
+      evs.groupBy(_.event_type).foreach { case (t, es) =>
+        es.map(_.user_id).distinct.size should be > k
+        streamed(t)._2 shouldBe k
+      }
+    } finally q.stop()
+  }
+
   behavior of "windowedPsi"
 
   it should "converge to the batch per-window PSI across micro-batches" in {
