@@ -142,14 +142,145 @@ object ExperimentPack extends QueryPack {
       .orderBy("dur")
   }
 
+  // ----------------------------------------------- difference-in-differences
+
+  /** Difference-in-differences over the deterministic 2×2 design: variant
+    * (user_id parity) × period (event_id parity — the same pre/post
+    * stand-in [[cupedAdjust]] uses). Each user contributes a pre and a
+    * post total (missing period ⇒ 0, like CUPED); the estimate is the
+    * classic interaction of cell means, did = (trt_post − trt_pre) −
+    * (ctrl_post − ctrl_pre). ONE keyed user agg + ONE conditional global
+    * agg — O(1) result from any corpus size. */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_id") % 2 === 0, col("value"))), lit(0.0))
+          .as("pre"),
+        coalesce(sum(when(col("event_id") % 2 === 1, col("value"))), lit(0.0))
+          .as("post"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    u.agg(
+      count(lit(1)).as("n_users"),
+      avg(when(col("variant") === 0, col("pre"))).as("cp"),
+      avg(when(col("variant") === 0, col("post"))).as("cq"),
+      avg(when(col("variant") === 1, col("pre"))).as("tp"),
+      avg(when(col("variant") === 1, col("post"))).as("tq"))
+      .select(col("n_users"),
+        round(col("cp"), 6).as("ctrl_pre"), round(col("cq"), 6).as("ctrl_post"),
+        round(col("tp"), 6).as("trt_pre"), round(col("tq"), 6).as("trt_post"),
+        round((col("tq") - col("tp")) - (col("cq") - col("cp")), 6).as("did"))
+  }
+
+  // ------------------------------------------------- Mann-Whitney U test
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric complement of
+    * [[abWelch]]: rank every user's metric globally (average ranks on
+    * ties), U = R_b − n_b(n_b+1)/2, normal approximation with the exact
+    * tie correction. The metric is rounded to 6 dp BEFORE ranking (the
+    * doc_keywords idiom: per-user float sums carry ulp noise that must
+    * never decide a rank), then the corpus collapses to the DISTINCT-value
+    * frame whose cumulative counts come from the two-pass running-sum
+    * machinery — avg tie rank = cum − (c−1)/2 is row-local, R_b is one
+    * conditional sum. No global window, no per-group buffer. */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val u = perUser(s, dir).withColumn("m", round(col("m"), 6))
+    val v = u.groupBy("m").agg(count(lit(1)).as("c"),
+      sum(col("variant")).as("cb"))
+    val run = graft.plans.GlobalRank.withRunningSums(
+      v, Seq(col("m")), Seq("c" -> "cum"))
+    run
+      .select(((col("cum") - (col("c") - 1) / 2.0) * col("cb")).as("rbp"),
+        col("c"), col("cb"))
+      .agg(sum("rbp").as("rb"),
+        sum(pow(col("c"), 3) - col("c")).as("ties"),
+        sum("c").as("nn"), sum("cb").as("nb"))
+      .select(
+        (col("nn") - col("nb")).as("n_a"), col("nb").as("n_b"),
+        round(col("rb") - col("nb") * (col("nb") + 1) / 2.0, 2).as("u_stat"),
+        round(
+          (col("rb") - col("nb") * (col("nb") + 1) / 2.0
+            - (col("nn") - col("nb")) * col("nb") / 2.0) /
+            sqrt((col("nn") - col("nb")) * col("nb") / 12.0 *
+              ((col("nn") + 1) - col("ties") /
+                (col("nn") * (col("nn") - 1)))), 6).as("z_stat"))
+  }
+
+  // ---------------------------------------------------- winsorized means
+
+  /** Winsorized per-variant means — the robust-metric read every revenue
+    * experiment ships next to the raw mean (heavy-tail users otherwise
+    * decide the test): clamp each user's metric at the variant's exact
+    * [p05, p95] (PERCENTILE_CONT semantics through the two-pass rank
+    * machinery — no per-group value buffer), then average. Metric rounded
+    * to 6 dp first so the percentile inputs are engine-identical. */
+  def winsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val u = perUser(s, dir).withColumn("m", round(col("m"), 6))
+    val pct = graft.plans.GlobalRank
+      .groupPercentilesExact(u, "variant", "m", Seq(0.05, 0.95))
+      .select(col("variant"), col("p0").as("lo"), col("p1").as("hi"))
+    u.join(broadcast(pct), "variant")
+      .withColumn("w", least(greatest(col("m"), col("lo")), col("hi")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        round(max("lo"), 6).as("lo"), round(max("hi"), 6).as("hi"),
+        round(avg("m"), 6).as("raw_mean"),
+        round(avg("w"), 6).as("winsor_mean"))
+      .orderBy("variant")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_welch" -> abWelch,
     "cuped_adjust" -> cupedAdjust,
+    "diff_in_diff" -> diffInDiff,
+    "mann_whitney" -> mannWhitney,
+    "winsorized_mean" -> winsorizedMean,
     "kaplan_meier" -> kaplanMeier)
 
   def oracle: Map[String, String] = Map(
+    "diff_in_diff" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |   coalesce(sum(CASE WHEN event_id % 2 = 0 THEN value END), 0.0) AS pre,
+        |   coalesce(sum(CASE WHEN event_id % 2 = 1 THEN value END), 0.0) AS post
+        |  FROM events GROUP BY 1),
+        | g AS (SELECT count(*)::BIGINT AS n_users,
+        |   avg(CASE WHEN variant = 0 THEN pre END) AS cp,
+        |   avg(CASE WHEN variant = 0 THEN post END) AS cq,
+        |   avg(CASE WHEN variant = 1 THEN pre END) AS tp,
+        |   avg(CASE WHEN variant = 1 THEN post END) AS tq FROM u)
+        |SELECT n_users, round(cp, 6) AS ctrl_pre, round(cq, 6) AS ctrl_post,
+        | round(tp, 6) AS trt_pre, round(tq, 6) AS trt_post,
+        | round((tq - tp) - (cq - cp), 6) AS did
+        |FROM g""".stripMargin,
+    "mann_whitney" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |   round(sum(value), 6) AS m FROM events GROUP BY 1),
+        | v AS (SELECT m, count(*)::BIGINT AS c, sum(variant)::BIGINT AS cb
+        |   FROM u GROUP BY m),
+        | s AS (SELECT m, c, cb, sum(c) OVER (ORDER BY m
+        |     ROWS UNBOUNDED PRECEDING) AS cum FROM v),
+        | g AS (SELECT sum((cum - (c - 1) / 2.0) * cb) AS rb,
+        |   sum(pow(c, 3) - c) AS ties,
+        |   sum(c)::BIGINT AS nn, sum(cb)::BIGINT AS nb FROM s)
+        |SELECT (nn - nb)::BIGINT AS n_a, nb AS n_b,
+        | round(rb - nb * (nb + 1) / 2.0, 2) AS u_stat,
+        | round((rb - nb * (nb + 1) / 2.0 - (nn - nb) * nb / 2.0) /
+        |   sqrt((nn - nb) * nb / 12.0 *
+        |     ((nn + 1) - ties / (nn * (nn - 1.0)))), 6) AS z_stat
+        |FROM g""".stripMargin,
+    "winsorized_mean" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |   round(sum(value), 6) AS m FROM events GROUP BY 1),
+        | p AS (SELECT variant, quantile_cont(m, 0.05) AS lo,
+        |   quantile_cont(m, 0.95) AS hi FROM u GROUP BY variant)
+        |SELECT u.variant, count(*)::BIGINT AS n,
+        | round(p.lo, 6) AS lo, round(p.hi, 6) AS hi,
+        | round(avg(m), 6) AS raw_mean,
+        | round(avg(least(greatest(m, p.lo), p.hi)), 6) AS winsor_mean
+        |FROM u JOIN p USING (variant)
+        |GROUP BY u.variant, p.lo, p.hi ORDER BY variant""".stripMargin,
     "ab_welch" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS variant, sum(value) AS m
         |   FROM events GROUP BY 1),
