@@ -49,6 +49,16 @@ object AnalyticsQuickStart {
     println(s"[analytics] deterministic reservoir: $sample rows " +
       "(3 per event type, identical on every engine and re-run)")
 
+    // the mergeable-summary trio: frequency (CMS), cardinality (KMV —
+    // deterministic, vs HLL's bias bands), membership (Bloom)
+    val kmv = AnalyticsPack.kmvEstErr(spark, dir)
+      .agg(max(abs(col("err_pct"))).as("worst")).head().getDouble(0)
+    val bl = AnalyticsPack.bloomFilter(spark, dir).head()
+    println(f"[analytics] sketches: KMV worst |err| $kmv%.2f%%; bloom " +
+      s"${bl.getAs[Long]("n_positives")} positives over " +
+      s"${bl.getAs[Long]("n_probes")} probes " +
+      s"(${bl.getAs[Long]("n_false_pos")} false, 0 missed members)")
+
     val merges = LlmData.bpeTrain(spark, dir).collect()
       .map(r => s"${r.getString(1)}+${r.getString(2)}").mkString(" ")
     val fert = LlmData.bpeApply(spark, dir)

@@ -313,4 +313,43 @@ class PlanAuditSpec extends SparkSpec {
         and not include "o_orderdate")
     p should not include "CartesianProduct"
   }
+
+  it should "push the KMV bottom-k as a WindowGroupLimit before the exchange" in {
+    val p = plan(AnalyticsPack.kmvEstErr(spark, dir))
+    // each task keeps only k rows per group pre-shuffle — the property
+    // that bounds the window stage at O(groups·k·partitions) rows
+    p should include ("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
+  it should "broadcast the Bloom bit set so the probe side never shuffles for it" in {
+    val p = plan(AnalyticsPack.bloomFilter(spark, dir))
+    p should include ("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the bit-set build aggregates partially (distinct = partial + final)
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  it should "probe the decontam Bloom set by broadcast with the exact verify a semi-join" in {
+    val p = plan(LlmData.decontamBloom(spark, dir))
+    p should include ("BroadcastHashJoin")
+    p should include ("LeftSemi")
+    p should not include "CartesianProduct"
+  }
+
+  it should "compute the z-order value row-locally and bucket without a global window" in {
+    val p = plan(Relational.zorderLayout(spark, dir))
+    p should not include "SinglePartition"
+    p should not include "CartesianProduct"
+    p should not include "Window" // exact ntile rides the two-pass ranks
+  }
+
+  it should "collapse the interpolated weighted-percentile knots before the flank aggregates" in {
+    val p = plan(Relational.weightedPercentilesInterp(spark, dir))
+    // equal values collapse in a partial+final aggregate; no cartesian,
+    // no single-partition window anywhere in the knot machinery
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should not include "CartesianProduct"
+    p should not include "SinglePartition"
+  }
 }
