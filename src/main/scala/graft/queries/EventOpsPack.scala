@@ -604,7 +604,25 @@ object EventOpsPack extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Weekly seasonality profile — per (day-of-week, hour-of-day) event
+    * counts and mean value, the capacity/traffic heatmap every event
+    * platform keeps. Day/hour are derived from epoch micros with PURE
+    * INTEGER arithmetic (dow 0 = Sunday via the epoch-day + 4 offset;
+    * hour = µs-of-day / 3600e6) instead of calendar functions, so the
+    * bucketing is engine-exact with no timezone/locale semantics to
+    * align. One partial aggregate over the scan — the cheapest possible
+    * shape at any scale. */
+  def seasonalityProfile(s: SparkSession, dir: String): DataFrame =
+    withUs(s, dir)
+      .withColumn("dow", expr("(us div 86400000000 + 4) % 7"))
+      .withColumn("hour", expr("(us % 86400000000) div 3600000000"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("dow", "hour")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonality_profile" -> seasonalityProfile,
     "rolling_zscore" -> rollingZscore,
     "gap_fill_locf" -> gapFillLocf,
     "decayed_value" -> decayedValue,
@@ -629,6 +647,13 @@ object EventOpsPack extends QueryPack {
     "interevent_gaps" -> intereventGaps)
 
   val oracle: Map[String, String] = Map(
+    "seasonality_profile" ->
+      """WITH e AS (SELECT value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT (us // 86400000000 + 4) % 7 AS dow,
+        | (us % 86400000000) // 3600000000 AS hour,
+        | count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
     "heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt
         |   FROM events GROUP BY 1, 2),

@@ -125,6 +125,29 @@ object LlmData extends QueryPack {
       .select("keep_id", "n_copies", "text_hash")
       .orderBy("keep_id")
 
+  /** Soft-dedup training weights (the SlimPajama/RefinedWeb alternative
+    * to hard removal): every doc keeps a weight of 1/n_copies of its
+    * exact-dedup cluster, so duplicated content contributes ONE copy's
+    * worth of gradient mass regardless of how many times it recurs. The
+    * report is the per-source raw vs effective character mass — the
+    * number that says how much of a source's apparent volume is
+    * duplication. Scale shape: one groupBy on the uniform md5 hash (the
+    * dedup shuffle that runs anyway) + one keyed join back + one partial
+    * aggregate; nothing beyond the exact-dedup cost. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(lower(trim(col("text")))).as("h"))
+    val grp = d.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    d.join(grp, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("raw_chars"),
+        round(sum(col("n_chars") / col("n_copies")), 4).as("eff_chars"))
+      .withColumn("eff_ratio", round(col("eff_chars") / col("raw_chars"), 6))
+      .orderBy("source")
+  }
+
   /** Exact n-gram (trigram-shingle) Jaccard near-dup pairs via inverted-
     * index join — the exactness baseline for MinHash. */
   def neardupPairs(s: SparkSession, dir: String): DataFrame =
@@ -3375,6 +3398,7 @@ object LlmData extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "soft_dedup_weights" -> softDedupWeights,
     "dedup_normalized" -> dedupNormalized,
     "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
     "doc_chunk" -> docChunk,
@@ -3665,6 +3689,16 @@ object LlmData extends QueryPack {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "soft_dedup_weights" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |   md5(lower(trim(text))) AS h FROM documents),
+        | g AS (SELECT h, count(*)::BIGINT AS n_copies FROM d GROUP BY h)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(n_chars)::BIGINT AS raw_chars,
+        | round(sum(n_chars::DOUBLE / n_copies), 4) AS eff_chars,
+        | round(round(sum(n_chars::DOUBLE / n_copies), 4)
+        |   / sum(n_chars), 6) AS eff_ratio
+        |FROM d JOIN g USING (h) GROUP BY source ORDER BY source""".stripMargin,
     "dedup_normalized" ->
       """WITH all_docs AS (
         |   SELECT doc_id, text FROM documents

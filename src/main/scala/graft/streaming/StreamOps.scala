@@ -89,6 +89,8 @@ final case class PsiUpdate(window_start_us: Long, n: Long, psi: Double)
 
 final case class KmvEstimate(group: String, n_kept: Int, est: Double)
 
+final case class BloomBit(bit: Long)
+
 /** Reservoir state: the k rows with the smallest (md5 coin, id) keys seen
   * so far for one group, plus an emission counter — O(k) per group. */
 final case class ReservoirMemo(
@@ -670,6 +672,31 @@ object StreamOps {
             rows.map(_._3).max)
           state.update(best)
           HllRegister(key._1, key._2, best)
+      }
+  }
+
+  /** Live Bloom membership filter — the streaming twin of
+    * `AnalyticsPack.bloomFilter`'s bit-set build: each member key sets
+    * its d bits (same CMS-family integer hashes, same key-reduction
+    * overflow guard), keyed state is ONE boolean per live bit — bounded
+    * by m forever — and setting a bit is idempotent, so redelivery is
+    * harmless and a replay converges to the exact batch bit set. Stream
+    * twin use: the live side of a runtime filter — the sink's distinct
+    * bit set IS the broadcastable probe structure. */
+  def bloomBits(events: Dataset[Event], m: Int = 8192): Dataset[BloomBit] = {
+    import events.sparkSession.implicits._
+    require(m > 0, s"bloom: m must be positive, got $m")
+    val hashes = Seq((2654435761L, 1013904223L), (22695477L, 12345L))
+    events
+      .flatMap(e => hashes.map { case (a, b) =>
+        ((a * (e.user_id % 2147483647L) % 2147483647L + b)
+          % 2147483647L) % m
+      })
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bit: Long, _: Iterator[Long], state: GroupState[Boolean]) =>
+          state.update(true)
+          BloomBit(bit)
       }
   }
 

@@ -661,6 +661,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "bloomBits"
+
+  it should "converge to the batch bit set and survive redelivery" in {
+    val m = 64
+    val evs = (1 to 50).map(i =>
+      Event(i.toLong, ts(i.toLong), (i % 17 + 1).toLong, "view", 1.0))
+    val (b1, b2) = evs.splitAt(26)
+    val in = MemoryStream[Event]
+    val q = StreamOps.bloomBits(in.toDS(), m)
+      .writeStream.format("memory").queryName("bloom_bits")
+      .outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // redelivery: set-idempotent
+      val streamed = spark.table("bloom_bits")
+        .select("bit").distinct().as[Long].collect().toSet
+      val batch = evs.flatMap { e =>
+        Seq((2654435761L, 1013904223L), (22695477L, 12345L)).map {
+          case (a, b) =>
+            ((a * (e.user_id % 2147483647L) % 2147483647L + b)
+              % 2147483647L) % m
+        }
+      }.toSet
+      streamed shouldBe batch
+      // state bounded by m regardless of stream length
+      q.lastProgress.stateOperators.head.numRowsTotal should be <= m.toLong
+    } finally q.stop()
+  }
+
   behavior of "kmvDistinct"
 
   it should "converge to the batch bottom-k sketch and survive redelivery" in {
