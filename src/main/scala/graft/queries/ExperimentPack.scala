@@ -229,6 +229,66 @@ object ExperimentPack extends QueryPack {
       .orderBy("variant")
   }
 
+  // --------------------------------------------- quantile treatment effects
+
+  /** Quantile treatment effects — the distributional read a mean-based
+    * test hides: per-variant exact PERCENTILE_CONT at p10/p50/p90 (rank
+    * machinery, no per-group buffer) and their treated-minus-control
+    * differences. A treatment that moves the tail but not the median
+    * shows up here and nowhere in [[abWelch]]. Metric rounded to 6 dp
+    * first so the percentile inputs are engine-identical. */
+  def quantileTreatment(s: SparkSession, dir: String): DataFrame = {
+    val u = perUser(s, dir).withColumn("m", round(col("m"), 6))
+    val p = graft.plans.GlobalRank
+      .groupPercentilesExact(u, "variant", "m", Seq(0.1, 0.5, 0.9))
+    val c = p.filter(col("variant") === 0)
+      .select(col("p0").as("c10"), col("p1").as("c50"), col("p2").as("c90"))
+    val t = p.filter(col("variant") === 1)
+      .select(col("p0").as("t10"), col("p1").as("t50"), col("p2").as("t90"))
+    t.crossJoin(broadcast(c)).select(
+      round(col("c10"), 6).as("ctrl_p10"), round(col("t10"), 6).as("trt_p10"),
+      round(col("t10") - col("c10"), 6).as("qte_p10"),
+      round(col("c50"), 6).as("ctrl_p50"), round(col("t50"), 6).as("trt_p50"),
+      round(col("t50") - col("c50"), 6).as("qte_p50"),
+      round(col("c90"), 6).as("ctrl_p90"), round(col("t90"), 6).as("trt_p90"),
+      round(col("t90") - col("c90"), 6).as("qte_p90"))
+  }
+
+  // ------------------------------------------------ Nelson-Aalen hazard
+
+  /** Nelson–Aalen cumulative hazard over the same right-censored user
+    * lifetimes as [[kaplanMeier]]: H(t) = Σ_{d ≤ t} e_d / n_risk(d) — the
+    * estimator survival analysis prefers when hazards (not survival
+    * probabilities) are the object. Identical scale shape: everything
+    * collapses onto the distinct-duration frame, the cumulative sum is a
+    * tiny self-join, no unpartitioned window. */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        floor((max("us") - min("us")) / lit(86400000000L)).as("dur"),
+        max((col("event_type") === "purchase").cast("int")).as("died"))
+    val atRisk = life.groupBy("dur").agg(count(lit(1)).as("n_enter"),
+      sum("died").as("e")).cache()
+    val risk = atRisk.select(col("dur"))
+      .join(atRisk.select(col("dur").as("d2"), col("n_enter")),
+        col("d2") >= col("dur"))
+      .groupBy("dur").agg(sum("n_enter").as("n_risk"))
+    val steps = atRisk.filter(col("e") > 0)
+      .join(risk, "dur")
+      .select(col("dur"), col("n_risk"), col("e"),
+        (col("e").cast("double") / col("n_risk")).as("h"))
+    steps.as("a")
+      .join(steps.select(col("dur").as("d2"), col("h").as("h2")),
+        col("d2") <= col("dur"))
+      .groupBy(col("dur"), col("n_risk"), col("e"))
+      .agg(sum("h2").as("ch"))
+      .select(col("dur"), col("n_risk"), col("e").as("n_event"),
+        round(col("ch"), 6).as("cum_hazard"))
+      .orderBy("dur")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,6 +297,8 @@ object ExperimentPack extends QueryPack {
     "diff_in_diff" -> diffInDiff,
     "mann_whitney" -> mannWhitney,
     "winsorized_mean" -> winsorizedMean,
+    "quantile_treatment" -> quantileTreatment,
+    "nelson_aalen" -> nelsonAalen,
     "kaplan_meier" -> kaplanMeier)
 
   def oracle: Map[String, String] = Map(
@@ -281,6 +343,39 @@ object ExperimentPack extends QueryPack {
         | round(avg(least(greatest(m, p.lo), p.hi)), 6) AS winsor_mean
         |FROM u JOIN p USING (variant)
         |GROUP BY u.variant, p.lo, p.hi ORDER BY variant""".stripMargin,
+    "quantile_treatment" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |   round(sum(value), 6) AS m FROM events GROUP BY 1),
+        | p AS (SELECT variant,
+        |   quantile_cont(m, 0.1) AS p10, quantile_cont(m, 0.5) AS p50,
+        |   quantile_cont(m, 0.9) AS p90 FROM u GROUP BY variant),
+        | c AS (SELECT p10 AS c10, p50 AS c50, p90 AS c90 FROM p WHERE variant = 0),
+        | t AS (SELECT p10 AS t10, p50 AS t50, p90 AS t90 FROM p WHERE variant = 1)
+        |SELECT round(c10, 6) AS ctrl_p10, round(t10, 6) AS trt_p10,
+        | round(t10 - c10, 6) AS qte_p10,
+        | round(c50, 6) AS ctrl_p50, round(t50, 6) AS trt_p50,
+        | round(t50 - c50, 6) AS qte_p50,
+        | round(c90, 6) AS ctrl_p90, round(t90, 6) AS trt_p90,
+        | round(t90 - c90, 6) AS qte_p90
+        |FROM t CROSS JOIN c""".stripMargin,
+    "nelson_aalen" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | life AS (SELECT user_id,
+        |   floor((max(us) - min(us)) / 86400000000.0)::BIGINT AS dur,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS died
+        |  FROM e GROUP BY 1),
+        | enter AS (SELECT dur, count(*)::BIGINT AS n_enter,
+        |   sum(died)::BIGINT AS ev FROM life GROUP BY 1),
+        | risk AS (SELECT a.dur, sum(b.n_enter)::BIGINT AS n_risk
+        |  FROM enter a JOIN enter b ON b.dur >= a.dur GROUP BY a.dur),
+        | steps AS (SELECT a.dur, r.n_risk, a.ev AS e,
+        |   a.ev::DOUBLE / r.n_risk AS h
+        |  FROM enter a JOIN risk r ON a.dur = r.dur WHERE a.ev > 0)
+        |SELECT a.dur, a.n_risk, a.e AS n_event,
+        | round(sum(b.h), 6) AS cum_hazard
+        |FROM steps a JOIN steps b ON b.dur <= a.dur
+        |GROUP BY a.dur, a.n_risk, a.e ORDER BY a.dur""".stripMargin,
     "ab_welch" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS variant, sum(value) AS m
         |   FROM events GROUP BY 1),

@@ -2159,6 +2159,33 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Inter-rater agreement of two independent quality gates — Cohen's κ
+    * between the Gopher repetition filter and the heuristic TextQuality
+    * gate, the number a training-data pipeline uses to decide whether two
+    * filters are redundant (κ → 1), complementary (κ ≈ 0), or fighting
+    * (κ < 0). κ = (p_o − p_e)/(1 − p_e) from the 2×2 agreement counts —
+    * all integers off one doc-keyed join of the two per-doc keep flags,
+    * so the statistic is engine-exact. */
+  def labelAgreement(s: SparkSession, dir: String): DataFrame = {
+    val a = gopherRepetition(s, dir).select(col("doc_id"),
+      col("keep").cast("int").as("ka"))
+    val b = graft.text.TextQuality.score(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("keep").as("kb"))
+    val cells = a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("ka") === 1 && col("kb") === 1).cast("long")).as("n11"),
+        sum((col("ka") === 1 && col("kb") === 0).cast("long")).as("n10"),
+        sum((col("ka") === 0 && col("kb") === 1).cast("long")).as("n01"),
+        sum((col("ka") === 0 && col("kb") === 0).cast("long")).as("n00"))
+    val po = (col("n11") + col("n00")).cast("double") / col("n")
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+      (col("n") * col("n"))
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("p_observed"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Incremental dedup — the daily-ingest pattern: dedup a NEW batch of
     * documents against the already-ingested corpus without rescanning it
     * into a full groupBy. Batch-internal dedup (min doc_id per hash) plus
@@ -3399,6 +3426,7 @@ object LlmData extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "soft_dedup_weights" -> softDedupWeights,
+    "label_agreement" -> labelAgreement,
     "dedup_normalized" -> dedupNormalized,
     "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
     "doc_chunk" -> docChunk,
@@ -3689,6 +3717,49 @@ object LlmData extends QueryPack {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "label_agreement" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | wc AS (SELECT doc_id, w, count(*) AS c FROM
+        |   (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        | ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words, max(c) AS top_w
+        |   FROM wc GROUP BY doc_id),
+        | bc AS (SELECT doc_id, bg, count(*) AS c FROM
+        |   (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, bg),
+        | bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_b
+        |   FROM bc GROUP BY doc_id),
+        | ga AS (SELECT ws.doc_id, CASE WHEN
+        |     round(top_w::DOUBLE / n_words, 6) <= 0.125
+        |     AND round(top_b::DOUBLE / n_bigrams, 6) <= 0.05
+        |   THEN 1 ELSE 0 END AS ka FROM ws JOIN bs USING (doc_id)),
+        | q AS (SELECT doc_id,
+        |   len(string_split(text, ' ')) AS n_tokens,
+        |   list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |     / len(string_split(text, ' ')) AS mean_tok_len,
+        |   len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a', 'of', 'and', 'is', 'in', 'to')))::DOUBLE
+        |     / len(string_split(text, ' ')) AS stop_ratio,
+        |   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+        |     / length(text) AS symbol_ratio
+        |  FROM documents),
+        | qb AS (SELECT doc_id, CASE WHEN n_tokens BETWEEN 5 AND 100000
+        |     AND mean_tok_len BETWEEN 2.0 AND 12.0
+        |     AND stop_ratio >= 0.01 AND symbol_ratio <= 0.2
+        |   THEN 1 ELSE 0 END AS kb FROM q),
+        | cells AS (SELECT count(*)::BIGINT AS n,
+        |   sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |   sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |   sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |   sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END)::BIGINT AS n00
+        |  FROM ga JOIN qb USING (doc_id))
+        |SELECT n, n11, n10, n01, n00,
+        | round((n11 + n00)::DOUBLE / n, 6) AS p_observed,
+        | round(((n11 + n00)::DOUBLE / n
+        |     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n))
+        |   / (1.0 - ((n11 + n10) * (n11 + n01)
+        |     + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n)), 6) AS kappa
+        |FROM cells""".stripMargin,
     "soft_dedup_weights" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
         |   md5(lower(trim(text))) AS h FROM documents),
