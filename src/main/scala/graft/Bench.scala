@@ -25,7 +25,9 @@ object Bench {
   private val NoisyRankQueries = Set(
     "robust_outliers", "rfm_tiers", "group_percentiles", "ntile_bins",
     "exact_quantiles", "quality_tiers", "score_rank_norm", "vocab_zipf",
-    "interevent_gaps", "psi_exact", "auroc_rank")
+    "interevent_gaps", "psi_exact", "auroc_rank",
+    "weighted_percentiles", "weighted_percentiles_interp", "mann_whitney",
+    "quantile_treatment", "winsorized_mean", "zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

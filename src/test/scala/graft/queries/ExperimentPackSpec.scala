@@ -225,4 +225,79 @@ class ExperimentPackSpec extends SparkSpec {
     row.getAs[Double]("mean_ratio") shouldBe 1.0 +- 0.2
     row.getAs[Double]("min_ratio") should be > 0.0
   }
+
+  behavior of "diffInDiff"
+
+  it should "equal the interaction of the four cell means" in {
+    val r = ExperimentPack.diffInDiff(spark, dir).head()
+    val did = (r.getAs[Double]("trt_post") - r.getAs[Double]("trt_pre")) -
+      (r.getAs[Double]("ctrl_post") - r.getAs[Double]("ctrl_pre"))
+    r.getAs[Double]("did") shouldBe did +- 1e-5 // 6-dp rounded cells
+    r.getAs[Long]("n_users") should be > 0L
+  }
+
+  behavior of "mannWhitney"
+
+  it should "produce a U inside [0, n_a*n_b] with a finite z" in {
+    val r = ExperimentPack.mannWhitney(spark, dir).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    na should be > 0L; nb should be > 0L
+    val u = r.getAs[Double]("u_stat")
+    u should (be >= 0.0 and be <= (na * nb).toDouble)
+    r.getAs[Double]("z_stat").isNaN shouldBe false
+  }
+
+  behavior of "winsorizedMean"
+
+  it should "pull the mean toward the clamp window on both variants" in {
+    ExperimentPack.winsorizedMean(spark, dir).collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      lo should be <= hi
+      val w = r.getAs[Double]("winsor_mean")
+      w should (be >= lo - 1e-9 and be <= hi + 1e-9)
+    }
+  }
+
+  behavior of "quantileTreatment"
+
+  it should "keep per-variant percentiles monotone in p" in {
+    val r = ExperimentPack.quantileTreatment(spark, dir).head()
+    r.getAs[Double]("ctrl_p10") should be <= r.getAs[Double]("ctrl_p50")
+    r.getAs[Double]("ctrl_p50") should be <= r.getAs[Double]("ctrl_p90")
+    r.getAs[Double]("trt_p10") should be <= r.getAs[Double]("trt_p50")
+    r.getAs[Double]("trt_p50") should be <= r.getAs[Double]("trt_p90")
+  }
+
+  behavior of "nelsonAalen"
+
+  it should "be nondecreasing and bounded by -ln(KM survival)" in {
+    val na = ExperimentPack.nelsonAalen(spark, dir).collect()
+      .map(r => r.getAs[Long]("dur") -> r.getAs[Double]("cum_hazard")).toMap
+    val km = ExperimentPack.kaplanMeier(spark, dir).collect()
+      .map(r => r.getAs[Long]("dur") -> r.getAs[Double]("surv")).toMap
+    na.keySet shouldBe km.keySet
+    val byDur = na.toSeq.sortBy(_._1).map(_._2)
+    byDur.sliding(2).foreach {
+      case Seq(a, b) => a should be <= b + 1e-9
+      case _ =>
+    }
+    // -ln(1-x) >= x termwise, so -ln(S_KM) >= H_NA wherever S > 0
+    km.foreach { case (d, s) =>
+      if (s > 0) -math.log(s) should be >= na(d) - 1e-6
+    }
+  }
+
+  behavior of "labelAgreement"
+
+  it should "produce a kappa consistent with its own 2x2 cells" in {
+    val r = LlmData.labelAgreement(spark, dir).head()
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    n shouldBe n11 + n10 + n01 + n00
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n.toDouble * n)
+    r.getAs[Double]("p_observed") shouldBe po +- 1e-5
+    r.getAs[Double]("kappa") shouldBe ((po - pe) / (1 - pe)) +- 1e-5
+    r.getAs[Double]("kappa") should (be >= -1.0 and be <= 1.0)
+  }
 }
