@@ -1753,6 +1753,40 @@ object LlmData extends QueryPack {
       .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
       .orderBy("label")
 
+  /** Embedding dimension-correlation diagnostics — the redundancy check a
+    * vector pipeline runs before spending PQ codebooks or RP dimensions
+    * on correlated axes: Pearson corr for every dimension pair, top-10 by
+    * |corr|. The pair explode is ROW-LOCAL (each vector emits its own
+    * d(d−1)/2 cells) and the whole reduction is one partial aggregate on
+    * d² keys — a KB-sized shuffle at any corpus size, the same mergeable
+    * shape as the sketch family. corr is rounded BEFORE ranking so
+    * sum-order ulps can't flip the reported set. */
+  def embedCorr(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(s, dir)
+      .select(expr(
+        """explode(flatten(transform(sequence(0, size(embedding) - 2), i ->
+          |  transform(sequence(i + 1, size(embedding) - 1), j ->
+          |    struct(i, j,
+          |      CAST(embedding[i] AS DOUBLE) AS xi,
+          |      CAST(embedding[j] AS DOUBLE) AS xj))))) AS c""".stripMargin))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.xi").as("xi"), col("c.xj").as("xj"))
+    cells.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("xi").as("sx"), sum("xj").as("sy"),
+        sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("xj") * col("xj")).as("syy"))
+      .withColumn("corr", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("corr"))
+      .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+      .limit(10)
+  }
+
   private val RpDim = 16
 
   /** Johnson-Lindenstrauss random projection (Achlioptas 2003: ±1 sign
@@ -3427,6 +3461,7 @@ object LlmData extends QueryPack {
     "dedup_exact" -> dedupExact,
     "soft_dedup_weights" -> softDedupWeights,
     "label_agreement" -> labelAgreement,
+    "embed_corr" -> embedCorr,
     "dedup_normalized" -> dedupNormalized,
     "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
     "doc_chunk" -> docChunk,
@@ -4110,6 +4145,21 @@ object LlmData extends QueryPack {
         |   (ORDER BY tier, md5('curr|' || doc_id::VARCHAR), doc_id) AS ord
         |  FROM tt)
         |SELECT doc_id, tier, ord FROM o ORDER BY ord""".stripMargin,
+    "embed_corr" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        | p AS (SELECT i, j, v[i + 1] AS xi, v[j + 1] AS xj FROM e,
+        |   unnest(generate_series(0, 62)) AS a(i),
+        |   unnest(generate_series(0, 63)) AS b(j)
+        |   WHERE j > i),
+        | g AS (SELECT i, j, count(*)::BIGINT AS n, sum(xi) AS sx,
+        |   sum(xj) AS sy, sum(xi * xj) AS sxy, sum(xi * xi) AS sxx,
+        |   sum(xj * xj) AS syy FROM p GROUP BY i, j)
+        |SELECT i::BIGINT AS i, j::BIGINT AS j,
+        | round((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+        |FROM g ORDER BY abs(round((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)) DESC, i, j
+        |LIMIT 10""".stripMargin,
     "embed_rp" ->
       s"""WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | p AS (SELECT vec_id,
