@@ -2193,6 +2193,38 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Corpus novelty curve — how much genuinely NEW content each slice of
+    * the ingest order contributes: a doc's novelty is the fraction of its
+    * shingles whose FIRST occurrence (min doc_id) is this doc, and the
+    * report is the per-decile (exact NTILE over doc_id) average. A
+    * healthy growing corpus holds a high floor; a curve collapsing toward
+    * 0 says later ingests are recombinations of earlier content — the
+    * ordering/memorization diagnostic run before training-order decisions.
+    *
+    * Scale shape: one groupBy on the uniform shingle key (min doc_id — the
+    * same shuffle exact dedup runs), a keyed join back, the exact global
+    * NTILE from the two-pass rank machinery, and a final partial
+    * aggregate. Integer counts everywhere; only the final fractions
+    * divide, rounded at 6 dp. */
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    val perDoc = sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_new"))
+    val (tiered, tieredP) = graft.plans.GlobalRank.withNtilePersisted(
+      perDoc, Seq(col("doc_id")), 10, "decile")
+    graft.plans.Eager.checkpoint(
+      tiered.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_sh").as("n_shingles"),
+          sum("n_new").as("n_first_seen"),
+          round(sum("n_new") / sum("n_sh").cast("double"), 6)
+            .as("novelty_frac"))
+        .orderBy("decile")) { tieredP.unpersist() }
+  }
+
   /** Inter-rater agreement of two independent quality gates — Cohen's κ
     * between the Gopher repetition filter and the heuristic TextQuality
     * gate, the number a training-data pipeline uses to decide whether two
@@ -3462,6 +3494,7 @@ object LlmData extends QueryPack {
     "soft_dedup_weights" -> softDedupWeights,
     "label_agreement" -> labelAgreement,
     "embed_corr" -> embedCorr,
+    "novelty_curve" -> noveltyCurve,
     "dedup_normalized" -> dedupNormalized,
     "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
     "doc_chunk" -> docChunk,
@@ -3752,6 +3785,18 @@ object LlmData extends QueryPack {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "novelty_curve" ->
+      s"""WITH $shinglesSql,
+        | first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+        | pd AS (SELECT sh.doc_id, count(*)::BIGINT AS n_sh,
+        |   sum(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END)::BIGINT AS n_new
+        |  FROM sh JOIN first USING (s) GROUP BY sh.doc_id),
+        | t AS (SELECT n_sh, n_new,
+        |   CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile FROM pd)
+        |SELECT decile, count(*)::BIGINT AS n_docs,
+        | sum(n_sh)::BIGINT AS n_shingles, sum(n_new)::BIGINT AS n_first_seen,
+        | round(sum(n_new)::DOUBLE / sum(n_sh), 6) AS novelty_frac
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     "label_agreement" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | wc AS (SELECT doc_id, w, count(*) AS c FROM
