@@ -648,7 +648,10 @@ class StreamOpsSpec extends SparkSpec {
       val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
         (22695477L, 1L), (1664525L, 1013904223L))
       val batch = evs.flatMap(e => hashes.zipWithIndex.map { case ((a, b), i) =>
-          (i, ((a * e.user_id + b) % 2147483647L) % 64)
+          // the guarded form StreamOps.cmsCounters computes (key reduced
+          // mod p before the multiply) — identical for small keys
+          (i, ((a * (e.user_id % 2147483647L) % 2147483647L + b)
+            % 2147483647L) % 64)
         }).groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
         .toSet
       streamed shouldBe batch
