@@ -2193,6 +2193,35 @@ object LlmData extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Per-source unigram KL divergence from the corpus-wide distribution —
+    * the language-drift diagnostic behind source weighting (DoReMi-style
+    * mixing starts from exactly this signal): KL(source ‖ corpus) =
+    * Σ_w p_s(w)·ln(p_s(w)/p_c(w)), large for sources whose vocabulary
+    * usage departs from the mix. Two token hash-aggregates (per (source,
+    * word) and per word) + one keyed join — partial aggregation crushes
+    * the shuffle to O(vocab) at any corpus size. Both distributions share
+    * the same support by construction (every source word is a corpus
+    * word), so no smoothing term is needed; the result rounds at 6 dp. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val cw = sw.groupBy("w").agg(sum("c").as("cc"))
+    val tot = sw.agg(sum("c").as("n_total"))
+    val st = sw.groupBy("source").agg(sum("c").as("n_src"),
+      count(lit(1)).as("vocab"))
+    sw.join(cw, "w")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src"), col("vocab"),
+        ((col("c") / col("n_src")) *
+          log((col("c") / col("n_src")) / (col("cc") / col("n_total"))))
+          .as("term"))
+      .groupBy("source", "n_src", "vocab")
+      .agg(round(sum("term"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Corpus novelty curve — how much genuinely NEW content each slice of
     * the ingest order contributes: a doc's novelty is the fraction of its
     * shingles whose FIRST occurrence (min doc_id) is this doc, and the
@@ -3495,6 +3524,7 @@ object LlmData extends QueryPack {
     "label_agreement" -> labelAgreement,
     "embed_corr" -> embedCorr,
     "novelty_curve" -> noveltyCurve,
+    "source_kl" -> sourceKl,
     "dedup_normalized" -> dedupNormalized,
     "fuzzy_pairs" -> ((s, d) => fuzzyPairs(s, d)),
     "doc_chunk" -> docChunk,
@@ -3785,6 +3815,20 @@ object LlmData extends QueryPack {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | md5(lower(trim(text))) AS text_hash
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+    "source_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | sw AS (SELECT source, w, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        | cw AS (SELECT w, sum(c)::BIGINT AS cc FROM sw GROUP BY w),
+        | tot AS (SELECT sum(c)::BIGINT AS n_total FROM sw),
+        | st AS (SELECT source, sum(c)::BIGINT AS n_src,
+        |   count(*)::BIGINT AS vocab FROM sw GROUP BY source)
+        |SELECT sw.source, st.n_src, st.vocab,
+        | round(sum((sw.c::DOUBLE / st.n_src) *
+        |   ln((sw.c::DOUBLE / st.n_src) / (cw.cc::DOUBLE / tot.n_total))), 6)
+        |   AS kl
+        |FROM sw JOIN cw USING (w) JOIN st USING (source), tot
+        |GROUP BY sw.source, st.n_src, st.vocab ORDER BY sw.source""".stripMargin,
     "novelty_curve" ->
       s"""WITH $shinglesSql,
         | first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
