@@ -636,4 +636,40 @@ class LlmQualitySpec extends SparkSpec {
       known += l + r
     }
   }
+
+  behavior of "sourceKl"
+
+  it should "report non-negative divergences (Gibbs) with sane totals" in {
+    val rows = LlmData.sourceKl(spark, dir).collect()
+    rows.length should be > 1
+    rows.foreach { r =>
+      // KL(p ‖ q) ≥ 0 always; 6-dp rounding can only touch -0.0
+      r.getAs[Double]("kl") should be >= -1e-9
+      r.getAs[Long]("vocab") should be <= r.getAs[Long]("n_src")
+    }
+    // per-source token masses sum to the corpus mass
+    val total = rows.map(_.getAs[Long]("n_src")).sum
+    val want = graft.Tables.documents(spark, dir)
+      .selectExpr("size(split(text, ' ')) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    total shouldBe want
+  }
+
+  behavior of "noveltyCurve"
+
+  it should "hold a full-novelty first decile and consistent counts" in {
+    val rows = LlmData.noveltyCurve(spark, dir).collect()
+    rows.map(_.getAs[Long]("decile")).sorted.toSeq shouldBe (1L to rows.length)
+    rows.foreach { r =>
+      r.getAs[Long]("n_first_seen") should be <= r.getAs[Long]("n_shingles")
+      val frac = r.getAs[Double]("novelty_frac")
+      frac should (be >= 0.0 and be <= 1.0)
+    }
+    // every shingle's first occurrence lands somewhere: totals agree
+    val firstSeen = rows.map(_.getAs[Long]("n_first_seen")).sum
+    val distinctShingles = LlmData.shinglesOf(
+      graft.Tables.documents(spark, dir), "doc_id", "text")
+      .select("s").distinct().count()
+    firstSeen shouldBe distinctShingles
+  }
 }
