@@ -168,6 +168,11 @@ object Codecs {
   def encodePng(w: Int, h: Int, rgb: Array[Byte],
                 filterOf: Int => Int = _ % 5): Array[Byte] = {
     require(w > 0 && h > 0, s"png: bad dimensions ${w}x$h")
+    // the filtered buffer is h*(1+3w) bytes — one filter byte per row on
+    // top of the pixels — so bound that, not just w*h*3 (w=1, h≈7e8
+    // passes the pixel bound but overflows the row-prefixed one)
+    require(h.toLong * (1 + 3L * w) <= Int.MaxValue,
+      s"png: bad dimensions ${w}x$h")
     require(rgb.length == w.toLong * h * 3,
       s"png: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
     val bpp = 3
@@ -275,7 +280,8 @@ object Codecs {
           require(len == 13, s"png: IHDR length $len")
           val hb = java.nio.ByteBuffer.wrap(data)
           w = hb.getInt; h = hb.getInt
-          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 16,
+          require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 16 &&
+            h.toLong * (1 + 3L * w) <= Int.MaxValue, // filtered buf: +1B/row
             s"png: bad dimensions ${w}x$h")
           val (depth, color, comp, filt, inter) =
             (hb.get(), hb.get(), hb.get(), hb.get(), hb.get())
@@ -299,6 +305,10 @@ object Codecs {
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
+      // FDICT streams return n=0 with needsInput=false forever — fail
+      // loudly rather than spin the task
+      require(!inflater.needsDictionary,
+        "png: preset dictionary (FDICT) not supported")
       require(n > 0 || !inflater.needsInput, "png: truncated IDAT stream")
       off += n
     }

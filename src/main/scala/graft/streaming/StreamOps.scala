@@ -138,32 +138,68 @@ object StreamOps {
 
   /** Gap-based sessionization over a keyed stream via
     * `flatMapGroupsWithState` — the streaming twin of
-    * `Relational.sessionize` (12h gap ⇒ same session ids on the same data).
-    * Emits the running totals of every session touched in the batch;
-    * per-user state is one small struct (seq, last-seen, counters). */
+    * `Relational.sessionize` (12h gap ⇒ same session content on the same
+    * data). Emits the running totals of every session touched in the
+    * batch; per-user state is one small struct (seq, last-seen, counters).
+    *
+    * State is EVICTED: a user idle past the gap can never extend their
+    * open session (the input is watermarked, so every surviving future
+    * event sits strictly past `lastUs + gapUs` once the watermark does),
+    * so each user's state carries an event-time timeout at last-seen +
+    * gap; when the watermark passes it the user emits one final
+    * idempotent [[SessionUpdate]] (same totals as the last emission —
+    * latest-wins consumers see no change) and the key is removed. A
+    * returning user starts a fresh state era, so `session_seq` restarts
+    * at 1 per era; sessions are globally identified by
+    * (user_id, first_event) — the batch twin emits the same
+    * `min(event_id)` — and on replay the emitted
+    * (user_id, first_event, n_events) set equals the batch twin's. */
   def sessionize(events: Dataset[Event],
-                 gapUs: Long = 12L * 3600 * 1000000): Dataset[SessionUpdate] = {
+                 gapUs: Long = 12L * 3600 * 1000000,
+                 watermarkDelay: String = "1 hour"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val touched = Seq.newBuilder[SessionUpdate]
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            st =
-              if (st.lastUs == Long.MinValue || us - st.lastUs > gapUs) {
-                if (st.nEvents > 0)
-                  touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
-                SessionState(st.sessionSeq + 1, us, 1L, e.event_id)
-              } else st.copy(lastUs = us, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // idle past the gap: the open session is final — emit it one
+            // last time (idempotent) and drop the user's state entirely
+            val st = state.get
+            state.remove()
+            if (st.nEvents > 0)
+              Iterator.single(
+                SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent))
+            else Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption
+              .getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val touched = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              st =
+                if (st.lastUs == Long.MinValue || us - st.lastUs > gapUs) {
+                  if (st.nEvents > 0)
+                    touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+                  SessionState(st.sessionSeq + 1, us, 1L, e.event_id)
+                } else st.copy(lastUs = us, nEvents = st.nEvents + 1)
+            }
+            if (st.nEvents > 0)
+              touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+            state.update(st)
+            // evict once the watermark passes last-seen + gap. Ceil to ms
+            // (timeouts are ms, event times µs) so an event EXACTLY at the
+            // gap boundary — same session under the batch `> gap` rule —
+            // still arrives before the timeout can fire; and keep the
+            // timestamp strictly ahead of the current watermark (Spark
+            // rejects a timeout at/behind it).
+            val gapEndMs = Math.floorDiv(st.lastUs + gapUs, 1000L) + 1
+            state.setTimeoutTimestamp(
+              math.max(gapEndMs, state.getCurrentWatermarkMs() + 1))
+            touched.result().iterator
           }
-          if (st.nEvents > 0)
-            touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
-          state.update(st)
-          touched.result().iterator
       }
   }
 
@@ -304,7 +340,8 @@ object StreamOps {
     * retract — so lateness may under-count (like any unretractable
     * append stream) but never over-counts. */
   def windowedFunnelAdvances(events: Dataset[Event], stages: Seq[String],
-                             windowUs: Long): Dataset[FunnelAdvance] = {
+                             windowUs: Long,
+                             watermarkDelay: String = "1 hour"): Dataset[FunnelAdvance] = {
     require(stages.size >= 2,
       s"funnel needs >= 2 ordered stages, got ${stages.size}")
     require(stages.distinct.size == stages.size,
@@ -315,44 +352,74 @@ object StreamOps {
     val k = stages.size
     val none = Long.MinValue // sentinel: no chain at this depth yet
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[WindowedFunnelProgress]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val st = state.getOption.getOrElse(WindowedFunnelProgress(
-            none, Seq.fill(k)(none), Seq.fill(k)(none), 0))
-          var curTs = st.curTs
-          var com = st.com.toArray // best starts at ts < curTs (readable)
-          val acc = st.acc.toArray // best starts at ts <= curTs (writable)
-          var emitted = st.emitted
-          val out = Seq.newBuilder[FunnelAdvance]
-          sorted.foreach { e =>
-            idx.get(e.event_type).foreach { d => // 0-based depth
-              val t = micros(e.ts)
-              // DROP cross-batch late events (t < curTs): folding one into
-              // the ≥curTs state could chain it onto a stored chain whose
-              // last event happened AFTER it — emitting a FALSE advance
-              // that append mode can never retract. Skipping can only
-              // under-count (the acknowledged late-data mode), never over.
-              if (t >= curTs) {
-                if (t > curTs) { com = acc.clone(); curTs = t }
-                val cand =
-                  if (d == 0) t
-                  else {
-                    val p = com(d - 1)
-                    if (p != none && t - p <= windowUs) p else none
+          if (state.hasTimedOut) {
+            // the watermark passed curTs + window: every stored chain
+            // start is ≤ curTs and every surviving future event is past
+            // curTs + window, so no cursor can seed a chain again. A user
+            // who never advanced is indistinguishable from a fresh one —
+            // drop the key. An advanced user must keep `emitted` forever
+            // (append mode can never retract a duplicate advance) but
+            // sheds the lapsed cursor arrays to the empty compact form.
+            val st = state.get
+            if (st.emitted == 0) state.remove()
+            else state.update(WindowedFunnelProgress(
+              st.curTs, Seq.empty, Seq.empty, st.emitted))
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val st = state.getOption.getOrElse(WindowedFunnelProgress(
+              none, Seq.fill(k)(none), Seq.fill(k)(none), 0))
+            var curTs = st.curTs
+            // a timeout-compacted state stores empty cursors (all chains
+            // lapsed) — expand back to the all-`none` form on read
+            var com = if (st.com.isEmpty) Array.fill(k)(none)
+              else st.com.toArray // best starts at ts < curTs (readable)
+            val acc = if (st.acc.isEmpty) Array.fill(k)(none)
+              else st.acc.toArray // best starts at ts <= curTs (writable)
+            var emitted = st.emitted
+            var sawStage = false
+            val out = Seq.newBuilder[FunnelAdvance]
+            sorted.foreach { e =>
+              idx.get(e.event_type).foreach { d => // 0-based depth
+                val t = micros(e.ts)
+                sawStage = true
+                // DROP cross-batch late events (t < curTs): folding one into
+                // the ≥curTs state could chain it onto a stored chain whose
+                // last event happened AFTER it — emitting a FALSE advance
+                // that append mode can never retract. Skipping can only
+                // under-count (the acknowledged late-data mode), never over.
+                if (t >= curTs) {
+                  if (t > curTs) { com = acc.clone(); curTs = t }
+                  val cand =
+                    if (d == 0) t
+                    else {
+                      val p = com(d - 1)
+                      if (p != none && t - p <= windowUs) p else none
+                    }
+                  if (cand != none && cand > acc(d)) acc(d) = cand
+                  while (emitted < k && acc(emitted) != none) {
+                    out += FunnelAdvance(uid, emitted, stages(emitted), t)
+                    emitted += 1
                   }
-                if (cand != none && cand > acc(d)) acc(d) = cand
-                while (emitted < k && acc(emitted) != none) {
-                  out += FunnelAdvance(uid, emitted, stages(emitted), t)
-                  emitted += 1
                 }
               }
             }
+            // a user with no funnel-stage events never creates state —
+            // without this guard every keyed user leaks a fresh struct
+            if (sawStage || state.exists) {
+              state.update(WindowedFunnelProgress(
+                curTs, com.toSeq, acc.toSeq, emitted))
+              // all cursors lapse once the watermark passes curTs + window
+              val lapseMs = Math.floorDiv(curTs + windowUs, 1000L) + 1
+              state.setTimeoutTimestamp(
+                math.max(lapseMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          state.update(WindowedFunnelProgress(
-            curTs, com.toSeq, acc.toSeq, emitted))
-          out.result().iterator
       }
   }
 
@@ -706,7 +773,13 @@ object StreamOps {
     * k). The hash is the repo's standard md5 coin — a pure function of
     * the member — so the sketch is redelivery-safe (a duplicate can only
     * collide with itself) and a replay converges to the exact batch
-    * sketch. State is O(k) doubles per group, forever. */
+    * sketch. State is O(k) (coin, member) pairs per group, forever.
+    *
+    * State keeps the PAIR, not just the coin: the batch sketch ranks
+    * distinct (group, user) rows by (h, k), so two distinct users whose
+    * 32-bit coins collide occupy two bottom-k slots there — deduping on
+    * the coin alone would collapse them here and break replay-equals-
+    * batch under coin collisions. */
   def kmvDistinct(events: Dataset[Event], k: Int = 64): Dataset[KmvEstimate] = {
     import events.sparkSession.implicits._
     require(k >= 2, s"kmv: k must be >= 2, got $k")
@@ -719,13 +792,15 @@ object StreamOps {
     events
       .groupByKey(_.event_type)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (etype: String, evs: Iterator[Event], state: GroupState[Seq[Double]]) =>
+        (etype: String, evs: Iterator[Event],
+         state: GroupState[Seq[(Double, Long)]]) =>
           val merged = (state.getOption.getOrElse(Nil) ++
-            evs.map(e => coinOf(e.user_id))).distinct.sorted.take(k)
+            evs.map(e => (coinOf(e.user_id), e.user_id)))
+            .distinct.sorted.take(k) // pair order = batch (h, k) rank
           state.update(merged)
           val est =
             if (merged.size < k) merged.size.toDouble
-            else (k - 1).toDouble / merged.last
+            else (k - 1).toDouble / merged.last._1
           KmvEstimate(etype, merged.size,
             BigDecimal(est).setScale(4,
               BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -37,12 +37,12 @@ class StreamOpsSpec extends SparkSpec {
   it should "sessionize a keyed stream with gap semantics matching the batch twin" in {
     val gapUs = 10L * 60 * 1000000 // 10 min
     val in = MemoryStream[Event]
-    val q = StreamOps.sessionize(in.toDS(), gapUs)
+    val q = StreamOps.sessionize(in.toDS(), gapUs, watermarkDelay = "1 minute")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("update").start()
     try {
       in.addData(
-        Event(1, ts(0), 7, "view", 1.0),
+        Event(1, ts(1), 7, "view", 1.0),
         Event(2, ts(5), 7, "click", 1.0)) // same session
       q.processAllAvailable()
       in.addData(
@@ -56,6 +56,47 @@ class StreamOpsSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSet
       latest should contain ((7L, 1L, 3L, 1L)) // events 1,2,3
       latest should contain ((7L, 2L, 1L, 4L)) // event 4
+    } finally q.stop()
+  }
+
+  it should "evict an idle user's session state once the watermark passes the gap" in {
+    val gapUs = 10L * 60 * 1000000 // 10 min
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapUs, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions_evict")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 7, "view", 1.0),
+        Event(2, ts(5), 7, "click", 1.0),
+        Event(3, ts(8), 7, "click", 1.0)) // user 7 session 1 (3 events)
+      q.processAllAvailable()
+      in.addData(Event(4, ts(30), 7, "view", 1.0)) // 22 min gap → session 2
+      q.processAllAvailable()
+      // park another user far ahead: the watermark (99 min) passes user
+      // 7's 30min+gap timeout on the NEXT batch's timeout pass
+      in.addData(Event(5, ts(100), 8, "view", 1.0)); q.processAllAvailable()
+      in.addData(Event(6, ts(101), 8, "view", 1.0)); q.processAllAvailable()
+      // user 7 timed out: final idempotent emission, state removed —
+      // only user 8 remains in the store
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 1L
+      // a returning user starts a fresh era (seq restarts at 1) …
+      in.addData(Event(7, ts(102), 7, "view", 1.0)); q.processAllAvailable()
+      // … and the emitted session CONTENT still equals the batch twin's
+      // on full replay: sessions identified by (user_id, first_event)
+      val latest = spark.table("sessions_evict")
+        .groupBy("user_id", "first_event")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .as[(Long, Long, Long)].collect().toSet
+      latest shouldBe Set(
+        (7L, 1L, 3L),  // era 1 session 1: events 1,2,3
+        (7L, 4L, 1L),  // era 1 session 2: event 4 (re-emitted at eviction)
+        (7L, 7L, 1L),  // era 2 session 1: event 7
+        (8L, 5L, 2L))  // user 8: events 5,6
+      // era restart pinned: the post-eviction session carries seq 1
+      spark.table("sessions_evict")
+        .filter("user_id = 7 AND first_event = 7")
+        .select("session_seq").as[Long].collect().head shouldBe 1L
     } finally q.stop()
   }
 
@@ -436,21 +477,22 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   it should "advance a WINDOWED streaming funnel equal to the batch chain DP across micro-batches" in {
-    // the batch spec's late-re-anchor corpus, cut mid-chain: u1 (a@0,
-    // b@5, b@9, c@16, W=10min) converts to depth 2 only; u2 adds a@8 —
-    // the a@8→b@9→c@16 chain spans 8min and must be found even though
-    // a@8/b@9 arrive a micro-batch before c@16 (state carries the DP);
+    // the batch spec's late-re-anchor corpus, cut mid-chain (shifted +1
+    // min off epoch 0 — the initial watermark drops rows AT 0): u1 (a@1,
+    // b@6, b@10, c@17, W=10min) converts to depth 2 only; u2 adds a@9 —
+    // the a@9→b@10→c@17 chain spans 8min and must be found even though
+    // a@9/b@10 arrive a micro-batch before c@17 (state carries the DP);
     // u3's same-timestamp a/b pair must never chain.
     val stages = Seq("a", "b", "c")
     val winUs = 10L * 60 * 1000000L
     val batch1 = Seq(
-      Event(1, ts(0), 1, "a", 0.0), Event(2, ts(5), 1, "b", 0.0),
-      Event(3, ts(0), 2, "a", 0.0), Event(4, ts(5), 2, "b", 0.0),
-      Event(5, ts(8), 2, "a", 0.0),
-      Event(6, ts(5), 3, "a", 0.0), Event(7, ts(5), 3, "b", 0.0))
+      Event(1, ts(1), 1, "a", 0.0), Event(2, ts(6), 1, "b", 0.0),
+      Event(3, ts(1), 2, "a", 0.0), Event(4, ts(6), 2, "b", 0.0),
+      Event(5, ts(9), 2, "a", 0.0),
+      Event(6, ts(6), 3, "a", 0.0), Event(7, ts(6), 3, "b", 0.0))
     val batch2 = Seq(
-      Event(8, ts(9), 1, "b", 0.0), Event(9, ts(16), 1, "c", 0.0),
-      Event(10, ts(9), 2, "b", 0.0), Event(11, ts(16), 2, "c", 0.0))
+      Event(8, ts(10), 1, "b", 0.0), Event(9, ts(17), 1, "c", 0.0),
+      Event(10, ts(10), 2, "b", 0.0), Event(11, ts(17), 2, "c", 0.0))
     val in = MemoryStream[Event]
     val q = StreamOps.windowedFunnelAdvances(in.toDS(), stages, winUs)
       .writeStream.format("memory").queryName("funnel_win_adv")
@@ -476,11 +518,11 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   it should "drop cross-batch late events rather than emit false windowed advances" in {
-    // batch 1: a@0, b@20, a@30 — the a@30 rolls the strict-earlier buffer
-    // forward to include the (start=0, last=20) depth-2 chain. A LATE
-    // c@10 arriving in batch 2 must NOT chain onto it (the real order
-    // a@0, c@10, b@20 has no a→b→c chain): late events are dropped, and
-    // a subsequent in-order c@40 still converts within the window.
+    // batch 1: a@1, b@21, a@31 — the a@31 rolls the strict-earlier buffer
+    // forward to include the (start=1, last=21) depth-2 chain. A LATE
+    // c@11 arriving in batch 2 must NOT chain onto it (the real order
+    // a@1, c@11, b@21 has no a→b→c chain): late events are dropped, and
+    // a subsequent in-order c@41 still converts within the window.
     val stages = Seq("a", "b", "c")
     val winUs = 100L * 60 * 1000000L
     val in = MemoryStream[Event]
@@ -488,17 +530,49 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("funnel_win_late")
       .outputMode("append").start()
     try {
-      in.addData(Event(1, ts(0), 1, "a", 0.0), Event(2, ts(20), 1, "b", 0.0),
-        Event(3, ts(30), 1, "a", 0.0))
+      in.addData(Event(1, ts(1), 1, "a", 0.0), Event(2, ts(21), 1, "b", 0.0),
+        Event(3, ts(31), 1, "a", 0.0))
       q.processAllAvailable()
-      in.addData(Event(4, ts(10), 1, "c", 0.0)) // LATE: must be dropped
+      in.addData(Event(4, ts(11), 1, "c", 0.0)) // LATE: must be dropped
       q.processAllAvailable()
       spark.table("funnel_win_late").filter("stage_idx = 2")
         .count() shouldBe 0L
-      in.addData(Event(5, ts(40), 1, "c", 0.0)) // in-order: converts
+      in.addData(Event(5, ts(41), 1, "c", 0.0)) // in-order: converts
       q.processAllAvailable()
       spark.table("funnel_win_late").filter("stage_idx = 2")
         .count() shouldBe 1L
+    } finally q.stop()
+  }
+
+  it should "evict lapsed funnel state without ever re-emitting an advance" in {
+    val stages = Seq("a", "b", "c")
+    val winUs = 10L * 60 * 1000000L
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedFunnelAdvances(in.toDS(), stages, winUs,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("funnel_win_evict")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "a", 0.0),  // u1 advances depth 0 (emitted=1)
+        Event(2, ts(1), 2, "b", 0.0),  // u2: cursor state, no advance
+        Event(3, ts(1), 3, "x", 0.0))  // u3: no stage event → NO state
+      q.processAllAvailable()
+      // push the watermark far past both users' curTs + window …
+      in.addData(Event(4, ts(100), 4, "a", 0.0)); q.processAllAvailable()
+      in.addData(Event(5, ts(101), 4, "a", 0.0)); q.processAllAvailable()
+      // … timeout pass: u2 (never advanced) is REMOVED, u1 keeps only the
+      // compact emitted-marker, u3 never existed → u1 + u4 remain
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 2L
+      // a returning u1 must NOT re-emit depth 0 (append can't retract) —
+      // but a fresh in-window chain still advances it to depth 1
+      in.addData(Event(6, ts(102), 1, "a", 0.0),
+        Event(7, ts(103), 1, "b", 0.0))
+      q.processAllAvailable()
+      val byStage = spark.table("funnel_win_evict")
+        .filter("user_id = 1").groupBy("stage_idx").count()
+        .as[(Int, Long)].collect().toMap
+      byStage shouldBe Map(0 -> 1L, 1 -> 1L)
     } finally q.stop()
   }
 
@@ -724,8 +798,12 @@ class StreamOpsSpec extends SparkSpec {
           d.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
       }
       val want = evs.groupBy(_.event_type).map { case (t, es) =>
-        val hs = es.map(e => coin(e.user_id)).distinct.sorted.take(k)
-        val est = if (hs.size < k) hs.size.toDouble else (k - 1).toDouble / hs.last
+        // rank (coin, member) PAIRS — the batch sketch's (h, k) order —
+        // so coin-colliding distinct members occupy distinct slots
+        val hs = es.map(e => (coin(e.user_id), e.user_id))
+          .distinct.sorted.take(k)
+        val est =
+          if (hs.size < k) hs.size.toDouble else (k - 1).toDouble / hs.last._1
         t -> (BigDecimal(est).setScale(4,
           BigDecimal.RoundingMode.HALF_UP).toDouble, hs.size)
       }
