@@ -40,6 +40,8 @@ object GraftFunctions {
     ext.injectFunction(one("text_winnow", args =>
       TextWinnow(args(0), intArg(args(1), "text_winnow"),
         intArg(args(2), "text_winnow"))))
+    ext.injectFunction(one("byte_fold", args =>
+      ByteFold(args(0), intArg(args(1), "byte_fold"))))
   }
 
   // ---- typed Column wrappers (resolve through the session registry) ----
@@ -61,6 +63,10 @@ object GraftFunctions {
   /** winnowing rolling-hash fingerprint of a string column. */
   def textWinnow(s: Column, k: Int, w: Int): Column =
     call_function("text_winnow", s, lit(k), lit(w))
+
+  /** strided byte-sum feature vector of a binary column (one pass). */
+  def byteFold(b: Column, bins: Int): Column =
+    call_function("byte_fold", b, lit(bins))
 
   /** Deterministic uniform-[0,1) coin from a column's md5 (first 8 hex
     * digits / 2³²) — the reproducible, partition-independent Bernoulli

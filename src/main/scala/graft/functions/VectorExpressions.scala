@@ -236,3 +236,56 @@ object VecSig {
       if (Integer.parseInt(md5hex(i.toString).substring(offset + j, offset + j + 1), 16) % 2 == 0) 1.0
       else -1.0)
 }
+
+/** binary blob → `bins`-dim strided byte-sum feature vector:
+  * out[j] = Σ (unsigned byte at position i) for all i ≡ j (mod bins) —
+  * ONE pass over the raw bytes. Replaces the interpreted HOF form
+  * `transform(sequence(0, bins-1), j -> aggregate(filter(sequence(0,
+  * len-1), i -> i % bins = j), 0L, (a, i) -> a + ascii(...)))`, which
+  * materializes a boxed `sequence(0, len-1)` PER BIN — O(bins·len)
+  * allocation against this kernel's O(len) adds. Values are exact in a
+  * long (and far below 2^53, so the downstream array<double> cast is
+  * exact too); for pure-ASCII text the unsigned-byte sum equals the
+  * per-character `ascii()` sum the oracles replay. */
+case class ByteFold(child: Expression, bins: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bins <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName bins must be > 0, got $bins")
+    else VectorExpressions.requireTypes(prettyName, child.dataType -> BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_fold"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](bins)
+    var i = 0
+    var j = 0
+    while (i < bytes.length) {
+      out(j) += bytes(i) & 0xff
+      i += 1; j += 1
+      if (j == bins) j = 0
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |final long[] $out = new long[$bins];
+         |int $j = 0;
+         |for (int $i = 0; $i < $v.length; $i++) {
+         |  $out[$j] += ($v[$i] & 0xff);
+         |  $j++; if ($j == $bins) $j = 0;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteFold =
+    copy(child = newChild)
+}

@@ -67,19 +67,17 @@ object MultimodalPack extends QueryPack {
     * within-kind pair join becomes LSH/banding over the same features —
     * the plan shape of `neardup_cosine`. */
   def mediaNeardup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
+    import graft.functions.GraftFunctions.{byteFold, vecDot}
     val feats = mediaFrom(s, dir).toDF()
-      .select(col("media_id"), col("kind"),
-        expr("cast(content AS string)").as("t"))
-      // integer fold computed ONCE per row (interpreted HOFs are fine
-      // here); stored as doubles — every value < 2^53, so the cast is
-      // exact and the O(pairs) hot loop below runs the CODEGEN vec_dot
-      // kernel instead of per-row interpreted lambdas
-      .withColumn("fv", expr(
-        """transform(sequence(0, 15), j ->
-          |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
-          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))"""
-          .stripMargin).cast("array<double>"))
+      .select(col("media_id"), col("kind"), col("content"))
+      // ONE codegen pass over the raw blob bytes (ByteFold) — the
+      // interpreted HOF form this replaces materialized a boxed
+      // sequence(0, len-1) per bin. The corpus is pure ASCII, so the
+      // unsigned-byte sum equals the oracle's per-character ascii() sum;
+      // stored as doubles — every value < 2^53, so the cast is exact and
+      // the O(pairs) hot loop below runs the CODEGEN vec_dot kernel
+      .withColumn("fv", byteFold(col("content"), 16).cast("array<double>"))
+      .drop("content")
       .withColumn("nrm", sqrt(vecDot(col("fv"), col("fv"))))
       .select("media_id", "kind", "fv", "nrm")
       .cache() // both sides of the within-kind pair join
@@ -156,7 +154,7 @@ object MultimodalPack extends QueryPack {
     * size. The exact twin stays the correctness baseline; this is the
     * plan a 1000-executor run ships. */
   def mediaNeardupSampled(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.vecDot
+    import graft.functions.GraftFunctions.{byteFold, vecDot}
     val media = mediaFrom(s, dir).toDF()
     // p derived IN-PLAN from the corpus count (single-row broadcast) —
     // no driver-side eager scan at plan-build time, and the identical
@@ -169,13 +167,11 @@ object MultimodalPack extends QueryPack {
       .crossJoin(broadcast(pRow))
       .filter(graft.functions.GraftFunctions.md5Coin(col("media_id")) <
         col("__p"))
-      .select(col("media_id"), col("kind"),
-        expr("cast(content AS string)").as("t"))
-      .withColumn("fv", expr(
-        """transform(sequence(0, 15), j ->
-          |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
-          |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1))))"""
-          .stripMargin).cast("array<double>"))
+      .select(col("media_id"), col("kind"), col("content"))
+      // same one-pass ByteFold kernel as the exact twin (ASCII corpus ⇒
+      // byte sums equal the oracle's per-character ascii() sums)
+      .withColumn("fv", byteFold(col("content"), 16).cast("array<double>"))
+      .drop("content")
       .withColumn("nrm", sqrt(vecDot(col("fv"), col("fv"))))
       .select("media_id", "kind", "fv", "nrm")
       .cache()

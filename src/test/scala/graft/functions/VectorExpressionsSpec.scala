@@ -79,4 +79,40 @@ class VectorExpressionsSpec extends SparkSpec {
     out(1).isNullAt(0) shouldBe true
     out(1).isNullAt(1) shouldBe true
   }
+
+  behavior of "ByteFold"
+
+  it should "match the interpreted HOF strided byte-sum exactly (incl. empty and null)" in {
+    val docs = Seq(
+      (1L, Some("hello world, this is a byte fold test string")),
+      (2L, Some("x")), (3L, Some("")), (4L, None))
+      .toDF("id", "t")
+      .withColumn("b", col("t").cast("binary"))
+    val out = docs.select(col("id"),
+      GraftFunctions.byteFold(col("b"), 4).as("fv")).collect()
+    def ref(s: String): Seq[Long] = {
+      val bins = Array.fill(4)(0L)
+      s.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+        bins(i % 4) += b & 0xff }
+      bins.toSeq
+    }
+    out(0).getSeq[Long](1) shouldBe ref("hello world, this is a byte fold test string")
+    out(1).getSeq[Long](1) shouldBe ref("x")
+    out(2).getSeq[Long](1) shouldBe Seq(0L, 0L, 0L, 0L)
+    out(3).isNullAt(1) shouldBe true
+  }
+
+  it should "equal the ascii()-per-character oracle form it replaces on ASCII text" in {
+    val docs = Seq((1L, "The quick brown fox jumps over the lazy dog 0123456789"))
+      .toDF("id", "t")
+    val native = docs
+      .select(GraftFunctions.byteFold(col("t").cast("binary"), 16).as("fv"))
+      .collect()(0).getSeq[Long](0)
+    val hof = docs.selectExpr(
+      """transform(sequence(0, 15), j ->
+        |  aggregate(filter(sequence(0, length(t) - 1), i -> i % 16 = j),
+        |    0L, (acc, i) -> acc + ascii(substring(t, i + 1, 1)))) AS fv"""
+        .stripMargin).collect()(0).getSeq[Long](0)
+    native shouldBe hof
+  }
 }
