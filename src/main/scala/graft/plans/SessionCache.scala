@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-(session, key) memoized handles for a query family's shared
+  * build — the common-subexpression materialization a production engine
+  * applies when several queries mine the same intermediate (the
+  * co-purchase graph, the tokenized corpus). Values are usually cached
+  * DataFrames.
+  *
+  * Both sides of the map are WEAK: the key is the session
+  * (`WeakHashMap`), and the value map is held through a `WeakReference`
+  * because cached DataFrames strongly reference their session — a strong
+  * value would pin the weak key forever (the classic WeakHashMap
+  * value-retains-key leak). Losing the inner map to a GC only drops the
+  * memoized handles: rebuilding the identical plan and calling `.cache()`
+  * re-attaches to the same CacheManager entry (Spark dedups cached plans
+  * by canonicalized logical plan), so no blocks leak and no work repeats
+  * beyond plan construction.
+  */
+final class SessionCache[V] {
+  private val byedSession = new java.util.WeakHashMap[
+    SparkSession, java.lang.ref.WeakReference[
+      scala.collection.mutable.Map[String, V]]]
+
+  def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V =
+    byedSession.synchronized {
+      val inner = Option(byedSession.get(s)).flatMap(r => Option(r.get))
+        .getOrElse {
+          val m = scala.collection.mutable.Map.empty[String, V]
+          byedSession.put(s, new java.lang.ref.WeakReference(m)); m
+        }
+      inner.getOrElseUpdate(key, build)
+    }
+}

@@ -186,41 +186,26 @@ object AnalyticsPack extends QueryPack {
   // list and the ≥2-shared-orders pair frame. Build them once per
   // (session, sf-dir) and share the cached handles — the common-
   // subexpression materialization a production engine applies to a query
-  // family with a shared dimension build. Keyed weakly on the session,
-  // and the VALUE side is held through a WeakReference too: the cached
-  // DataFrames strongly reference their session, so a strong value would
-  // pin the weak key forever (WeakHashMap value-retains-key). Losing the
-  // inner map to a GC only drops the memoized handles — rebuilding the
-  // identical plan and calling .cache() re-attaches to the same
-  // CacheManager entry (Spark dedups cached plans), so no blocks leak
-  // and no work repeats beyond plan construction. Both frames are
+  // family with a shared dimension build ([[graft.plans.SessionCache]]:
+  // weak on both the session key and the handle map, so a closed
+  // session's cached frames stay collectable). Both frames are
   // O(rows·basket)-bounded, tiny next to the corpus at any SF.
-  private val coPurchase = new java.util.WeakHashMap[
-    SparkSession, java.lang.ref.WeakReference[
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]]
+  private val coPurchase = new graft.plans.SessionCache[(DataFrame, DataFrame)]
 
   /** (incidence, pairs): inc = distinct (ok, pk); pairs = (a, b, n_ab)
     * with a < b and n_ab ≥ [[CooccurMinSupport]]. Both cached. */
   private def coPurchaseOf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    coPurchase.synchronized {
-      val byDir = Option(coPurchase.get(s)).flatMap(r => Option(r.get))
-        .getOrElse {
-          val m = scala.collection.mutable.Map
-            .empty[String, (DataFrame, DataFrame)]
-          coPurchase.put(s, new java.lang.ref.WeakReference(m)); m
-        }
-      byDir.getOrElseUpdate(dir, {
-        val inc = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct().cache()
-        val pairs = inc.select(col("ok"), col("pk").as("a"))
-          .join(inc.select(col("ok"), col("pk").as("b")), "ok")
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= CooccurMinSupport)
-          .cache()
-        (inc, pairs)
-      })
+    coPurchase.getOrElseUpdate(s, dir) {
+      val inc = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().cache()
+      val pairs = inc.select(col("ok"), col("pk").as("a"))
+        .join(inc.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= CooccurMinSupport)
+        .cache()
+      (inc, pairs)
     }
 
   /** Market-basket lift: part pairs that co-occur in the same order far

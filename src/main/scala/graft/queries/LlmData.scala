@@ -1756,31 +1756,20 @@ object LlmData extends QueryPack {
   /** Embedding dimension-correlation diagnostics — the redundancy check a
     * vector pipeline runs before spending PQ codebooks or RP dimensions
     * on correlated axes: Pearson corr for every dimension pair, top-10 by
-    * |corr|. The pair explode is ROW-LOCAL (each vector emits its own
-    * d(d−1)/2 cells) and the whole reduction is one partial aggregate on
-    * d² keys — a KB-sized shuffle at any corpus size, the same mergeable
-    * shape as the sketch family. corr is rounded BEFORE ranking so
+    * |corr|. ONE PASS: each vector folds its outer-product contributions
+    * into an array-valued co-moment partial aggregate
+    * ([[graft.functions.EmbedCorrMoments]] — n, Σxᵢ, Σxᵢ², upper-triangle
+    * Σxᵢxⱼ; O(d²) mergeable state, a KB at d=64), so the corpus is never
+    * multiplied into d(d−1)/2 cell rows per vector and the only shuffle
+    * is the O(d²)-double partial-merge. The finished cells apply the
+    * identical co-moment formula; corr is rounded BEFORE ranking so
     * sum-order ulps can't flip the reported set. */
   def embedCorr(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.embeddings(s, dir)
-      .select(expr(
-        """explode(flatten(transform(sequence(0, size(embedding) - 2), i ->
-          |  transform(sequence(i + 1, size(embedding) - 1), j ->
-          |    struct(i, j,
-          |      CAST(embedding[i] AS DOUBLE) AS xi,
-          |      CAST(embedding[j] AS DOUBLE) AS xj))))) AS c""".stripMargin))
-      .select(col("c.i").as("i"), col("c.j").as("j"),
-        col("c.xi").as("xi"), col("c.xj").as("xj"))
-    cells.groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum("xi").as("sx"), sum("xj").as("sy"),
-        sum(col("xi") * col("xj")).as("sxy"),
-        sum(col("xi") * col("xi")).as("sxx"),
-        sum(col("xj") * col("xj")).as("syy"))
-      .withColumn("corr", round(
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select("embedding").as[Seq[Float]]
+      .select(new graft.functions.EmbedCorrMoments().toColumn)
+      .selectExpr("inline(cells)") // typed select flattens CorrPairs
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("corr"))
       .orderBy(abs(col("corr")).desc, col("i"), col("j"))
@@ -2702,15 +2691,56 @@ object LlmData extends QueryPack {
     * `lp` table for an external n-gram LM's scores to get the full CCNet
     * pipeline. */
   def unigramPpl(s: SparkSession, dir: String): DataFrame =
-    unigramPplOf(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    unigramPplFrameOf(s, dir).orderBy("doc_id")
+
+  // The unigram→bigram→trigram→4-gram perplexity ladder (and
+  // quality_tiers, which ranks on unigram ppl) all start from the SAME
+  // tokenized corpus — five queries re-reading the parquet and
+  // re-splitting every document is pure waste. Shared per-(session, dir)
+  // builds via [[graft.plans.SessionCache]] (the co-purchase-family
+  // pattern): the hashed (doc_id, toks) array frame feeds every n-gram
+  // explode, and the unigram ppl frame is itself shared with
+  // quality_tiers.
+  //
+  // Tokens are HASHED to 64-bit inside the row-local split (xxhash64) —
+  // the KenLM representation (Heafield 2011: n-gram keys live as 64-bit
+  // hashes, strings never enter the LM tables). Every downstream agg,
+  // shuffle, and scoring join then keys on fixed-width longs instead of
+  // 1-4 UTF8 strings: smaller exchanges, cheaper hashing/comparison,
+  // and an UnsafeRow layout with no variable-length payload. A doc's
+  // perplexity depends only on n-gram COUNT EQUALITIES, which the hash
+  // preserves absent collisions — and a 64-bit hash over a realistic
+  // vocab is collision-free in expectation far past 1e8 types (p ≈
+  // v²/2⁶⁵; the cross-engine oracle hashes would catch one instantly).
+  private val pplShared = new graft.plans.SessionCache[DataFrame]
+
+  /** Cached (doc_id, toks) token-HASH arrays of the documents corpus.
+    * `.cache()` is re-asserted per access: a `catalog.clearCache()`
+    * between bench attempts drops the registration, and re-caching an
+    * already-cached plan is a no-op. */
+  private def tokenArraysOf(s: SparkSession, dir: String): DataFrame =
+    pplShared.getOrElseUpdate(s, s"toks|$dir") {
+      Tables.documents(s, dir).selectExpr("doc_id",
+        "transform(split(text, ' '), t -> xxhash64(t)) AS toks")
+    }.cache()
+
+  /** Cached per-doc unigram ppl frame — `unigram_ppl` orders it,
+    * `quality_tiers` ranks it. */
+  private def unigramPplFrameOf(s: SparkSession, dir: String): DataFrame =
+    pplShared.getOrElseUpdate(s, s"uni_ppl|$dir") {
+      unigramPplOfToks(tokenArraysOf(s, dir))
+    }.cache()
 
   /** The perplexity score over ANY (id, text) frame — what
     * [[graft.CorpusRunner]]'s `ppl_gate` step ranks on. */
   def unigramPplOf(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
-    val toks = docs
-      .selectExpr(s"$idCol AS doc_id", s"explode(split($textCol, ' ')) AS w")
+                   textCol: String): DataFrame =
+    unigramPplOfToks(docs.selectExpr(s"$idCol AS doc_id",
+      s"transform(split($textCol, ' '), t -> xxhash64(t)) AS toks"))
+
+  private def unigramPplOfToks(tokArr: DataFrame): DataFrame = {
+    val toks = tokArr
+      .selectExpr("doc_id", "explode(toks) AS w")
       .cache() // feeds both the LM build and the scoring join
     val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("v"))
@@ -2734,14 +2764,16 @@ object LlmData extends QueryPack {
     * no bigrams and get no row (same convention as a KenLM scorer
     * skipping empty input). */
   def bigramPpl(s: SparkSession, dir: String): DataFrame =
-    bigramPplOf(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    bigramPplOfToks(tokenArraysOf(s, dir)).orderBy("doc_id")
 
   /** The bigram perplexity over ANY (id, text) frame. */
   def bigramPplOf(docs: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
-    val bg = docs
-      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+                  textCol: String): DataFrame =
+    bigramPplOfToks(docs.selectExpr(s"$idCol AS doc_id",
+      s"transform(split($textCol, ' '), t -> xxhash64(t)) AS toks"))
+
+  private def bigramPplOfToks(tokArr: DataFrame): DataFrame = {
+    val bg = tokArr
       .filter("size(toks) >= 2")
       .selectExpr("doc_id",
         """explode(transform(sequence(1, size(toks) - 1),
@@ -2782,16 +2814,18 @@ object LlmData extends QueryPack {
     * (trigram/bigram/unigram types); scoring is one trigram-keyed join.
     * The only driver/broadcast state is the 1-row N1+(··) scalar. */
   def trigramPpl(s: SparkSession, dir: String): DataFrame =
-    trigramPplOf(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    trigramPplOfToks(tokenArraysOf(s, dir)).orderBy("doc_id")
 
   /** The KN trigram perplexity over ANY (id, text) frame. Docs shorter
     * than 3 tokens have no trigrams and get no row. */
   def trigramPplOf(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
+                   textCol: String): DataFrame =
+    trigramPplOfToks(docs.selectExpr(s"$idCol AS doc_id",
+      s"transform(split($textCol, ' '), t -> xxhash64(t)) AS toks"))
+
+  private def trigramPplOfToks(tokArr: DataFrame): DataFrame = {
     val D = 0.75
-    val tg = docs
-      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+    val tg = tokArr
       .filter("size(toks) >= 3")
       .selectExpr("doc_id",
         """explode(transform(sequence(2, size(toks) - 1),
@@ -2864,7 +2898,7 @@ object LlmData extends QueryPack {
     * against the PRUNED 4-gram table; the only broadcast is the 1-row
     * N1+(···) scalar. */
   def fourgramPpl(s: SparkSession, dir: String): DataFrame =
-    fourgramPplOf(Tables.documents(s, dir), "doc_id", "text")
+    fourgramPplOfToks(tokenArraysOf(s, dir), FourgramMinCount)
       .orderBy("doc_id")
 
   /** Min-count prune threshold for [[fourgramPplOf]] — shared with the
@@ -2874,11 +2908,15 @@ object LlmData extends QueryPack {
   /** The pruned KN 4-gram perplexity over ANY (id, text) frame. Docs
     * shorter than 4 tokens have no 4-grams and get no row. */
   def fourgramPplOf(docs: DataFrame, idCol: String, textCol: String,
-                    minCount: Int = FourgramMinCount): DataFrame = {
+                    minCount: Int = FourgramMinCount): DataFrame =
+    fourgramPplOfToks(docs.selectExpr(s"$idCol AS doc_id",
+      s"transform(split($textCol, ' '), t -> xxhash64(t)) AS toks"),
+      minCount)
+
+  private def fourgramPplOfToks(tokArr: DataFrame, minCount: Int): DataFrame = {
     require(minCount >= 1, s"fourgram: minCount must be >= 1, got $minCount")
     val D = 0.75
-    val qg = docs
-      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+    val qg = tokArr
       .filter("size(toks) >= 4")
       .selectExpr("doc_id",
         """explode(transform(sequence(3, size(toks) - 1),
@@ -2921,12 +2959,20 @@ object LlmData extends QueryPack {
       .select(col("w1"), col("w2"), col("w3"), col("w4"),
         (greatest(col("c4") - D, lit(0.0)) / col("c123") +
           lit(D) * col("nt123") / col("c123") * col("p3")).as("p4"))
+    // per-TYPE score (coalesce(pruned p4, backoff p3) on the 4-gram TYPE
+    // table), then ONE corpus-sized join keyed exactly like the c4
+    // groupBy — so the scoring join REUSES qg's (w1..w4) exchange
+    // (ReusedExchange) instead of re-shuffling the corpus by (w2,w3,w4)
+    // for lm3 and AGAIN by (w1..w4) for lm4 as two separate passes
+    val sc = c4.select("w1", "w2", "w3", "w4")
+      .join(lm3, Seq("w2", "w3", "w4"))
+      .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
+      .select(col("w1"), col("w2"), col("w3"), col("w4"),
+        log(coalesce(col("p4"), col("p3"))).as("lp"))
     graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
-      qg.join(lm3, Seq("w2", "w3", "w4"))
-        .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
+      qg.join(sc, Seq("w1", "w2", "w3", "w4"))
         .groupBy("doc_id")
-        .agg(round(exp(-sum(log(coalesce(col("p4"), col("p3")))) /
-          count(lit(1))), 4).as("ppl"),
+        .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
           count(lit(1)).as("n_fourgrams"))) {
       qg.unpersist(); c4.unpersist(); m234.unpersist(); m34.unpersist()
     }
@@ -3193,8 +3239,8 @@ object LlmData extends QueryPack {
     * range-sort ntile (plans.GlobalRank) — no single-partition window at
     * any scale. */
   def qualityTiers(s: SparkSession, dir: String): DataFrame = {
-    val ppl = unigramPplOf(Tables.documents(s, dir), "doc_id", "text")
-      .select("doc_id", "ppl")
+    // rides the SAME cached per-doc unigram ppl frame as `unigram_ppl`
+    val ppl = unigramPplFrameOf(s, dir).select("doc_id", "ppl")
     val (tiered, tieredP) = graft.plans.GlobalRank
       .withNtilePersisted(ppl, Seq(col("ppl"), col("doc_id")), 3, "tier")
     graft.plans.Eager.checkpoint( // 3 rows; frees the ntile sort cache

@@ -300,6 +300,20 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).size should be <= 2
   }
 
+  it should "fold embed_corr into one co-moment aggregate with no explode" in {
+    val p = plan(LlmData.embedCorr(spark, dir))
+    // single array-valued partial aggregate (EmbedCorrMoments): partial +
+    // final around one O(d²)-double exchange; the ONLY Generate is the
+    // 1-row inline() unnesting the finished cells — the corpus itself is
+    // never multiplied into per-pair rows before aggregation
+    p.toLowerCase should include ("embedcorrmoments")
+    "Aggregate".r.findAllIn(p).size should be >= 2 // partial + final
+    // formatted mode prints each node twice (tree + details): one
+    // Generate node = 2 matches; an explode-before-agg would add more
+    "Generate".r.findAllIn(p).size should be <= 2
+    p should not include "CartesianProduct"
+  }
+
   it should "take the concurrency peak via TakeOrdered, never a global sort" in {
     val p = plan(AnalyticsPack.peakConcurrency(spark, dir))
     p should include ("TakeOrderedAndProject")
