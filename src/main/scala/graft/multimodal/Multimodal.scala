@@ -72,6 +72,9 @@ object Multimodal {
     } else if (Codecs.isPng(bytes)) {
       val (w, h, px) = Codecs.decodePng(bytes)
       imageFeatures(w, h, px)
+    } else if (Jpeg.isJpeg(bytes)) {
+      val (w, h, px) = Jpeg.decode(bytes)
+      imageFeatures(w, h, px)
     } else if (Codecs.isWav(bytes)) {
       val (_, samples) = Codecs.decodeWav(bytes)
       if (samples.isEmpty) out
@@ -142,6 +145,9 @@ object Multimodal {
         } else if (Codecs.isPng(m.content)) {
           val (sw, sh, px) = Codecs.decodePng(m.content)
           Codecs.encodePng(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
+        } else if (Jpeg.isJpeg(m.content)) {
+          val (sw, sh, px) = Jpeg.decode(m.content)
+          Jpeg.encode(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
         } else java.util.Arrays.copyOf(m.content, w * h)
       m.copy(content = out, meta = m.meta.copy(width = w, height = h))
     }

@@ -287,6 +287,7 @@ object MultimodalPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ppm_codec" -> ppmCodec,
     "png_codec" -> pngCodec,
+    "jpeg_codec" -> jpegCodec,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
@@ -306,7 +307,70 @@ object MultimodalPack extends QueryPack {
       .select("keep_id", "kind", "n_copies", "blob_md5")
       .orderBy("keep_id")
 
+  /** JPEG codec contract, cross-engine: stage 16x16 RGB images with pixel
+    * bytes cycled from the doc text, push them through the REAL baseline
+    * JFIF encoder AND decoder ([[graft.multimodal.Jpeg]]), and emit
+    * CLAIMS the DuckDB oracle replays as constants — JPEG is lossy, so
+    * the roundtrip contract is exact metadata plus bounded error, not
+    * byte identity (JpegSpec carries the PSNR calibration and the
+    * ImageIO cross-validation):
+    *   - width/height: decoded dimensions, byte-exact (16, 16);
+    *   - lum_ok: the decoded image's total luminance mass within 2/255
+    *     per sample of the source's (the DC coefficients survive
+    *     quantization) — the oracle computes the SOURCE mass from text;
+    *   - psnr_ok: decoded-vs-source PSNR above the q85 floor;
+    *   - dispatch_ok: Multimodal.decode routed the blob through the JPEG
+    *     branch (features equal the decoded image's grid luminance).
+    * A codec regression flips a flag or a dimension and the row hash
+    * diverges loudly. */
+  def jpegCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Codecs, Jpeg}
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val blob = Jpeg.encode(W, H, rgb, quality = 85) // real encode...
+        val (w, h, px) = Jpeg.decode(blob)              // ...and decode
+        def lum(p: Array[Byte]): Double = {
+          var m = 0.0; var i = 0
+          while (i < p.length / 3) {
+            m += 0.299 * (p(3 * i) & 0xff) + 0.587 * (p(3 * i + 1) & 0xff) +
+              0.114 * (p(3 * i + 2) & 0xff)
+            i += 1
+          }
+          m
+        }
+        var se = 0.0
+        var i = 0
+        while (i < px.length) {
+          val d = (px(i) & 0xff) - (rgb(i) & 0xff); se += d.toDouble * d
+          i += 1
+        }
+        val psnr =
+          if (se == 0) Double.PositiveInfinity
+          else 10 * math.log10(255.0 * 255.0 * px.length / se)
+        val lumOk = math.abs(lum(px) - lum(rgb)) <= 2.0 * W * H
+        val feats = graft.multimodal.Multimodal.decode(blob)
+        val cells = Codecs.gridLuminance(w, h, px, 4, 4)
+        val dispatchOk = feats.indices.forall(c =>
+          feats(c) == (cells(c).toDouble / (16L * 3 * 255)).toFloat)
+        (id, w.toLong, h.toLong, if (psnr > 18.0) 1L else 0L,
+          if (lumOk) 1L else 0L, if (dispatchOk) 1L else 0L)
+      }
+      .toDF("media_id", "width", "height", "psnr_ok", "lum_ok", "dispatch_ok")
+      .orderBy("media_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "jpeg_codec" ->
+      // every claim is a constant the JVM side must EARN per image: the
+      // oracle's only per-row content is the id column itself
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        | 1 AS psnr_ok, 1 AS lum_ok, 1 AS dispatch_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
     "ppm_codec" ->
       // the oracle computes expected cell sums STRAIGHT from the text —
       // it never parses PPM — so agreement proves the JVM encode/decode/
