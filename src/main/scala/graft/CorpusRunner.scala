@@ -140,6 +140,14 @@ object CorpusRunner extends Logging {
     CorpusResult(cleaned, metrics, sp)
   }
 
+  /** Per-row effective-mass factor: the soft_dedup weight when the chain
+    * has attached one, else 1 — how the mix steps see a soft-deduped
+    * corpus without changing behavior for chains that never soft-dedup. */
+  private def effWeight(df: DataFrame, cc: CorpusConf)
+      : org.apache.spark.sql.Column =
+    if (df.columns.contains(cc.weightColumn)) col(cc.weightColumn)
+    else lit(1.0)
+
   /** One cleaning step as a pure DataFrame transform. */
   def applyStep(df: DataFrame, step: CorpusStepConf, cc: CorpusConf): DataFrame = {
     val text = cc.textColumn
@@ -172,6 +180,19 @@ object CorpusRunner extends Logging {
         // whitespace runs, trim — row-local codegen'd expressions
         df.withColumn(text,
           trim(regexp_replace(lower(col(text)), "\\s+", " ")))
+      case "soft_dedup" =>
+        // SlimPajama-style SOFT dedup: KEEP every copy but attach
+        // weight = 1/n_copies per exact-duplicate cluster, so duplicated
+        // content contributes one copy's worth of mass downstream. The
+        // weight column rides through chunk/curriculum untouched (the
+        // trainer's sampler consumes it), and the mix steps below switch
+        // to effective mass when they see it. Same single shuffle on the
+        // uniform md5 key as dedup_exact — nothing beyond that cost.
+        df.withColumn("__h", md5(lower(trim(col(text)))))
+          .withColumn(cc.weightColumn,
+            round(lit(1.0) / count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("__h")), 6))
+          .drop("__h")
       case "quality_gate" =>
         df.filter(TextQuality.keep(text,
           minTokens = step.minTokens, maxTokens = step.maxTokens))
@@ -355,9 +376,12 @@ object CorpusRunner extends Logging {
           step.keepLangs, step.threshold, id)
       case "source_mix" =>
         // same md5-uniform membership as LlmData.sourceMixSample: a pure
-        // function of the id — reproducible, stable under corpus growth
+        // function of the id — reproducible, stable under corpus growth.
+        // After soft_dedup, a group's size is its EFFECTIVE doc count
+        // (Σ weight): duplicated sources stop inflating their own quota.
+        val w = effWeight(df, cc)
         val counts = df.groupBy(step.groupColumn)
-          .agg(count(lit(1)).as("__n"))
+          .agg(sum(w).as("__n"))
         val rv = graft.functions.GraftFunctions.md5CoinPct(col(id))
         df.join(broadcast(counts), step.groupColumn)
           .filter(rv < lit(100.0) * lit(step.quota) / col("__n"))
@@ -365,8 +389,10 @@ object CorpusRunner extends Logging {
       case "temp_mix" =>
         // temperature-flattened mixing (LlmData.sourceTemperatureMix
         // semantics): keep probability min(1, quota·n^(α−1)/Σ n^α) per
-        // group — expected total = quota, rare groups upweighted
-        val counts = df.groupBy(step.groupColumn).agg(count(lit(1)).as("__n"))
+        // group — expected total = quota, rare groups upweighted; n is
+        // the group's effective doc count after soft_dedup
+        val counts = df.groupBy(step.groupColumn)
+          .agg(sum(effWeight(df, cc)).as("__n"))
         val tot = counts.agg(sum(pow(col("__n"), step.alpha)).as("__tot"))
         val probs = counts.crossJoin(broadcast(tot))
           .withColumn("__p", round(least(lit(1.0),
@@ -379,9 +405,11 @@ object CorpusRunner extends Logging {
         // token-budget temperature mixing (LlmData.sourceTokenMix
         // semantics): quota is a TOKEN budget; each group's α-flattened
         // token share becomes a per-doc keep probability
-        // min(1, quota·T^(α−1)/Σ T^α)
+        // min(1, quota·T^(α−1)/Σ T^α). After soft_dedup a doc's tokens
+        // count at weight·n_tok — duplicated text contributes one copy's
+        // token mass to its group's share (SlimPajama end-to-end).
         val withTok = df.withColumn("__ntok",
-          size(split(col(text), " ")).cast("long"))
+          size(split(col(text), " ")).cast("double") * effWeight(df, cc))
         val counts = withTok.groupBy(step.groupColumn)
           .agg(sum("__ntok").as("__t"))
         val tot = counts.agg(sum(pow(col("__t"), step.alpha)).as("__tot"))

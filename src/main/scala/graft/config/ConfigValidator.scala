@@ -160,9 +160,16 @@ object ConfigValidator {
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
       "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix",
-      "rank_gate", "semantic_decontam", "chunk", "curriculum")
+      "rank_gate", "semantic_decontam", "chunk", "curriculum", "soft_dedup")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
+      if (cc.steps.exists(_.op == "soft_dedup")) {
+        if (cc.weightColumn.isEmpty)
+          err("corpus", "'soft_dedup' requires a non-empty weightColumn")
+        if (cc.weightColumn == cc.textColumn || cc.weightColumn == cc.idColumn)
+          err("corpus", s"weightColumn '${cc.weightColumn}' collides with " +
+            "the text/id column")
+      }
       cc.steps.zipWithIndex.foreach { case (s, i) =>
         if (!corpusOps(s.op)) err("corpus", s"step $i: unknown op '${s.op}'")
         s.op match {

@@ -170,7 +170,10 @@ final case class CorpusStepConf(
 final case class CorpusConf(
     steps: Seq[CorpusStepConf] = Nil,
     textColumn: String = "text",
-    idColumn: String = "doc_id")
+    idColumn: String = "doc_id",
+    weightColumn: String = "weight") // soft_dedup: attached 1/n_copies
+                                     // column; mix steps consume it as
+                                     // effective mass when present
 
 final case class GraftConf(
     project: ProjectConf = ProjectConf(),

@@ -40,13 +40,28 @@ object CorpusQuickStart {
       .select("vec_id", "embedding").write.mode("overwrite")
       .parquet(evalVecPath)
 
+    // stage the raw ingest as a crawl with RE-CRAWLS: every 7th doc
+    // arrives twice under a fresh id (the frame_dedup staging
+    // convention) — the duplication soft_dedup down-weights instead of
+    // dropping, so the chain demonstrates the SlimPajama accounting
+    val rawPath = "/tmp/graft-corpus-demo-raw"
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val off = docs.agg((max("doc_id") + 1).as("__off"))
+      docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0).crossJoin(broadcast(off))
+            .withColumn("doc_id", col("doc_id") + col("__off")).drop("__off"))
+        .write.mode("overwrite").parquet(rawPath)
+    }
+
     val confJson =
       s"""{
         |  "project": {"name": "corpus-quickstart", "root": "/tmp/graft-corpus-demo"},
-        |  "data": {"source": "parquet://$dir/documents.parquet"},
+        |  "data": {"source": "parquet://$rawPath"},
         |  "columns": {"response": "lang"},
         |  "corpus": {"steps": [
-        |    {"op": "dedup_exact"},
+        |    {"op": "soft_dedup"},
         |    {"op": "dedup_minhash", "threshold": 0.7},
         |    {"op": "span_scrub", "window": 8},
         |    {"op": "span_dedup", "window": 8, "threshold": 0.5},
@@ -76,6 +91,17 @@ object CorpusQuickStart {
     // positions are dense and shards balanced round-robin over survivors
     val cleaned = result.corpus.cache()
     val n = cleaned.count()
+    // SlimPajama end-to-end: soft_dedup kept every exact copy but
+    // attached weight = 1/n_copies, token_mix consumed the EFFECTIVE
+    // token mass, and the weight column rides the cleaned corpus into
+    // the trainer's sampler
+    val wAgg = cleaned.agg(
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("weight"), 2).as("eff"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("raw")).collect().head
+    println(s"[corpus] soft-dedup effective doc mass: ${wAgg.getDouble(0)} " +
+      s"of ${wAgg.getLong(1)} surviving rows")
     val sharded = LlmData.corpusShuffleOf(cleaned, "doc_id", shards = 8)
     println(s"[corpus] cleaned corpus: $n docs across " +
       s"${sharded.select("shard").distinct().count()} shards")

@@ -337,6 +337,59 @@ class CorpusRunnerSpec extends SparkSpec {
     kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  it should "attach 1/n_copies weights through soft_dedup, conserving unit mass per cluster" in {
+    import spark.implicits._
+    val docs = (1 to 60).map(i => (i.toLong, "alpha bravo charlie delta echo", "dup", "en")) ++
+      (101 to 160).map(i => (i.toLong, s"unique document number $i with distinct words", "uniq", "en"))
+    val df = docs.toDF("doc_id", "text", "source", "lang")
+    val cc = config.CorpusConf(steps = Seq(config.CorpusStepConf(op = "soft_dedup")))
+    val out = CorpusRunner.applyStep(df, cc.steps.head, cc).cache()
+    out.count() shouldBe 120 // soft: every copy KEPT
+    // mass conservation: each exact-dup cluster sums to 1 unit of weight
+    val bySrc = out.groupBy("source").agg(round(sum("weight"), 4).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bySrc("dup") shouldBe 1.0 // 60 copies x 1/60
+    bySrc("uniq") shouldBe 60.0 // 60 distinct docs x 1.0
+    // the weight column rides through a chunk hop untouched per chunk
+    val chunked = CorpusRunner.applyStep(out,
+      config.CorpusStepConf(op = "chunk", window = 3, stride = 3), cc)
+    chunked.columns should contain ("weight")
+    chunked.filter(col("weight") =!= 1.0 && col("weight") =!= 0.016667).count() shouldBe 0 // round(1/60, 6)
+  }
+
+  it should "consume effective token mass in token_mix after soft_dedup" in {
+    import spark.implicits._
+    val docs = (1 to 60).map(i => (i.toLong, "alpha bravo charlie delta echo", "dup", "en")) ++
+      (101 to 160).map(i => (i.toLong, s"unique document number $i with distinct words", "uniq", "en"))
+    val df = docs.toDF("doc_id", "text", "source", "lang")
+    val cc = config.CorpusConf(steps = Nil)
+    val mix = config.CorpusStepConf(op = "token_mix", quota = 200, alpha = 0.5)
+    def keptDup(frame: org.apache.spark.sql.DataFrame): Long =
+      CorpusRunner.applyStep(frame, mix, cc).filter(col("source") === "dup").count()
+    // raw counting: "dup" looks like a 60-doc source and gets flattened
+    val rawKept = keptDup(df)
+    // soft-deduped: "dup" is EFFECTIVELY one doc's token mass, so the
+    // alpha<1 rare-group upweight gives it a HIGHER keep probability
+    val soft = CorpusRunner.applyStep(df,
+      config.CorpusStepConf(op = "soft_dedup"), cc)
+    val softKept = keptDup(soft)
+    softKept should be >= rawKept
+    softKept should be > 0L // upweighted near p=1 under the 200-token quota
+  }
+
+  it should "reject soft_dedup configs with a colliding or empty weight column" in {
+    val bad = config.GraftConf.fromJson(
+      s"""{
+        |  "project": {"name": "x", "root": "/tmp/x"},
+        |  "data": {"source": "parquet://$dir/documents.parquet"},
+        |  "columns": {"response": "lang"},
+        |  "corpus": {"weightColumn": "text",
+        |    "steps": [{"op": "soft_dedup"}]}
+        |}""".stripMargin)
+    val errs = config.ConfigValidator.validate(bad)
+    errs.exists(_.message.contains("collides")) shouldBe true
+  }
+
   it should "drop eval-overlapping docs through decontam against an external source" in {
     import spark.implicits._
     // eval set = the planted copy of doc 7's text; a clean doc survives
