@@ -53,6 +53,10 @@ object ScalingBench {
     "bloom_filter",       // broadcast membership bit set
     "weighted_percentiles_interp", // collapsed knot CDF interpolation
     "png_codec",          // row-local deflate codec (CPU/scan-bound)
+    "jpeg_codec",         // row-local DCT codec (CPU/scan-bound)
+    "mp4_meta",           // row-local box walk (scan-bound)
+    "unigram_lm_train",   // EM over the Heaps-bounded vocab table
+    "embed_corr",         // one-pass array-valued co-moment aggregate
     "embed_rp")           // row-local JL projection (scan-bound)
 
   def main(args: Array[String]): Unit = {

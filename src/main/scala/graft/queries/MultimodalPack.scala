@@ -288,6 +288,7 @@ object MultimodalPack extends QueryPack {
     "ppm_codec" -> ppmCodec,
     "png_codec" -> pngCodec,
     "jpeg_codec" -> jpegCodec,
+    "mp4_meta" -> mp4Meta,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
@@ -306,6 +307,39 @@ object MultimodalPack extends QueryPack {
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "kind", "n_copies", "blob_md5")
       .orderBy("keep_id")
+
+  /** MP4/BMFF container-metadata contract, cross-engine: stage each doc
+    * as a minimal-but-valid ISO BMFF tree (ftyp + moov/mvhd + a video
+    * and an audio trak) whose parameters derive deterministically from
+    * the doc's fields, walk it back through the REAL box parser
+    * ([[graft.multimodal.Mp4]] — bounds-checked sizes, 16.16 fixed-point
+    * geometry, fullbox versions), and emit the parsed values. The DuckDB
+    * oracle computes the expected numbers straight from `documents` and
+    * never sees a box — hash parity proves parse(build(x)) == x, box
+    * length accounting and fixed-point math included. This is the
+    * metadata triage a lake runs on every crawled video before spending
+    * decode cycles; sample decoding stays the documented stub path. */
+  def mp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Mp4
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 640).toInt; val h = (nChars % 480).toInt
+        val blob = Mp4.build("isom", 1000L, Seq(
+          Mp4.Mp4Track("vide", w, h, nChars * 10),
+          Mp4.Mp4Track("soun", 0, 0, nChars * 7)))
+        val m = Mp4.parseMeta(blob)
+        val v = m.tracks.find(_.handler == "vide").get
+        val a = m.tracks.find(_.handler == "soun").get
+        (id, m.brand, m.timescale, m.duration,
+          v.width.toLong, v.height.toLong, a.duration,
+          m.tracks.length.toLong)
+      }
+      .toDF("media_id", "brand", "timescale", "duration_ms",
+        "video_w", "video_h", "audio_duration_ms", "n_tracks")
+      .orderBy("media_id")
+  }
 
   /** JPEG codec contract, cross-engine: stage 16x16 RGB images with pixel
     * bytes cycled from the doc text, push them through the REAL baseline
@@ -365,6 +399,14 @@ object MultimodalPack extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "mp4_meta" ->
+      // expected metadata straight from the docs table — the oracle
+      // never parses a box, so parity proves the build→parse identity
+      """SELECT doc_id AS media_id, 'isom' AS brand, 1000 AS timescale,
+        | n_chars * 10 AS duration_ms,
+        | n_chars % 640 AS video_w, n_chars % 480 AS video_h,
+        | n_chars * 7 AS audio_duration_ms, 2 AS n_tracks
+        |FROM documents ORDER BY media_id""".stripMargin,
     "jpeg_codec" ->
       // every claim is a constant the JVM side must EARN per image: the
       // oracle's only per-row content is the id column itself
