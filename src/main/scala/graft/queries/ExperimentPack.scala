@@ -58,6 +58,62 @@ object ExperimentPack extends QueryPack {
             pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("df"))
   }
 
+  /** mSPRT mixture-variance parameter τ² — a MODEL hyperparameter tuned
+    * to expected effect sizes in real deployments; fixed here so the
+    * test statistic is a pure function of the data (always-validity
+    * requires τ² chosen before looking). */
+  private val MsprtTau2 = 1.0
+  private val MsprtLooks = 5
+
+  /** Always-valid sequential A/B test — the mixture SPRT (Johari,
+    * Koomen, Pekelis & Walsh, KDD'17 "Peeking at A/B tests"): a fixed-n
+    * t-test's error guarantee breaks the moment an experimenter peeks
+    * early, but the mSPRT's mixture likelihood ratio
+    * Λ_n = √(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²))) is a test MARTINGALE, so
+    * p_n = min(1, 1/Λ_n) is valid at EVERY interim look simultaneously —
+    * the monitoring read an experiment platform recomputes on each
+    * refresh. This query materializes the whole peeking curve: the
+    * corpus is cut at [[MsprtLooks]] interim event-id thresholds and the
+    * statistic emitted per look (log Λ to stay finite when evidence is
+    * overwhelming).
+    *
+    * Scale shape: look membership is a row-local filtered-sequence
+    * explode (≤ `looks` copies per event, map-side), per-(look, user)
+    * sums are ONE keyed partial aggregate, and each look's statistic
+    * reduces to a conditional global agg — O(looks) result rows from any
+    * corpus size; the only broadcast is the 1-row max-id frame. */
+  def msprtPeek(s: SparkSession, dir: String): DataFrame = {
+    val looks = MsprtLooks
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val mx = ev.agg(max("event_id").as("mx"))
+    val perLook = ev.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("value"),
+        explode(expr(
+          s"filter(sequence(1, $looks), k -> event_id <= (k * mx) div $looks)"))
+          .as("look"))
+      .groupBy("look", "user_id").agg(sum("value").as("m"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val g = perLook.groupBy("look").agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      avg(when(col("variant") === 0, col("m"))).as("ma"),
+      avg(when(col("variant") === 1, col("m"))).as("mb"),
+      var_samp(when(col("variant") === 0, col("m"))).as("va"),
+      var_samp(when(col("variant") === 1, col("m"))).as("vb"))
+    val v = col("va") / col("n_a") + col("vb") / col("n_b")
+    val logLambda = lit(0.5) * log(v / (v + lit(MsprtTau2))) +
+      pow(col("ma") - col("mb"), 2) * lit(MsprtTau2) /
+        (lit(2.0) * v * (v + lit(MsprtTau2)))
+    g.select(col("look").cast("long").as("look"), col("n_a"), col("n_b"),
+        round(col("ma") - col("mb"), 6).as("delta"),
+        round(logLambda, 4).as("log_lambda"),
+        round(least(lit(1.0), exp(-logLambda)), 6).as("p_always_valid"))
+      .withColumn("significant",
+        when(col("p_always_valid") <= 0.05, 1L).otherwise(0L))
+      .orderBy("look")
+  }
+
   // ------------------------------------------------------------- CUPED
 
   /** CUPED variance reduction (Deng et al. 2013): regress the experiment
@@ -293,6 +349,7 @@ object ExperimentPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_welch" -> abWelch,
+    "msprt_peek" -> msprtPeek,
     "cuped_adjust" -> cupedAdjust,
     "diff_in_diff" -> diffInDiff,
     "mann_whitney" -> mannWhitney,
@@ -376,6 +433,36 @@ object ExperimentPack extends QueryPack {
         | round(sum(b.h), 6) AS cum_hazard
         |FROM steps a JOIN steps b ON b.dur <= a.dur
         |GROUP BY a.dur, a.n_risk, a.e ORDER BY a.dur""".stripMargin,
+    "msprt_peek" ->
+      s"""WITH mx AS (SELECT max(event_id) AS mx FROM events),
+        | pl AS (SELECT look, user_id, user_id % 2 AS variant,
+        |     sum(value) AS m
+        |   FROM (SELECT user_id, value,
+        |       unnest(list_filter(generate_series(1, $MsprtLooks),
+        |         k -> event_id <= (k * mx) // $MsprtLooks)) AS look
+        |     FROM events, mx)
+        |   GROUP BY 1, 2),
+        | g AS (SELECT look,
+        |   count(CASE WHEN variant = 0 THEN 1 END)::BIGINT AS n_a,
+        |   count(CASE WHEN variant = 1 THEN 1 END)::BIGINT AS n_b,
+        |   avg(CASE WHEN variant = 0 THEN m END) AS ma,
+        |   avg(CASE WHEN variant = 1 THEN m END) AS mb,
+        |   var_samp(CASE WHEN variant = 0 THEN m END) AS va,
+        |   var_samp(CASE WHEN variant = 1 THEN m END) AS vb
+        |  FROM pl GROUP BY 1),
+        | s AS (SELECT look, n_a, n_b, ma - mb AS delta,
+        |   va / n_a + vb / n_b AS v FROM g)
+        |SELECT look::BIGINT AS look, n_a, n_b, round(delta, 6) AS delta,
+        |  round(0.5 * ln(v / (v + $MsprtTau2)) +
+        |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2)), 4)
+        |    AS log_lambda,
+        |  round(least(1.0, exp(-(0.5 * ln(v / (v + $MsprtTau2)) +
+        |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2))))), 6)
+        |    AS p_always_valid,
+        |  CASE WHEN round(least(1.0, exp(-(0.5 * ln(v / (v + $MsprtTau2)) +
+        |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2))))), 6)
+        |    <= 0.05 THEN 1 ELSE 0 END::BIGINT AS significant
+        |FROM s ORDER BY look""".stripMargin,
     "ab_welch" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS variant, sum(value) AS m
         |   FROM events GROUP BY 1),

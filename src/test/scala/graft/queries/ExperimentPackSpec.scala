@@ -36,6 +36,44 @@ class ExperimentPackSpec extends SparkSpec {
     row.getAs[Double]("df") shouldBe df +- 1e-2
   }
 
+  behavior of "msprtPeek"
+
+  it should "emit a valid peeking curve whose final look matches a plain-Scala replay" in {
+    val rows = ExperimentPack.msprtPeek(spark, dir).collect()
+    rows.map(_.getAs[Long]("look")).toSeq shouldBe (1L to 5L)
+    // sample sizes only grow as the looks widen
+    val nas = rows.map(_.getAs[Long]("n_a"))
+    val nbs = rows.map(_.getAs[Long]("n_b"))
+    nas.zip(nas.tail).foreach { case (a, b) => b should be >= a }
+    nbs.zip(nbs.tail).foreach { case (a, b) => b should be >= a }
+    rows.foreach { r =>
+      val pav = r.getAs[Double]("p_always_valid")
+      pav should (be > 0.0 and be <= 1.0)
+      r.getAs[Long]("significant") shouldBe (if (pav <= 0.05) 1L else 0L)
+    }
+    // plain-Scala mSPRT at the FULL corpus (the last look covers all
+    // events): same conditional moments, same mixture formula
+    import org.apache.spark.sql.functions._
+    val u = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(sum("value").as("m"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+      .collect().map(r => (r.getAs[Int]("variant"), r.getAs[Double]("m")))
+    def stats(v: Int) = {
+      val xs = u.filter(_._1 == v).map(_._2)
+      val mean = xs.sum / xs.length
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      (xs.length, mean, varS)
+    }
+    val (na, ma, va) = stats(0); val (nb, mb, vb) = stats(1)
+    val vv = va / na + vb / nb
+    val tau2 = 1.0
+    val want = 0.5 * math.log(vv / (vv + tau2)) +
+      (ma - mb) * (ma - mb) * tau2 / (2 * vv * (vv + tau2))
+    val last = rows.last
+    last.getAs[Long]("n_a") shouldBe na
+    last.getAs[Double]("log_lambda") shouldBe want +- 1e-3
+  }
+
   behavior of "cupedAdjust"
 
   it should "reduce variance and preserve the overall metric mean" in {
