@@ -54,6 +54,7 @@ object ScalingBench {
     "weighted_percentiles_interp", // collapsed knot CDF interpolation
     "png_codec",          // row-local deflate codec (CPU/scan-bound)
     "jpeg_codec",         // row-local DCT codec (CPU/scan-bound)
+    "gif_codec",          // row-local LZW codec (CPU/scan-bound)
     "mp4_meta",           // row-local box walk (scan-bound)
     "unigram_lm_train",   // EM over the Heaps-bounded vocab table
     "embed_corr",         // one-pass array-valued co-moment aggregate

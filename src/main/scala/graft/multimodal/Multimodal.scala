@@ -75,6 +75,9 @@ object Multimodal {
     } else if (Jpeg.isJpeg(bytes)) {
       val (w, h, px) = Jpeg.decode(bytes)
       imageFeatures(w, h, px)
+    } else if (Gif.isGif(bytes)) {
+      val (w, h, px) = Gif.decode(bytes)
+      imageFeatures(w, h, px)
     } else if (Codecs.isWav(bytes)) {
       val (_, samples) = Codecs.decodeWav(bytes)
       if (samples.isEmpty) out
@@ -148,6 +151,13 @@ object Multimodal {
         } else if (Jpeg.isJpeg(m.content)) {
           val (sw, sh, px) = Jpeg.decode(m.content)
           Jpeg.encode(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
+        } else if (Gif.isGif(m.content)) {
+          // resample in INDEX space against the frame's own palette —
+          // nearest-neighbor never invents colors, so the re-encode is
+          // exact (GIF stays lossless through resize)
+          val (sw, sh, idx, table) = Gif.decodeIndexed(m.content)
+          Gif.encode(w, h, Gif.resizeIndexed(sw, sh, idx, w, h),
+            java.util.Arrays.copyOf(table, 768))
         } else java.util.Arrays.copyOf(m.content, w * h)
       m.copy(content = out, meta = m.meta.copy(width = w, height = h))
     }

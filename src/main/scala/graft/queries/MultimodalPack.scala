@@ -288,6 +288,7 @@ object MultimodalPack extends QueryPack {
     "ppm_codec" -> ppmCodec,
     "png_codec" -> pngCodec,
     "jpeg_codec" -> jpegCodec,
+    "gif_codec" -> gifCodec,
     "mp4_meta" -> mp4Meta,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
@@ -339,6 +340,46 @@ object MultimodalPack extends QueryPack {
       .toDF("media_id", "brand", "timescale", "duration_ms",
         "video_w", "video_h", "audio_duration_ms", "n_tracks")
       .orderBy("media_id")
+  }
+
+  /** GIF codec ROUNDTRIP proof, cross-engine: the [[pngCodec]] contract
+    * through the REAL GIF container — GIF is palette-LOSSLESS, so unlike
+    * JPEG the oracle checks exact pixel mass. Stage 16x16 frames whose
+    * palette INDICES cycle from the doc text over a grayscale identity
+    * palette, encode through the real LZW writer, decode through the
+    * sub-block walk + variable-width LZW reader, nearest-neighbor resize
+    * in INDEX space, and emit integer grid-luminance masses from the
+    * DECODED pixels (gray pixel b contributes 3·b). The DuckDB oracle
+    * computes expected sums straight from `documents.text` and never
+    * sees a GIF byte — parity proves decode∘encode = id, LZW and
+    * sub-block grammar included. Cell 0 additionally re-derives from the
+    * [[Multimodal.decode]] dispatch features, pinning magic routing. */
+  def gifCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Gif
+    val W = 16; val H = 16
+    val palette = Array.tabulate[Byte](768)(i => (i / 3).toByte)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val idx = Array.tabulate[Byte](W * H)(k => txt(k % txt.length))
+        val blob = Gif.encode(W, H, idx, palette) // real encode...
+        val (w, h, px) = Gif.decode(blob)         // ...and real decode
+        val full = graft.multimodal.Codecs.gridLuminance(w, h, px, 4, 4)
+        val (rw, rh, ri, rt) = Gif.decodeIndexed(blob)
+        val small = Gif.encode(8, 8, Gif.resizeIndexed(rw, rh, ri, 8, 8),
+          java.util.Arrays.copyOf(rt, 768))
+        val (sw, sh, spx) = Gif.decode(small)
+        val rz = graft.multimodal.Codecs.gridLuminance(sw, sh, spx, 4, 4)
+        val f0 = graft.multimodal.Multimodal.decode(blob)(0)
+        val viaDispatch = math.round(f0.toDouble * (16 * 3 * 255))
+        full.indices.map(cell =>
+          (id, cell.toLong, full(cell), rz(cell),
+            if (cell == 0) viaDispatch else full(cell)))
+      }
+      .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8", "lum_sum_dispatch")
+      .orderBy("media_id", "cell")
   }
 
   /** JPEG codec contract, cross-engine: stage 16x16 RGB images with pixel
@@ -438,6 +479,32 @@ object MultimodalPack extends QueryPack {
         | rz AS (SELECT media_id, cell, sum(b)::BIGINT AS lum_sum_8x8
         |   FROM rk GROUP BY 1, 2)
         |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8
+        |FROM full16 JOIN rz USING (media_id, cell)
+        |ORDER BY media_id, cell""".stripMargin,
+    "gif_codec" ->
+      // grayscale identity palette: pixel p's index = text byte at
+      // (p % len), each gray pixel contributes 3·b of luminance; the
+      // 8x8 resize samples source (2r, 2c) under the index-space floor
+      // mapping — the oracle never sees a GIF byte
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |   length(text) AS len FROM documents),
+        | fk AS (SELECT media_id, p,
+        |     3 * ord(substr(text, (p % len) + 1, 1)) AS lum
+        |   FROM d, unnest(generate_series(0, 255)) AS u(p)),
+        | full16 AS (SELECT media_id,
+        |     ((p // 16) // 4) * 4 + ((p % 16) // 4) AS cell,
+        |     sum(lum)::BIGINT AS lum_sum
+        |   FROM fk GROUP BY 1, 2),
+        | rk AS (SELECT media_id,
+        |     (r // 2) * 4 + (c // 2) AS cell,
+        |     3 * ord(substr(text,
+        |       (((2 * r) * 16 + 2 * c) % len) + 1, 1)) AS lum
+        |   FROM d, unnest(generate_series(0, 7)) AS ur(r),
+        |     unnest(generate_series(0, 7)) AS uc(c)),
+        | rz AS (SELECT media_id, cell, sum(lum)::BIGINT AS lum_sum_8x8
+        |   FROM rk GROUP BY 1, 2)
+        |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8,
+        | lum_sum AS lum_sum_dispatch
         |FROM full16 JOIN rz USING (media_id, cell)
         |ORDER BY media_id, cell""".stripMargin,
     "png_codec" ->
