@@ -56,6 +56,7 @@ object ScalingBench {
     "jpeg_codec",         // row-local DCT codec (CPU/scan-bound)
     "gif_codec",          // row-local LZW codec (CPU/scan-bound)
     "mp4_meta",           // row-local box walk (scan-bound)
+    "mp3_meta",           // row-local frame-header walk (scan-bound)
     "unigram_lm_train",   // EM over the Heaps-bounded vocab table
     "embed_corr",         // one-pass array-valued co-moment aggregate
     "embed_rp")           // row-local JL projection (scan-bound)

@@ -290,6 +290,7 @@ object MultimodalPack extends QueryPack {
     "jpeg_codec" -> jpegCodec,
     "gif_codec" -> gifCodec,
     "mp4_meta" -> mp4Meta,
+    "mp3_meta" -> mp3Meta,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
@@ -382,6 +383,35 @@ object MultimodalPack extends QueryPack {
       .orderBy("media_id", "cell")
   }
 
+  /** MP3 frame-walker contract, cross-engine (the [[mp4Meta]] pattern on
+    * the audio side): stage each doc as a structurally valid CBR MPEG-1
+    * Layer III stream — an ID3v2 tag wrapping the doc's text prefix plus
+    * a doc-derived number of frames over the bitrate/samplerate grid —
+    * walk it back through the REAL header parser (sync validation,
+    * syncsafe ID3 skip, per-frame length accounting), and emit the
+    * parsed values. The oracle computes expectations from `documents`
+    * and never sees a frame — parity proves parse(build(x)) == x. */
+  def mp3Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Mp3
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (id, nChars, text) =>
+        val blob = Mp3.build(
+          frames = (nChars % 20).toInt + 1,
+          bitrateIdx = (nChars % 14).toInt + 1,
+          sampleRateIdx = (nChars % 3).toInt,
+          tagText = text.take(40))
+        val m = Mp3.parseMeta(blob)
+        (id, m.frames, m.bitrateKbps.toLong, m.sampleRate.toLong,
+          m.durationMs, m.id3Bytes)
+      }
+      .toDF("media_id", "frames", "bitrate_kbps", "sample_rate",
+        "duration_ms", "id3_bytes")
+      .orderBy("media_id")
+  }
+
   /** JPEG codec contract, cross-engine: stage 16x16 RGB images with pixel
     * bytes cycled from the doc text, push them through the REAL baseline
     * JFIF encoder AND decoder ([[graft.multimodal.Jpeg]]), and emit
@@ -440,6 +470,17 @@ object MultimodalPack extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "mp3_meta" ->
+      // staging parameters are pure functions of n_chars/text; the tag
+      // text is ASCII so its UTF-8 byte length equals its char length
+      """SELECT doc_id AS media_id, (n_chars % 20) + 1 AS frames,
+        | list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)
+        |   [(n_chars % 14) + 1] AS bitrate_kbps,
+        | list_value(44100,48000,32000)[(n_chars % 3) + 1] AS sample_rate,
+        | ((n_chars % 20) + 1) * 1152 * 1000
+        |   // list_value(44100,48000,32000)[(n_chars % 3) + 1] AS duration_ms,
+        | 10 + least(40, length(text)) AS id3_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mp4_meta" ->
       // expected metadata straight from the docs table — the oracle
       // never parses a box, so parity proves the build→parse identity
