@@ -80,6 +80,9 @@ final case class CusumAlert(user_id: Long, rn: Long, event_id: Long,
 /** One live count-min counter: sketch row id, bucket, running count. */
 final case class CmsCell(row: Int, bucket: Long, cnt: Long)
 
+final case class SoftDedupWeight(text_hash: String, n_copies: Long,
+                                 weight: Double)
+
 /** One live HyperLogLog register: group, register index, max ρ so far. */
 final case class HllRegister(group: String, bucket: Long, rho: Int)
 
@@ -997,6 +1000,32 @@ object StreamOps {
     docs.withColumn("text_hash", md5(lower(trim(col(textCol)))))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Live SlimPajama soft-dedup accounting — the streaming twin of the
+    * `soft_dedup` corpus step: per content hash, the running copy count
+    * and its 1/n_copies weight (same HALF_UP 6-dp rounding as the batch
+    * step), emitted as Update-mode rows a latest-wins sink compacts into
+    * the current weight table the trainer's sampler joins against.
+    * State is one long per DISTINCT text — it IS the dedup table, the
+    * same semantically-unbounded shape as `latestByKey` (bound it
+    * upstream with [[dedupWithinWatermark]]-style horizons if the corpus
+    * is truly unbounded). Copy counts are delivery counts: an
+    * at-least-once source should dedup exact re-sends upstream first. */
+  def softDedupWeights(docs: DataFrame, textCol: String)
+      : Dataset[SoftDedupWeight] = {
+    import docs.sparkSession.implicits._
+    docs.select(md5(lower(trim(col(textCol)))).as("text_hash"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          SoftDedupWeight(h, n,
+            BigDecimal(1.0 / n).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
 
   /** The static side of the streaming near-dup probe: the existing
     * corpus's LSH band index — (band, sig) → old doc id + its distinct

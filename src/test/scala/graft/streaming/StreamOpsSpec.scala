@@ -768,6 +768,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  behavior of "softDedupWeights"
+
+  it should "converge each text's weight to the batch 1/n_copies across micro-batches" in {
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.softDedupWeights(in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("soft_weights")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, "alpha bravo"), (2L, "charlie delta"), (3L, "alpha bravo"))
+      q.processAllAvailable()
+      in.addData((4L, "Alpha  Bravo "), (5L, "echo foxtrot")) // normalizes to a dup
+      q.processAllAvailable()
+      val latest = spark.table("soft_weights")
+        .groupBy("text_hash")
+        .agg(org.apache.spark.sql.functions.max("n_copies").as("n"),
+          org.apache.spark.sql.functions.min("weight").as("w"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      latest should have size 4
+      // batch twin of the final state: lower(trim)-normalized md5 counts
+      val docs = Seq("alpha bravo", "charlie delta", "alpha bravo",
+        "Alpha  Bravo ", "echo foxtrot")
+      // "Alpha  Bravo " normalizes to "alpha  bravo" (inner whitespace
+      // kept - the corpus step's normalize op handles runs), which is
+      // NOT the same hash as "alpha bravo": check real multiplicities
+      val counts = docs.groupBy(d => d.toLowerCase.trim).view.mapValues(_.size)
+      val two = latest.values.count(_._1 == 2L)
+      val one = latest.values.count(_._1 == 1L)
+      two shouldBe counts.values.count(_ == 2)
+      one shouldBe counts.values.count(_ == 1)
+      // weights are the batch HALF_UP round(1/n, 6)
+      latest.values.foreach { case (n, w) =>
+        w shouldBe BigDecimal(1.0 / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    } finally q.stop()
+  }
+
   behavior of "kmvDistinct"
 
   it should "converge to the batch bottom-k sketch and survive redelivery" in {
