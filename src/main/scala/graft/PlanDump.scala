@@ -55,10 +55,17 @@ object PlanDump {
     "decontam_bloom",      // broadcast bloom prefilter + exact semi-join verify
     "zorder_layout",       // row-local morton fold + exact ntile buckets
     "mann_whitney",        // distinct-value rank sums, no global window
-    "embed_corr",          // row-local pair explode + d² partial aggregate
+    "embed_corr",          // ONE co-moment aggregate, no explode (round 12)
     "novelty_curve",       // min-doc-per-shingle groupBy + ntile deciles
     "soft_dedup_weights",  // dedup-shuffle reuse + keyed weight join
-    "ann_mmr")             // bounded candidate table + greedy argmax rounds
+    "ann_mmr",             // bounded candidate table + greedy argmax rounds
+    "media_neardup",       // codegen ByteFold features + broadcast pair join
+    "jpeg_codec",          // row-local DCT codec (scan-bound map)
+    "gif_codec",           // row-local LZW codec (scan-bound generator)
+    "mp4_meta",            // row-local box walk (scan-bound map)
+    "mp3_meta",            // row-local frame-header walk (scan-bound map)
+    "unigram_lm_train",    // EM over the vocab table, 1-row ok-set broadcasts
+    "msprt_peek")          // filtered-sequence look explode + keyed agg
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,13 +1,12 @@
 package graft.multimodal
 
-import org.scalatest.flatspec.AnyFlatSpec
-import org.scalatest.matchers.should.Matchers
-
 /** GIF codec contract: byte-exact lossless roundtrip (palette format),
   * LZW dictionary-reset coverage, interlaced row weaving, cross-validation
   * against the JDK's independent ImageIO GIF codec in both directions,
-  * and loud failures on malformed streams. */
-class GifSpec extends AnyFlatSpec with Matchers {
+  * and loud failures on malformed streams. Extends SparkSpec for the
+  * dispatch test — a per-suite session would share (and on stop() kill)
+  * the JVM-wide SparkContext. */
+class GifSpec extends graft.SparkSpec {
 
   private val grayPalette: Array[Byte] =
     Array.tabulate[Byte](768)(i => (i / 3).toByte)
@@ -122,17 +121,15 @@ class GifSpec extends AnyFlatSpec with Matchers {
     feats.toSeq shouldBe cells.map(c =>
       (c.toDouble / (16L * 3 * 255)).toFloat).toSeq
     // exact resize: indices resampled, palette preserved, still lossless
-    val spark = graft.GraftSession.local(2, "gif-dispatch-test")
-    try {
-      import spark.implicits._
-      val m = Seq(MediaFile(1L, "image", blob,
-        MediaMeta(w, h, 1000L, "gif"))).toDS()
-      val out = Multimodal.resize(m, 8, 8).collect().head
-      Gif.isGif(out.content) shouldBe true
-      val (rw, rh, rpx) = Gif.decode(out.content)
-      (rw, rh) shouldBe (8, 8)
-      val want = Gif.resizeIndexed(w, h, idx, 8, 8)
-      (0 until 64).forall(i => rpx(3 * i) == want(i)) shouldBe true
-    } finally spark.stop()
+    // (shared spec session)
+    import spark.implicits._
+    val m = Seq(MediaFile(1L, "image", blob,
+      MediaMeta(w, h, 1000L, "gif"))).toDS()
+    val out = Multimodal.resize(m, 8, 8).collect().head
+    Gif.isGif(out.content) shouldBe true
+    val (rw, rh, rpx) = Gif.decode(out.content)
+    (rw, rh) shouldBe (8, 8)
+    val want = Gif.resizeIndexed(w, h, idx, 8, 8)
+    (0 until 64).forall(i => rpx(3 * i) == want(i)) shouldBe true
   }
 }

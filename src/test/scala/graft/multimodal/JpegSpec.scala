@@ -1,13 +1,12 @@
 package graft.multimodal
 
-import org.scalatest.flatspec.AnyFlatSpec
-import org.scalatest.matchers.should.Matchers
-
 /** JPEG codec contract: exact metadata + marker grammar, PSNR-bounded
   * lossy pixel roundtrip, and CROSS-VALIDATION in both directions against
   * the JDK's independent ImageIO JPEG codec (our decoder reads ImageIO's
-  * output — including its subsampled streams — and ImageIO reads ours). */
-class JpegSpec extends AnyFlatSpec with Matchers {
+  * output — including its subsampled streams — and ImageIO reads ours).
+  * Extends SparkSpec for the dispatch test — a per-suite session would
+  * share (and on stop() kill) the JVM-wide SparkContext. */
+class JpegSpec extends graft.SparkSpec {
 
   /** deterministic test image: smooth gradients + structured pattern. */
   private def testImage(w: Int, h: Int, seed: Int = 0): Array[Byte] =
@@ -178,17 +177,14 @@ class JpegSpec extends AnyFlatSpec with Matchers {
     val cells = Codecs.gridLuminance(w, h, px, 4, 4)
     val expect = cells.map(c => (c.toDouble / (16L * 3 * 255)).toFloat)
     feats.toSeq shouldBe expect.toSeq
-    // resize: re-encoded JPEG at the new geometry
-    val spark = graft.GraftSession.local(2, "jpeg-dispatch-test")
-    try {
-      import spark.implicits._
-      val media = Seq(MediaFile(1L, "image", blob,
-        MediaMeta(w, h, 1000L, "jpg"))).toDS()
-      val out = Multimodal.resize(media, 8, 8).collect().head
-      Jpeg.isJpeg(out.content) shouldBe true
-      val (rw, rh, _) = Jpeg.decode(out.content)
-      (rw, rh) shouldBe (8, 8)
-      out.meta.width shouldBe 8
-    } finally spark.stop()
+    // resize: re-encoded JPEG at the new geometry (shared spec session)
+    import spark.implicits._
+    val media = Seq(MediaFile(1L, "image", blob,
+      MediaMeta(w, h, 1000L, "jpg"))).toDS()
+    val out = Multimodal.resize(media, 8, 8).collect().head
+    Jpeg.isJpeg(out.content) shouldBe true
+    val (rw, rh, _) = Jpeg.decode(out.content)
+    (rw, rh) shouldBe (8, 8)
+    out.meta.width shouldBe 8
   }
 }
