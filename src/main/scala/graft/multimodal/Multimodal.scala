@@ -22,14 +22,15 @@ final case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
   *
   * The Spark-side plumbing is real — schema, per-partition batched
   * processing, even partitioning by media id so one hot partition doesn't
-  * serialize the decode — and so is the codec for the formats a bare JVM
-  * can decode: binary PPM images and RIFF/WAVE PCM audio go through the
-  * REAL parsers in [[Codecs]] (grid-luminance / windowed-amplitude
-  * features, nearest-neighbor resize), as do PNG blobs (real chunk-walking
-  * zlib decode). Only formats whose decoders aren't
-  * in this environment (jpeg/mp4) fall back to `decodeStub`, a
-  * deterministic fake, so every op stays testable end-to-end and swapping
-  * in a real jpeg codec changes one dispatch arm.
+  * serialize the decode — and so are the codecs for every major crawl
+  * container: PPM and RIFF/WAVE through the REAL parsers in [[Codecs]],
+  * PNG (chunk-walking zlib decode), baseline [[Jpeg]] (DCT + Huffman),
+  * [[Gif]] (LZW, interlace, index-space exact resize), plus the
+  * metadata-triage walkers [[Mp4]] (BMFF boxes) and [[Mp3]] (frame
+  * headers). Only genuinely undecodable payloads — compressed A/V sample
+  * bitstreams (H.264 inside mp4, MPEG audio frames) and unknown magic —
+  * fall back to `decodeStub`, a deterministic fake, so every op stays
+  * testable end-to-end and a new codec changes one dispatch arm.
   *
   * At 100 TB: blobs stay in parquet binary columns (scan-pruned when a
   * query only needs `meta`), decode runs once per partition batch via
@@ -40,11 +41,12 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** STUB CODEC — deterministic fake standing in for the image/audio
-    * decoders NOT available in this container (jpeg/mp4); PPM, PNG and WAV
-    * blobs never reach it (see [[decode]]). The fake folds the bytes into
-    * `featureDim` accumulators so output depends on every input byte and
-    * is reproducible across engines and runs. */
+  /** STUB CODEC — deterministic fake standing in for the A/V SAMPLE
+    * decoders out of scope here (H.264/MPEG-audio bitstreams) and for
+    * unknown magic; PPM, PNG, JPEG, GIF and WAV blobs never reach it
+    * (see [[decode]]). The fake folds the bytes into `featureDim`
+    * accumulators so output depends on every input byte and is
+    * reproducible across engines and runs. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](featureDim)
     var i = 0
@@ -57,11 +59,12 @@ object Multimodal {
 
   /** Format-sniffing decode: containers self-identify by magic bytes
     * (what a real lake trusts over user-supplied `meta.format`), so PPM
-    * (`P6` + header char), PNG (full 8-byte signature) and WAV
-    * (`RIFF....WAVE` — RIFF alone also matches WebP/AVI, which belong on
-    * the stub path) route to the REAL codecs — a blob that matches a full
-    * magic but fails to parse is a loud task error, never a silent stub
-    * fallback — and only genuinely undecodable formats hit the stub.
+    * (`P6` + header char), PNG (full 8-byte signature), JPEG (SOI +
+    * marker), GIF (`GIF8xa`) and WAV (`RIFF....WAVE` — RIFF alone also
+    * matches WebP/AVI, which belong on the stub path) route to the REAL
+    * codecs — a blob that matches a full magic but fails to parse is a
+    * loud task error, never a silent stub fallback — and only genuinely
+    * undecodable formats hit the stub.
     * Image features: 4x4 grid mean luminance in [0,1]; audio:
     * `featureDim` windowed mean |amplitude| in [0,1]. */
   def decode(bytes: Array[Byte]): Array[Float] = {
