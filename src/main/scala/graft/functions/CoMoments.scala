@@ -59,6 +59,11 @@ final class EmbedCorrMoments
     if (a.s.isEmpty) b
     else if (b.s.isEmpty) a
     else {
+      // reduce() catches ragged dims within a partition; this catches
+      // partials of different dims meeting across partitions (else the
+      // sums below would throw or silently truncate b's state)
+      require(a.s.length == b.s.length,
+        s"embed_corr: ragged partials (dim state ${a.s.length} vs ${b.s.length})")
       var i = 0
       while (i < a.s.length) { a.s(i) += b.s(i); a.ss(i) += b.ss(i); i += 1 }
       i = 0

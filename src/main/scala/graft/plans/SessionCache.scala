@@ -8,19 +8,23 @@ import org.apache.spark.sql.SparkSession
   * co-purchase graph, the tokenized corpus). Values are usually cached
   * DataFrames.
   *
-  * Both sides of the map are WEAK: the key is the session
-  * (`WeakHashMap`), and the value map is held through a `WeakReference`
-  * because cached DataFrames strongly reference their session — a strong
-  * value would pin the weak key forever (the classic WeakHashMap
-  * value-retains-key leak). Losing the inner map to a GC only drops the
-  * memoized handles: rebuilding the identical plan and calling `.cache()`
-  * re-attaches to the same CacheManager entry (Spark dedups cached plans
-  * by canonicalized logical plan), so no blocks leak and no work repeats
-  * beyond plan construction.
+  * The key side is WEAK (`WeakHashMap` on the session) and the value map
+  * is held through a `SoftReference`: cached DataFrames strongly
+  * reference their session, so a strong value would pin the weak key
+  * forever (the classic WeakHashMap value-retains-key leak), while a
+  * WeakReference made the memoization a GC lottery — any minor collection
+  * could clear it between queries. Soft referents survive until actual
+  * memory pressure, so the cross-query sharing is reliable in practice
+  * and the session is still never pinned to OOM (soft refs are cleared
+  * before an OutOfMemoryError by spec). Losing the inner map only drops
+  * the memoized handles: rebuilding the identical plan and calling
+  * `.cache()` re-attaches to the same CacheManager entry (Spark dedups
+  * cached plans by canonicalized logical plan), so no blocks leak and no
+  * work repeats beyond plan construction.
   */
 final class SessionCache[V] {
   private val byedSession = new java.util.WeakHashMap[
-    SparkSession, java.lang.ref.WeakReference[
+    SparkSession, java.lang.ref.SoftReference[
       scala.collection.mutable.Map[String, V]]]
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V =
@@ -28,7 +32,7 @@ final class SessionCache[V] {
       val inner = Option(byedSession.get(s)).flatMap(r => Option(r.get))
         .getOrElse {
           val m = scala.collection.mutable.Map.empty[String, V]
-          byedSession.put(s, new java.lang.ref.WeakReference(m)); m
+          byedSession.put(s, new java.lang.ref.SoftReference(m)); m
         }
       inner.getOrElseUpdate(key, build)
     }

@@ -570,7 +570,8 @@ object AnalyticsPack extends QueryPack {
     e.groupBy("t").agg(countDistinct("k").as("exact"))
       .join(est.select("t", "est"), "t")
       .withColumn("err_pct",
-        round((col("est") - col("exact")) / col("exact") * 100, 4))
+        round((col("est") - col("exact")) / col("exact") * 100, 4)
+          + lit(0.0))
       .select(col("t").as("event_type"), col("exact"), col("est"),
         col("err_pct"))
       .orderBy("event_type")
@@ -614,7 +615,8 @@ object AnalyticsPack extends QueryPack {
     e.groupBy("t").agg(count(lit(1)).as("exact"))
       .join(est.select("t", "est"), "t")
       .withColumn("err_pct",
-        round((col("est") - col("exact")) / col("exact") * 100, 4))
+        round((col("est") - col("exact")) / col("exact") * 100, 4)
+          + lit(0.0))
       .select(col("t").as("event_type"), col("exact"), col("est"),
         col("err_pct"))
       .orderBy("event_type")
@@ -813,7 +815,7 @@ object AnalyticsPack extends QueryPack {
          |     ELSE $HllAm2 / z END, 4) AS est FROM ag),
          | ex AS (SELECT t, count(DISTINCT k)::BIGINT AS exact FROM e GROUP BY t)
          |SELECT ex.t AS event_type, exact, est,
-         |  round((est - exact) / exact * 100, 4) AS err_pct
+         |  round((est - exact) / exact * 100, 4) + 0.0 AS err_pct
          |FROM ex JOIN est USING (t) ORDER BY event_type""".stripMargin,
     "peak_concurrency" ->
       s"""WITH $eventsUs,
@@ -865,7 +867,7 @@ object AnalyticsPack extends QueryPack {
          |     ELSE ${(KmvK - 1).toDouble} / hk END, 4) AS est FROM s),
          | ex AS (SELECT t, count(*)::BIGINT AS exact FROM e GROUP BY t)
          |SELECT ex.t AS event_type, exact, est,
-         | round((est - exact) / exact * 100, 4) AS err_pct
+         | round((est - exact) / exact * 100, 4) + 0.0 AS err_pct
          |FROM ex JOIN est USING (t) ORDER BY event_type""".stripMargin,
     "bloom_filter" ->
       s"""WITH hs(a, b) AS (VALUES

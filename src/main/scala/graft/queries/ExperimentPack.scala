@@ -50,8 +50,11 @@ object ExperimentPack extends QueryPack {
     g.select(
       col("n_a"), col("n_b"),
       round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
-      round((col("ma") - col("mb")) /
-        sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6).as("t_stat"),
+      // + 0.0 on every sign-crossing statistic: maps a rounded -0.0 to
+      // +0.0 so Spark and DuckDB agree bit-exactly at sign crossings.
+      (round((col("ma") - col("mb")) /
+        sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6) + lit(0.0))
+        .as("t_stat"),
       round(
         pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
           (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
@@ -105,10 +108,15 @@ object ExperimentPack extends QueryPack {
     val logLambda = lit(0.5) * log(v / (v + lit(MsprtTau2))) +
       pow(col("ma") - col("mb"), 2) * lit(MsprtTau2) /
         (lit(2.0) * v * (v + lit(MsprtTau2)))
+    // `+ 0.0` after every sign-crossing round(): IEEE -0.0 + 0.0 = +0.0,
+    // so both engines emit the same bit pattern when a tiny negative
+    // statistic rounds to zero (Spark rounds to +0.0, DuckDB to -0.0 —
+    // numerically equal but hash-distinct for the driver's bit compare).
     g.select(col("look").cast("long").as("look"), col("n_a"), col("n_b"),
-        round(col("ma") - col("mb"), 6).as("delta"),
-        round(logLambda, 4).as("log_lambda"),
-        round(least(lit(1.0), exp(-logLambda)), 6).as("p_always_valid"))
+        (round(col("ma") - col("mb"), 6) + lit(0.0)).as("delta"),
+        (round(logLambda, 4) + lit(0.0)).as("log_lambda"),
+        (round(least(lit(1.0), exp(-logLambda)), 6) + lit(0.0))
+          .as("p_always_valid"))
       .withColumn("significant",
         when(col("p_always_valid") <= 0.05, 1L).otherwise(0L))
       .orderBy("look")
@@ -148,8 +156,8 @@ object ExperimentPack extends QueryPack {
       .crossJoin(broadcast(ratio))
       .select(col("variant"), col("n"),
         round(col("mp"), 6).as("mean_post"),
-        round(col("madj"), 6).as("mean_adj"),
-        round(col("th"), 6).as("theta"),
+        (round(col("madj"), 6) + lit(0.0)).as("mean_adj"),
+        (round(col("th"), 6) + lit(0.0)).as("theta"),
         round(col("vr"), 6).as("var_ratio"))
       .orderBy("variant")
   }
@@ -225,7 +233,8 @@ object ExperimentPack extends QueryPack {
       .select(col("n_users"),
         round(col("cp"), 6).as("ctrl_pre"), round(col("cq"), 6).as("ctrl_post"),
         round(col("tp"), 6).as("trt_pre"), round(col("tq"), 6).as("trt_post"),
-        round((col("tq") - col("tp")) - (col("cq") - col("cp")), 6).as("did"))
+        (round((col("tq") - col("tp")) - (col("cq") - col("cp")), 6)
+          + lit(0.0)).as("did"))
   }
 
   // ------------------------------------------------- Mann-Whitney U test
@@ -254,12 +263,12 @@ object ExperimentPack extends QueryPack {
       .select(
         (col("nn") - col("nb")).as("n_a"), col("nb").as("n_b"),
         round(col("rb") - col("nb") * (col("nb") + 1) / 2.0, 2).as("u_stat"),
-        round(
+        (round(
           (col("rb") - col("nb") * (col("nb") + 1) / 2.0
             - (col("nn") - col("nb")) * col("nb") / 2.0) /
             sqrt((col("nn") - col("nb")) * col("nb") / 12.0 *
               ((col("nn") + 1) - col("ties") /
-                (col("nn") * (col("nn") - 1)))), 6).as("z_stat"))
+                (col("nn") * (col("nn") - 1)))), 6) + lit(0.0)).as("z_stat"))
   }
 
   // ---------------------------------------------------- winsorized means
@@ -303,11 +312,11 @@ object ExperimentPack extends QueryPack {
       .select(col("p0").as("t10"), col("p1").as("t50"), col("p2").as("t90"))
     t.crossJoin(broadcast(c)).select(
       round(col("c10"), 6).as("ctrl_p10"), round(col("t10"), 6).as("trt_p10"),
-      round(col("t10") - col("c10"), 6).as("qte_p10"),
+      (round(col("t10") - col("c10"), 6) + lit(0.0)).as("qte_p10"),
       round(col("c50"), 6).as("ctrl_p50"), round(col("t50"), 6).as("trt_p50"),
-      round(col("t50") - col("c50"), 6).as("qte_p50"),
+      (round(col("t50") - col("c50"), 6) + lit(0.0)).as("qte_p50"),
       round(col("c90"), 6).as("ctrl_p90"), round(col("t90"), 6).as("trt_p90"),
-      round(col("t90") - col("c90"), 6).as("qte_p90"))
+      (round(col("t90") - col("c90"), 6) + lit(0.0)).as("qte_p90"))
   }
 
   // ------------------------------------------------ Nelson-Aalen hazard
@@ -371,7 +380,7 @@ object ExperimentPack extends QueryPack {
         |   avg(CASE WHEN variant = 1 THEN post END) AS tq FROM u)
         |SELECT n_users, round(cp, 6) AS ctrl_pre, round(cq, 6) AS ctrl_post,
         | round(tp, 6) AS trt_pre, round(tq, 6) AS trt_post,
-        | round((tq - tp) - (cq - cp), 6) AS did
+        | round((tq - tp) - (cq - cp), 6) + 0.0 AS did
         |FROM g""".stripMargin,
     "mann_whitney" ->
       """WITH u AS (SELECT user_id, user_id % 2 AS variant,
@@ -385,7 +394,7 @@ object ExperimentPack extends QueryPack {
         |   sum(c)::BIGINT AS nn, sum(cb)::BIGINT AS nb FROM s)
         |SELECT (nn - nb)::BIGINT AS n_a, nb AS n_b,
         | round(rb - nb * (nb + 1) / 2.0, 2) AS u_stat,
-        | round((rb - nb * (nb + 1) / 2.0 - (nn - nb) * nb / 2.0) /
+        | 0.0 + round((rb - nb * (nb + 1) / 2.0 - (nn - nb) * nb / 2.0) /
         |   sqrt((nn - nb) * nb / 12.0 *
         |     ((nn + 1) - ties / (nn * (nn - 1.0)))), 6) AS z_stat
         |FROM g""".stripMargin,
@@ -409,11 +418,11 @@ object ExperimentPack extends QueryPack {
         | c AS (SELECT p10 AS c10, p50 AS c50, p90 AS c90 FROM p WHERE variant = 0),
         | t AS (SELECT p10 AS t10, p50 AS t50, p90 AS t90 FROM p WHERE variant = 1)
         |SELECT round(c10, 6) AS ctrl_p10, round(t10, 6) AS trt_p10,
-        | round(t10 - c10, 6) AS qte_p10,
+        | round(t10 - c10, 6) + 0.0 AS qte_p10,
         | round(c50, 6) AS ctrl_p50, round(t50, 6) AS trt_p50,
-        | round(t50 - c50, 6) AS qte_p50,
+        | round(t50 - c50, 6) + 0.0 AS qte_p50,
         | round(c90, 6) AS ctrl_p90, round(t90, 6) AS trt_p90,
-        | round(t90 - c90, 6) AS qte_p90
+        | round(t90 - c90, 6) + 0.0 AS qte_p90
         |FROM t CROSS JOIN c""".stripMargin,
     "nelson_aalen" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -452,13 +461,14 @@ object ExperimentPack extends QueryPack {
         |  FROM pl GROUP BY 1),
         | s AS (SELECT look, n_a, n_b, ma - mb AS delta,
         |   va / n_a + vb / n_b AS v FROM g)
-        |SELECT look::BIGINT AS look, n_a, n_b, round(delta, 6) AS delta,
+        |SELECT look::BIGINT AS look, n_a, n_b,
+        |  round(delta, 6) + 0.0 AS delta,
         |  round(0.5 * ln(v / (v + $MsprtTau2)) +
         |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2)), 4)
-        |    AS log_lambda,
+        |    + 0.0 AS log_lambda,
         |  round(least(1.0, exp(-(0.5 * ln(v / (v + $MsprtTau2)) +
         |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2))))), 6)
-        |    AS p_always_valid,
+        |    + 0.0 AS p_always_valid,
         |  CASE WHEN round(least(1.0, exp(-(0.5 * ln(v / (v + $MsprtTau2)) +
         |    delta * delta * $MsprtTau2 / (2 * v * (v + $MsprtTau2))))), 6)
         |    <= 0.05 THEN 1 ELSE 0 END::BIGINT AS significant
@@ -474,7 +484,7 @@ object ExperimentPack extends QueryPack {
         |   var_samp(CASE WHEN variant = 0 THEN m END) AS va,
         |   var_samp(CASE WHEN variant = 1 THEN m END) AS vb FROM u)
         |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-        |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+        |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) + 0.0 AS t_stat,
         |  round(pow(va / n_a + vb / n_b, 2) /
         |    (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 4)
         |    AS df
@@ -491,8 +501,8 @@ object ExperimentPack extends QueryPack {
         | r AS (SELECT var_samp(adj) / var_samp(post) AS vr FROM a)
         |SELECT variant, count(*)::BIGINT AS n,
         |  round(avg(post), 6) AS mean_post,
-        |  round(avg(adj), 6) AS mean_adj,
-        |  round((SELECT theta FROM st), 6) AS theta,
+        |  round(avg(adj), 6) + 0.0 AS mean_adj,
+        |  round((SELECT theta FROM st), 6) + 0.0 AS theta,
         |  round((SELECT vr FROM r), 6) AS var_ratio
         |FROM a GROUP BY variant ORDER BY variant""".stripMargin,
     "kaplan_meier" ->

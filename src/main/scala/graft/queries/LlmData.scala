@@ -1771,7 +1771,7 @@ object LlmData extends QueryPack {
       .select(new graft.functions.EmbedCorrMoments().toColumn)
       .selectExpr("inline(cells)") // typed select flattens CorrPairs
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("corr"))
+        (col("corr") + lit(0.0)).as("corr"))
       .orderBy(abs(col("corr")).desc, col("i"), col("j"))
       .limit(10)
   }
@@ -2469,7 +2469,9 @@ object LlmData extends QueryPack {
       (col("n") * col("n"))
     cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       round(po, 6).as("p_observed"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      // + 0.0: normalize a rounded -0.0 to +0.0 (sign-crossing statistic;
+      // Spark and DuckDB disagree on the zero's sign otherwise)
+      (round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
   }
 
   /** Incremental dedup — the daily-ingest pattern: dedup a NEW batch of
@@ -2722,8 +2724,9 @@ object LlmData extends QueryPack {
     val varY = m("n") * m("syy") - m("sy") * m("sy")
     val beta = cov / varX
     m.select(col("n").as("n_sources"),
-      round(beta, 4).as("heaps_beta"),
-      round((m("sy") - beta * m("sx")) / m("n"), 4).as("heaps_lnk"),
+      (round(beta, 4) + lit(0.0)).as("heaps_beta"),
+      (round((m("sy") - beta * m("sx")) / m("n"), 4) + lit(0.0))
+        .as("heaps_lnk"),
       round(cov * cov / (varX * varY), 4).as("heaps_r2"))
   }
 
@@ -3260,8 +3263,9 @@ object LlmData extends QueryPack {
       .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c2"),
-        round(log((col("c2") / col("n2")) /
-          ((col("c1a") / col("n1")) * (col("c1b") / col("n1")))), 6).as("pmi"))
+        (round(log((col("c2") / col("n2")) /
+          ((col("c1a") / col("n1")) * (col("c1b") / col("n1")))), 6)
+          + lit(0.0)).as("pmi"))
       .orderBy(desc("pmi"), asc("w1"), asc("w2"))
       .limit(k)
   }
@@ -3431,7 +3435,9 @@ object LlmData extends QueryPack {
       .withColumn("u", greatest(
         graft.functions.GraftFunctions.md5Coin(col("doc_id")), lit(1e-12)))
       .select(col("doc_id"), col("source"), col("w"),
-        round(log(col("u")) / col("w"), 6).as("key"))
+        // strictly-negative statistic whose top-k sits nearest zero: the
+        // max key CAN round to ±0.0, so normalize the zero's sign
+        (round(log(col("u")) / col("w"), 6) + lit(0.0)).as("key"))
       .orderBy(desc("key"), asc("doc_id"))
       .limit(k)
 
@@ -3677,7 +3683,7 @@ object LlmData extends QueryPack {
         val varX = m("n") * m("sxx") - m("sx") * m("sx")
         val varY = m("n") * m("syy") - m("sy") * m("sy")
         m.select(col("n").as("n_vocab"), col("n_tokens"),
-          round(cov / varX, 4).as("zipf_slope"),
+          (round(cov / varX, 4) + lit(0.0)).as("zipf_slope"),
           round(cov * cov / (varX * varY), 4).as("zipf_r2"))
       }
   }
@@ -4132,7 +4138,7 @@ object LlmData extends QueryPack {
         | round(((n11 + n00)::DOUBLE / n
         |     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n))
         |   / (1.0 - ((n11 + n10) * (n11 + n01)
-        |     + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n)), 6) AS kappa
+        |     + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n)), 6) + 0.0 AS kappa
         |FROM cells""".stripMargin,
     "soft_dedup_weights" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
@@ -4495,7 +4501,7 @@ object LlmData extends QueryPack {
         |   sum(xj * xj) AS syy FROM p GROUP BY i, j)
         |SELECT i::BIGINT AS i, j::BIGINT AS j,
         | round((n * sxy - sx * sy) /
-        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS corr
         |FROM g ORDER BY abs(round((n * sxy - sx * sy) /
         |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)) DESC, i, j
         |LIMIT 10""".stripMargin,
@@ -5108,7 +5114,8 @@ object LlmData extends QueryPack {
         |   sum(ln(r)) AS sx, sum(ln(f)) AS sy, sum(ln(r) * ln(f)) AS sxy,
         |   sum(ln(r) * ln(r)) AS sxx, sum(ln(f) * ln(f)) AS syy FROM r)
         |SELECT n AS n_vocab, n_tokens,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+        |    AS zipf_slope,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS zipf_r2
         |FROM s""".stripMargin,
@@ -5164,7 +5171,7 @@ object LlmData extends QueryPack {
         |   (SELECT count(*)::BIGINT FROM bg) AS n2)
         |SELECT c2.w1, c2.w2, c2.c2,
         | round(ln((c2.c2 / tot.n2) / ((a.c1 / tot.n1) * (b.c1 / tot.n1))), 6)
-        |   AS pmi
+        |   + 0.0 AS pmi
         |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tot
         |ORDER BY pmi DESC, c2.w1, c2.w2 LIMIT 20""".stripMargin,
     "semantic_decontam" ->
@@ -5224,7 +5231,7 @@ object LlmData extends QueryPack {
         |   greatest(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
         |     / 4294967296.0, 1e-12) AS u
         |  FROM documents)
-        |SELECT doc_id, source, w, round(ln(u) / w, 6) AS key
+        |SELECT doc_id, source, w, round(ln(u) / w, 6) + 0.0 AS key
         |FROM d ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     "trigram_ppl" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -5345,9 +5352,10 @@ object LlmData extends QueryPack {
         |   sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
         |   sum(ln(n_vocab) * ln(n_vocab)) AS syy FROM per)
         |SELECT n AS n_sources,
-        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+        |   AS heaps_beta,
         | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-        |   AS heaps_lnk,
+        |   + 0.0 AS heaps_lnk,
         | round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS heaps_r2
         |FROM m""".stripMargin,

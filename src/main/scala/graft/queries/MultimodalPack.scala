@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalPack extends QueryPack {
 
+  /** Staging contract, stated explicitly instead of implied by testdata:
+    * codec payloads derive from doc text and the derivation indexes
+    * `bytes(k % length)`, so empty text coalesces to the "." sentinel
+    * (the oracles apply the identical CASE/greatest(…,1) guard). */
+  private def payloadBytes(text: String): Array[Byte] = {
+    val b = text.getBytes("UTF-8")
+    if (b.isEmpty) Array('.'.toByte) else b
+  }
+
   /** Deterministic media rows: blob = UTF-8 text bytes; kind/format cycle
     * image/audio/video by doc_id; duration = 10ms per char. */
   def mediaFrom(s: SparkSession, dir: String): Dataset[MediaFile] = {
@@ -203,7 +212,7 @@ object MultimodalPack extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
         val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
         val blob = Codecs.encodePpm(W, H, rgb) // real encode...
         val (w, h, px) = Codecs.decodePpm(blob) // ...and real decode
@@ -237,7 +246,7 @@ object MultimodalPack extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
         val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
         val blob = Codecs.encodePng(W, H, rgb) // real encode (filters cycle)
         val (w, h, px) = Codecs.decodePng(blob) // ...and real decode
@@ -271,7 +280,7 @@ object MultimodalPack extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val txt = text.getBytes("UTF-8")
+        val txt = payloadBytes(text)
         val samples = Array.tabulate[Short](N)(i =>
           (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
         val blob = Codecs.encodeWav(Rate, samples)
@@ -363,7 +372,7 @@ object MultimodalPack extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
         val idx = Array.tabulate[Byte](W * H)(k => txt(k % txt.length))
         val blob = Gif.encode(W, H, idx, palette) // real encode...
         val (w, h, px) = Gif.decode(blob)         // ...and real decode
@@ -402,7 +411,7 @@ object MultimodalPack extends QueryPack {
           frames = (nChars % 20).toInt + 1,
           bitrateIdx = (nChars % 14).toInt + 1,
           sampleRateIdx = (nChars % 3).toInt,
-          tagText = text.take(40))
+          tagText = (if (text.isEmpty) "." else text).take(40))
         val m = Mp3.parseMeta(blob)
         (id, m.frames, m.bitrateKbps.toLong, m.sampleRate.toLong,
           m.durationMs, m.id3Bytes)
@@ -435,7 +444,7 @@ object MultimodalPack extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val txt = text.getBytes("UTF-8") // corpus text is ASCII
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
         val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
         val blob = Jpeg.encode(W, H, rgb, quality = 85) // real encode...
         val (w, h, px) = Jpeg.decode(blob)              // ...and decode
@@ -479,7 +488,7 @@ object MultimodalPack extends QueryPack {
         | list_value(44100,48000,32000)[(n_chars % 3) + 1] AS sample_rate,
         | ((n_chars % 20) + 1) * 1152 * 1000
         |   // list_value(44100,48000,32000)[(n_chars % 3) + 1] AS duration_ms,
-        | 10 + least(40, length(text)) AS id3_bytes
+        | 10 + least(40, greatest(1, length(text))) AS id3_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     "mp4_meta" ->
       // expected metadata straight from the docs table — the oracle
@@ -501,8 +510,9 @@ object MultimodalPack extends QueryPack {
       // resize chain is lossless. Full image: byte k -> pixel k//3 ->
       // cell (r//4)*4 + c//4; resized 8x8: out pixel (r,c) samples source
       // (2r,2c) under the floor mapping 16->8.
-      """WITH d AS (SELECT doc_id AS media_id, text,
-        |   length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
         | fk AS (SELECT media_id, i // 3 AS p,
         |     ord(substr(text, (i % len) + 1, 1)) AS b
         |   FROM d, unnest(generate_series(0, 767)) AS u(i)),
@@ -527,8 +537,9 @@ object MultimodalPack extends QueryPack {
       // (p % len), each gray pixel contributes 3·b of luminance; the
       // 8x8 resize samples source (2r, 2c) under the index-space floor
       // mapping — the oracle never sees a GIF byte
-      """WITH d AS (SELECT doc_id AS media_id, text,
-        |   length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
         | fk AS (SELECT media_id, p,
         |     3 * ord(substr(text, (p % len) + 1, 1)) AS lum
         |   FROM d, unnest(generate_series(0, 255)) AS u(p)),
@@ -552,8 +563,9 @@ object MultimodalPack extends QueryPack {
       // identical expected sums as ppm_codec (the container changes, the
       // pixels must not), plus the dispatch column which must equal the
       // direct sum — the oracle never parses a PNG byte
-      """WITH d AS (SELECT doc_id AS media_id, text,
-        |   length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
         | fk AS (SELECT media_id, i // 3 AS p,
         |     ord(substr(text, (i % len) + 1, 1)) AS b
         |   FROM d, unnest(generate_series(0, 767)) AS u(i)),
@@ -575,8 +587,9 @@ object MultimodalPack extends QueryPack {
         |FROM full16 JOIN rz USING (media_id, cell)
         |ORDER BY media_id, cell""".stripMargin,
     "wav_codec" ->
-      """WITH d AS (SELECT doc_id AS media_id, text,
-        |   length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
         | s AS (SELECT media_id, i // 16 AS win,
         |     abs((ord(substr(text, (i % len) + 1, 1)) - 128) * 256)::BIGINT AS a
         |   FROM d, unnest(generate_series(0, 255)) AS u(i))

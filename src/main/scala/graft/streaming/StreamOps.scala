@@ -13,7 +13,21 @@ final case class SessionState(
     sessionSeq: Long, lastUs: Long, nEvents: Long, firstEvent: Long)
 
 final case class SessionUpdate(
-    user_id: Long, session_seq: Long, n_events: Long, first_event: Long)
+    user_id: Long, session_seq: Long, n_events: Long, first_event: Long,
+    session_id: String)
+
+object SessionUpdate {
+  /** The PRIMARY session key for sinks. With state eviction a returning
+    * user restarts `session_seq` at 1 per state era, so
+    * (user_id, session_seq) is NOT globally unique — a latest-wins sink
+    * keyed that way would overwrite an old session's totals. Only
+    * (user_id, first_event) is stable across eras and replays (the batch
+    * twin's `min(event_id)`), so that pair IS the session identity. */
+  def of(userId: Long, sessionSeq: Long, nEvents: Long,
+         firstEvent: Long): SessionUpdate =
+    SessionUpdate(userId, sessionSeq, nEvents, firstEvent,
+      s"$userId:$firstEvent")
+}
 
 final case class HotleadAlert(user_id: Long, event_id: Long, value: Double)
 
@@ -155,8 +169,11 @@ object StreamOps {
     * returning user starts a fresh state era, so `session_seq` restarts
     * at 1 per era; sessions are globally identified by
     * (user_id, first_event) — the batch twin emits the same
-    * `min(event_id)` — and on replay the emitted
-    * (user_id, first_event, n_events) set equals the batch twin's. */
+    * `min(event_id)` — so every update also carries that identity
+    * pre-joined as the `session_id` column ([[SessionUpdate.of]]): sinks
+    * key on it, never on the era-scoped `session_seq`. On replay the
+    * emitted (user_id, first_event, n_events) set equals the batch
+    * twin's. */
   def sessionize(events: Dataset[Event],
                  gapUs: Long = 12L * 3600 * 1000000,
                  watermarkDelay: String = "1 hour"): Dataset[SessionUpdate] = {
@@ -173,7 +190,7 @@ object StreamOps {
             state.remove()
             if (st.nEvents > 0)
               Iterator.single(
-                SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent))
+                SessionUpdate.of(uid, st.sessionSeq, st.nEvents, st.firstEvent))
             else Iterator.empty
           } else {
             val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
@@ -185,12 +202,12 @@ object StreamOps {
               st =
                 if (st.lastUs == Long.MinValue || us - st.lastUs > gapUs) {
                   if (st.nEvents > 0)
-                    touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+                    touched += SessionUpdate.of(uid, st.sessionSeq, st.nEvents, st.firstEvent)
                   SessionState(st.sessionSeq + 1, us, 1L, e.event_id)
                 } else st.copy(lastUs = us, nEvents = st.nEvents + 1)
             }
             if (st.nEvents > 0)
-              touched += SessionUpdate(uid, st.sessionSeq, st.nEvents, st.firstEvent)
+              touched += SessionUpdate.of(uid, st.sessionSeq, st.nEvents, st.firstEvent)
             state.update(st)
             // evict once the watermark passes last-seen + gap. Ceil to ms
             // (timeouts are ms, event times µs) so an event EXACTLY at the

@@ -28,7 +28,26 @@ def canon(df):
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df.round(6) if len(df) else df
+    # NO rounding here: the driver hashes bit patterns, so this gate must
+    # be bit-exact too (a round(6) tolerance masked the -0.0 vs +0.0
+    # msprt_peek mismatch in round 12).
+    return df
+
+
+def bit_diff_cols(s, o):
+    """Columns whose float values are pandas-equal but not bit-identical
+    (the -0.0 vs +0.0 case the driver's hash catches and `.equals` hides)."""
+    import numpy as np
+    bad = []
+    for c in s.columns:
+        if np.issubdtype(s[c].dtype, np.floating):
+            a = s[c].to_numpy(dtype="float64").view(np.uint64)
+            b = o[c].to_numpy(dtype="float64").view(np.uint64)
+            # canonicalize NaN bit patterns (equals() already matched NaNs)
+            nan = np.isnan(s[c].to_numpy(dtype="float64"))
+            if not np.array_equal(a[~nan], b[~nan]):
+                bad.append(c)
+    return bad
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -63,6 +82,9 @@ def main():
             print(f"{name}: VALUES differ in {int(neq.any(axis=1).sum())} rows")
             mask = neq.any(axis=1)
             print(pd.concat([s[mask].head(3), o[mask].head(3)]))
+            bad += 1
+        elif (bd := bit_diff_cols(s, o)):
+            print(f"{name}: BIT MISMATCH (likely -0.0 vs +0.0) in cols {bd}")
             bad += 1
         else:
             print(f"{name}: OK ({len(s)} rows)")
