@@ -1,17 +1,20 @@
 package graft.multimodal
 
-/** Baseline JFIF/JPEG codec written against the public ITU-T T.81 spec
+/** JFIF/JPEG codec written against the public ITU-T T.81 spec
   * (+ JFIF 1.02 container): the web's dominant photographic format, so a
   * media lake's decode dispatch must speak it natively.
   *
   * Encoder: baseline sequential DCT, 8-bit, 4:4:4 (no subsampling), the
   * Annex K quantization tables scaled by the IJG quality formula and the
   * Annex K "typical" Huffman tables — the fixed-table baseline every
-  * reader decodes. Decoder: baseline sequential only (progressive /
-  * arithmetic / 12-bit fail LOUDLY, never silently), 1-3 components,
-  * sampling factors 1-2 with pixel-replication chroma upsampling (covers
-  * 4:4:4, 4:2:2, 4:2:0 and grayscale — what real crawl media actually
-  * uses), restart markers honored.
+  * reader decodes. Decoder: baseline sequential (SOF0/1) AND progressive
+  * (SOF2 — T.81 Annex G spectral selection + successive approximation,
+  * the multi-scan form most real crawl JPEGs use; coefficients accumulate
+  * across scans, EOB runs and refinement correction bits per G.1.2).
+  * Arithmetic / hierarchical / 12-bit fail LOUDLY, never silently. 1-3
+  * components, sampling factors 1-2 with pixel-replication chroma
+  * upsampling (covers 4:4:4, 4:2:2, 4:2:0 and grayscale — what real
+  * crawl media actually uses), restart markers honored in both paths.
   *
   * JPEG is LOSSY: the roundtrip contract is exact metadata (dimensions,
   * marker grammar) plus a PSNR bound on pixels — JpegSpec additionally
@@ -345,6 +348,153 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode interleaved RGB as PROGRESSIVE 4:4:4 JFIF (SOF2) with the
+    * simplest conforming scan script — spectral selection only, no
+    * successive approximation: one interleaved DC scan, then the full
+    * 1..63 AC band per component (Y, Cb, Cr), per-block EOB. The
+    * quantized coefficients are identical to [[encode]]'s at the same
+    * quality, so decode(encodeProgressive(x)) == decode(encode(x))
+    * pixel-for-pixel — the contract `jpeg_progressive` asserts. */
+  def encodeProgressive(w: Int, h: Int, rgb: Array[Byte],
+                        quality: Int = 50): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"jpeg: bad dimensions ${w}x$h")
+    require(rgb.length == w.toLong * h * 3,
+      s"jpeg: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    val qLum = scaledQuant(QLumBase, quality)
+    val qChrom = scaledQuant(QChromBase, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xe0); u16(16) // APP0 / JFIF 1.02, no thumbnail
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(2); out.write(0)
+    u16(1); u16(1); out.write(0); out.write(0)
+    def dqt(id: Int, t: Array[Int]): Unit = {
+      m(0xdb); u16(67); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(t(ZigZag(k))); k += 1 }
+    }
+    dqt(0, qLum); dqt(1, qChrom)
+    m(0xc2); u16(17) // SOF2: progressive, 3 components, 1x1 sampling
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write(0x11); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      m(0xc4); u16(19 + vals.length); out.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      out.write(vals)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
+
+    // quantize every block up front (same pipeline as the baseline path)
+    def sample(x: Int, y: Int, c: Int): Double = {
+      val xx = math.min(x, w - 1); val yy = math.min(y, h - 1)
+      val r = rgb(3 * (yy * w + xx)) & 0xff
+      val g = rgb(3 * (yy * w + xx) + 1) & 0xff
+      val b = rgb(3 * (yy * w + xx) + 2) & 0xff
+      c match {
+        case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+        case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+      }
+    }
+    val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
+    val nBlocks = blocksX * blocksY
+    val zz = Array.ofDim[Int](3, nBlocks * 64) // zigzag order per comp
+    val block = new Array[Double](64)
+    var b = 0
+    while (b < nBlocks) {
+      val bx = b % blocksX; val by = b / blocksX
+      var comp = 0
+      while (comp < 3) {
+        var i = 0
+        while (i < 64) {
+          block(i) = sample(bx * 8 + i % 8, by * 8 + i / 8, comp) - 128.0
+          i += 1
+        }
+        val coef = fdct(block)
+        val q = if (comp == 0) qLum else qChrom
+        i = 0
+        while (i < 64) {
+          zz(comp)(b * 64 + i) = math.round(coef(ZigZag(i)) / q(ZigZag(i))).toInt
+          i += 1
+        }
+        comp += 1
+      }
+      b += 1
+    }
+
+    val dcLum = huffCodes(DcLumBits, DcLumVals)
+    val acLum = huffCodes(AcLumBits, AcLumVals)
+    val dcChrom = huffCodes(DcChromBits, DcChromVals)
+    val acChrom = huffCodes(AcChromBits, AcChromVals)
+
+    // scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    m(0xda); u16(12); out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x10)
+    out.write(3); out.write(0x10)
+    out.write(0); out.write(0); out.write(0)
+    val bw1 = new BitWriter(out)
+    val dcPred = new Array[Int](3)
+    b = 0
+    while (b < nBlocks) {
+      var comp = 0
+      while (comp < 3) {
+        val dcT = if (comp == 0) dcLum else dcChrom
+        val dc = zz(comp)(b * 64)
+        val diff = dc - dcPred(comp)
+        dcPred(comp) = dc
+        val s = category(diff)
+        bw1.put(dcT(s)(0), dcT(s)(1))
+        if (s > 0)
+          bw1.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        comp += 1
+      }
+      b += 1
+    }
+    bw1.flush()
+
+    // scans 2-4: full AC band per component, per-block EOB
+    var comp = 0
+    while (comp < 3) {
+      m(0xda); u16(8); out.write(1)
+      out.write(comp + 1); out.write(if (comp == 0) 0x00 else 0x01)
+      out.write(1); out.write(63); out.write(0) // Ss=1 Se=63 Ah=Al=0
+      val acT = if (comp == 0) acLum else acChrom
+      val bw = new BitWriter(out)
+      b = 0
+      while (b < nBlocks) {
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = zz(comp)(b * 64 + k)
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acT(0xf0)(0), acT(0xf0)(1)); run -= 16 }
+            val sz = category(v)
+            val sym = (run << 4) | sz
+            bw.put(acT(sym)(0), acT(sym)(1))
+            bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acT(0x00)(0), acT(0x00)(1)) // EOB0
+        b += 1
+      }
+      bw.flush()
+      comp += 1
+    }
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ decoder
 
   private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
@@ -422,10 +572,11 @@ object Jpeg {
     else if (v < (1 << (size - 1))) v - (1 << size) + 1
     else v
 
-  /** Decode a baseline JFIF/JPEG blob to (w, h, interleaved RGB).
-    * Grayscale decodes to replicated-channel RGB. Progressive,
-    * arithmetic-coded, hierarchical, 12-bit and >2x sampling streams
-    * fail loudly, never silently. */
+  /** Decode a JFIF/JPEG blob to (w, h, interleaved RGB) — baseline
+    * sequential (SOF0/1) and progressive (SOF2, T.81 Annex G spectral
+    * selection + successive approximation) streams. Grayscale decodes to
+    * replicated-channel RGB. Arithmetic-coded, hierarchical, 12-bit and
+    * >2x sampling streams fail loudly, never silently. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(isJpeg(bytes), "jpeg: missing SOI signature")
     var p = 2
@@ -443,6 +594,13 @@ object Jpeg {
     var compAc: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
+    var progressive = false
+    // progressive state: per-component DCT coefficients accumulated
+    // across scans (natural order, 64 per block, MCU-padded block grid)
+    var coefs: Array[Array[Int]] = null
+    var mcusX = 0; var mcusY = 0; var hMax = 1; var vMax = 1
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    var ceilBW: Array[Int] = null; var ceilBH: Array[Int] = null
 
     while (p + 1 < bytes.length) {
       require((bytes(p) & 0xff) == 0xff,
@@ -450,11 +608,14 @@ object Jpeg {
       val marker = bytes(p + 1) & 0xff
       p += 2
       marker match {
-        case 0xd9 => // EOI before SOS → no image
+        case 0xd9 => // EOI
+          if (progressive && coefs != null)
+            return reconstructProgressive(w, h, compId.length, compH, compV,
+              hMax, vMax, blocksW, blocksH, compQ, quant, coefs)
           throw new IllegalArgumentException("jpeg: EOI before scan data")
         case 0x01 => // TEM, standalone
         case mk if mk >= 0xd0 && mk <= 0xd7 => // stray RST, standalone
-        case 0xc0 | 0xc1 => // SOF0/1 (baseline / extended sequential)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
           val len = u16(p)
           require((bytes(p + 2) & 0xff) == 8, "jpeg: only 8-bit supported")
           h = u16(p + 3); w = u16(p + 5)
@@ -474,11 +635,30 @@ object Jpeg {
             compQ(c) = bytes(p + 10 + 3 * c) & 0xff
             c += 1
           }
+          progressive = marker == 0xc2
+          if (progressive) {
+            require(w.toLong * h * 3 <= Int.MaxValue - 16,
+              s"jpeg: bad dimensions ${w}x$h")
+            c = 0
+            while (c < nc) {
+              hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
+              c += 1
+            }
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            blocksW = Array.tabulate(nc)(c => mcusX * compH(c))
+            blocksH = Array.tabulate(nc)(c => mcusY * compV(c))
+            // non-interleaved scans iterate the component's OWN ceil
+            // grid, which can be smaller than the MCU-padded grid
+            ceilBW = Array.tabulate(nc)(c =>
+              ((w * compH(c) + hMax - 1) / hMax + 7) / 8)
+            ceilBH = Array.tabulate(nc)(c =>
+              ((h * compV(c) + vMax - 1) / vMax + 7) / 8)
+            coefs = Array.tabulate(nc)(c =>
+              new Array[Int](blocksW(c) * blocksH(c) * 64))
+          }
           sofSeen = true
           p += len
-        case 0xc2 =>
-          throw new IllegalArgumentException(
-            "jpeg: progressive (SOF2) not supported by the baseline decoder")
         case mk if (mk >= 0xc3 && mk <= 0xcf) && mk != 0xc4 &&
             mk != 0xc8 && mk != 0xcc => // C4=DHT, C8=reserved, CC=DAC
           throw new IllegalArgumentException(
@@ -520,7 +700,9 @@ object Jpeg {
           require(sofSeen, "jpeg: SOS before SOF")
           val len = u16(p)
           val ns = bytes(p + 2) & 0xff
-          require(ns == compId.length, "jpeg: partial scans not supported")
+          require(progressive || ns == compId.length,
+            "jpeg: partial scans not supported in a sequential frame")
+          val scanComps = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val id = bytes(p + 3 + 2 * c) & 0xff
@@ -528,11 +710,29 @@ object Jpeg {
             require(ci >= 0, s"jpeg: scan references unknown component $id")
             compDc(ci) = (bytes(p + 4 + 2 * c) & 0xff) >> 4
             compAc(ci) = bytes(p + 4 + 2 * c) & 0x0f
+            scanComps(c) = ci
             c += 1
           }
-          return decodeScan(bytes, p + len, w, h, compId.length,
-            compH, compV, compQ, compDc, compAc, quant, dcTabs, acTabs,
-            restartInterval)
+          if (!progressive)
+            return decodeScan(bytes, p + len, w, h, compId.length,
+              compH, compV, compQ, compDc, compAc, quant, dcTabs, acTabs,
+              restartInterval)
+          // progressive: one spectral/approximation scan into `coefs`,
+          // then keep walking markers (DHT/DRI/SOS repeat until EOI)
+          val ss = bytes(p + 3 + 2 * ns) & 0xff
+          val se = bytes(p + 4 + 2 * ns) & 0xff
+          val ahal = bytes(p + 5 + 2 * ns) & 0xff
+          val end = decodeProgScan(bytes, p + len, scanComps,
+            ss, se, ahal >> 4, ahal & 0x0f, compH, compV,
+            mcusX, mcusY, blocksW, blocksH, ceilBW, ceilBH,
+            compDc, compAc, dcTabs, acTabs, coefs, restartInterval)
+          // skip optional 0xff fill bytes up to the next marker
+          var np = end
+          while (np + 1 < bytes.length && (bytes(np) & 0xff) == 0xff &&
+            (bytes(np + 1) & 0xff) == 0xff) np += 1
+          require(np + 1 < bytes.length && (bytes(np) & 0xff) == 0xff,
+            "jpeg: expected a marker after progressive scan data")
+          p = np
         case _ => // APPn, COM, anything else with a length: skip
           p += u16(p)
       }
@@ -624,7 +824,14 @@ object Jpeg {
       }
       my += 1
     }
-    // color reconstruction with replication upsampling of subsampled planes
+    (w, h, planesToRgb(w, h, nc, compH, compV, hMax, vMax, planeW, planes))
+  }
+
+  /** YCbCr planes → interleaved RGB with replication upsampling of
+    * subsampled planes (shared by the sequential and progressive paths). */
+  private def planesToRgb(w: Int, h: Int, nc: Int,
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+      planeW: Array[Int], planes: Array[Array[Byte]]): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     def planeAt(c: Int, x: Int, y: Int): Int =
       planes(c)((y * compV(c) / vMax) * planeW(c) + x * compH(c) / hMax) & 0xff
@@ -650,6 +857,229 @@ object Jpeg {
       }
       y += 1
     }
-    (w, h, rgb)
+    rgb
+  }
+
+  /** One progressive scan (T.81 Annex G): the spectral band [ss, se] of
+    * the named components at successive-approximation precision ah → al.
+    * DC scans (ss = 0) may interleave all components in MCU order; AC
+    * scans carry exactly one component in its own block-raster order over
+    * the component's ceil grid. Coefficients accumulate into `coefs`
+    * across scans (natural order). Returns the byte offset just past the
+    * scan's entropy-coded data. */
+  private def decodeProgScan(bytes: Array[Byte], start: Int,
+      scanComps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      compH: Array[Int], compV: Array[Int],
+      mcusX: Int, mcusY: Int, blocksW: Array[Int], blocksH: Array[Int],
+      ceilBW: Array[Int], ceilBH: Array[Int],
+      compDc: Array[Int], compAc: Array[Int],
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      coefs: Array[Array[Int]], restartInterval: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"jpeg: bad spectral band $ss..$se")
+    require(al >= 0 && al <= 13 && (ah == 0 || ah == al + 1),
+      s"jpeg: bad successive approximation $ah -> $al")
+    if (ss == 0)
+      require(se == 0, "jpeg: DC scan must have Se = 0")
+    else
+      require(scanComps.length == 1,
+        "jpeg: progressive AC scan must be single-component")
+    val br = new BitReader(bytes, start)
+    val dcPred = new Array[Int](compH.length)
+    var eobrun = 0
+    var rstCount = 0
+    var unitsSinceRst = 0
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unitsSinceRst == restartInterval) {
+        br.expectRst(rstCount)
+        rstCount += 1; unitsSinceRst = 0
+        java.util.Arrays.fill(dcPred, 0); eobrun = 0
+      }
+
+    def dcFirst(c: Int, blk: Int): Unit = {
+      val t = dcTabs(compDc(c))
+      require(t != null, "jpeg: DC scan before its Huffman table")
+      val s = decodeHuff(br, t)
+      require(s <= 11, "jpeg: DC category out of range")
+      dcPred(c) += extend(br.bits(s), s)
+      coefs(c)(blk * 64) = dcPred(c) << al
+    }
+    def dcRefine(c: Int, blk: Int): Unit =
+      if (br.bit() == 1) coefs(c)(blk * 64) |= (1 << al)
+
+    def acFirst(c: Int, blk: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val co = coefs(c); val base = blk * 64
+      val t = acTabs(compAc(c))
+      require(t != null, "jpeg: AC scan before its Huffman table")
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(br, t)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s != 0) {
+          k += r
+          require(k <= se, "jpeg: AC index overrun")
+          co(base + ZigZag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        } else if (r == 15) k += 16 // ZRL
+        else {
+          eobrun = (1 << r) - 1
+          if (r > 0) eobrun += br.bits(r)
+          k = 64 // EOB: rest of band is zero
+        }
+      }
+    }
+
+    /** AC successive-approximation refinement (T.81 G.1.2.3): each
+      * already-nonzero coefficient in the band consumes one correction
+      * bit; newly nonzero coefficients arrive as ±1·2^al. */
+    def acRefine(c: Int, blk: Int): Unit = {
+      val co = coefs(c); val base = blk * 64
+      val p1 = 1 << al; val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (br.bit() == 1 && (co(z) & p1) == 0)
+          co(z) += (if (co(z) >= 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        val t = acTabs(compAc(c))
+        require(t != null, "jpeg: AC scan before its Huffman table")
+        var atEob = false
+        while (!atEob && k <= se) {
+          val rs = decodeHuff(br, t)
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var sVal = 0
+          if (s != 0) {
+            require(s == 1, "jpeg: AC refinement magnitude must be 1")
+            sVal = if (br.bit() == 1) p1 else m1
+          } else if (r != 15) { // EOB: band tail handled below, k stays
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bits(r)
+            atEob = true
+          }
+          if (!atEob) {
+            // advance over r zero-HISTORY coefficients (plus the target
+            // slot), appending correction bits to nonzeros passed over
+            var advancing = true
+            while (advancing) {
+              val z = base + ZigZag(k)
+              if (co(z) != 0) {
+                correct(z)
+                k += 1
+                advancing = k <= se
+              } else if (r > 0) {
+                r -= 1
+                k += 1
+                advancing = k <= se
+              } else advancing = false // k is the target zero slot
+            }
+            if (sVal != 0) {
+              require(k <= se, "jpeg: AC refinement index overrun")
+              co(base + ZigZag(k)) = sVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run every remaining nonzero coefficient of the
+        // band still consumes one correction bit
+        while (k <= se) {
+          val z = base + ZigZag(k)
+          if (co(z) != 0) correct(z)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def unit(c: Int, blk: Int): Unit =
+      if (ss == 0) { if (ah == 0) dcFirst(c, blk) else dcRefine(c, blk) }
+      else { if (ah == 0) acFirst(c, blk) else acRefine(c, blk) }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: MCU order, restart interval counts MCUs
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var i = 0
+          while (i < scanComps.length) {
+            val c = scanComps(i)
+            var byi = 0
+            while (byi < compV(c)) {
+              var bxi = 0
+              while (bxi < compH(c)) {
+                unit(c, (my * compV(c) + byi) * blocksW(c) +
+                  mx * compH(c) + bxi)
+                bxi += 1
+              }
+              byi += 1
+            }
+            i += 1
+          }
+          unitsSinceRst += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan: the component's own ceil block grid,
+      // restart interval counts blocks
+      val c = scanComps(0)
+      var by = 0
+      while (by < ceilBH(c)) {
+        var bx = 0
+        while (bx < ceilBW(c)) {
+          maybeRestart()
+          unit(c, by * blocksW(c) + bx)
+          unitsSinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * color-convert — the one-shot tail the sequential path runs per MCU. */
+  private def reconstructProgressive(w: Int, h: Int, nc: Int,
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+      blocksW: Array[Int], blocksH: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]],
+      coefs: Array[Array[Int]]): (Int, Int, Array[Byte]) = {
+    val planeW = Array.tabulate(nc)(c => blocksW(c) * 8)
+    val planes = Array.tabulate(nc)(c =>
+      new Array[Byte](planeW(c) * blocksH(c) * 8))
+    val coef = new Array[Double](64)
+    var c = 0
+    while (c < nc) {
+      val q = quant(compQ(c))
+      require(q != null, s"jpeg: no quant table for component $c")
+      val co = coefs(c)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = co(base + i).toDouble * q(i); i += 1 }
+          val px = idct(coef)
+          val x0 = bx * 8; val y0 = by * 8
+          i = 0
+          while (i < 64) {
+            val v = math.round(px(i) + 128.0).toInt
+            planes(c)((y0 + i / 8) * planeW(c) + x0 + i % 8) =
+              math.max(0, math.min(255, v)).toByte
+            i += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    (w, h, planesToRgb(w, h, nc, compH, compV, hMax, vMax, planeW, planes))
   }
 }

@@ -297,6 +297,7 @@ object MultimodalPack extends QueryPack {
     "ppm_codec" -> ppmCodec,
     "png_codec" -> pngCodec,
     "jpeg_codec" -> jpegCodec,
+    "jpeg_progressive" -> jpegProgressive,
     "gif_codec" -> gifCodec,
     "mp4_meta" -> mp4Meta,
     "mp3_meta" -> mp3Meta,
@@ -478,6 +479,43 @@ object MultimodalPack extends QueryPack {
       .orderBy("media_id")
   }
 
+  /** Progressive-JPEG (SOF2) contract, cross-engine: the staged image is
+    * encoded TWICE — baseline SOF0 and progressive SOF2 (spectral
+    * selection, same quantized coefficients) — and both streams decoded
+    * by the real multi-scan decoder ([[graft.multimodal.Jpeg]], T.81
+    * Annex G). Because the coefficients are identical, the two decodes
+    * must agree pixel-for-pixel (`prog_exact`), the SOF2 marker must
+    * actually be present (`sof2_ok` — or the test silently degrades to
+    * the sequential path), and the progressive stream must route through
+    * dispatch. Most real crawl JPEGs are progressive; this is the row
+    * that proves the triage path reads them. Row-local codec work in a
+    * typed map — embarrassingly parallel, no shuffle but the final sort. */
+  def jpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Jpeg
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val prog = Jpeg.encodeProgressive(W, H, rgb, quality = 85)
+        val sof2 = prog.indices.dropRight(1).exists(i =>
+          (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2)
+        val (w, h, px) = Jpeg.decode(prog)
+        val (_, _, base) = Jpeg.decode(Jpeg.encode(W, H, rgb, quality = 85))
+        val exact = java.util.Arrays.equals(px, base)
+        val feats = graft.multimodal.Multimodal.decode(prog)
+        val dispatchOk = feats.length == graft.multimodal.Multimodal.featureDim
+        (id, w.toLong, h.toLong,
+          if (sof2) 1L else 0L, if (exact) 1L else 0L,
+          if (dispatchOk) 1L else 0L)
+      }
+      .toDF("media_id", "width", "height", "sof2_ok",
+        "prog_exact", "dispatch_ok")
+      .orderBy("media_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "mp3_meta" ->
       // staging parameters are pure functions of n_chars/text; the tag
@@ -503,6 +541,12 @@ object MultimodalPack extends QueryPack {
       // oracle's only per-row content is the id column itself
       """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
         | 1 AS psnr_ok, 1 AS lum_ok, 1 AS dispatch_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "jpeg_progressive" ->
+      // constants the multi-scan (SOF2) decode must EARN per image:
+      // marker present, progressive == baseline decode EXACTLY, dispatch
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        | 1 AS sof2_ok, 1 AS prog_exact, 1 AS dispatch_ok
         |FROM documents ORDER BY media_id""".stripMargin,
     "ppm_codec" ->
       // the oracle computes expected cell sums STRAIGHT from the text —

@@ -138,21 +138,127 @@ class JpegSpec extends graft.SparkSpec {
     }
   }
 
-  it should "fail loudly on non-baseline or broken streams" in {
+  it should "fail loudly on non-conforming or broken streams" in {
     val blob = Jpeg.encode(8, 8, testImage(8, 8), quality = 85)
-    // patch SOF0 → SOF2 (progressive): must refuse with a clear message
+    // patch SOF0 → SOF2: the baseline scan header (Ss=0, Se=63) is
+    // ill-formed as a progressive DC scan — must refuse, never misdecode
     val prog = blob.clone()
     val sof = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     the[IllegalArgumentException] thrownBy Jpeg.decode(prog) should have message
-      "jpeg: progressive (SOF2) not supported by the baseline decoder"
+      "requirement failed: jpeg: DC scan must have Se = 0"
     // truncated entropy stream
     an[Exception] should be thrownBy
       Jpeg.decode(java.util.Arrays.copyOf(blob, blob.length - 8))
     // not a JPEG at all
     an[IllegalArgumentException] should be thrownBy
       Jpeg.decode("not a jpeg".getBytes)
+  }
+
+  // ------------------------------------------- progressive (SOF2) decode
+
+  private def imageioEncodeProgressive(w: Int, h: Int, rgb: Array[Byte],
+                                       quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+          ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    out.toByteArray
+  }
+
+  private def hasSof2(blob: Array[Byte]): Boolean =
+    blob.indices.dropRight(1).exists(i =>
+      (blob(i) & 0xff) == 0xff && (blob(i + 1) & 0xff) == 0xc2)
+
+  /** Y-plane PSNR (0.299R + 0.587G + 0.114B): the JDK writes progressive
+    * streams with 4:2:0 chroma, so full-RGB agreement is bounded by the
+    * different (replication vs smooth) chroma upsample filters — but the
+    * FULL-RESOLUTION luma plane has no filter in play, so luma must agree
+    * to near-exactness if the multi-scan coefficient decode is right. */
+  private def lumPsnr(a: Array[Byte], b: Array[Byte]): Double = {
+    def lum(px: Array[Byte]): Array[Byte] =
+      Array.tabulate[Byte](px.length / 3) { p =>
+        val o = 3 * p
+        math.round(0.299 * (px(o) & 0xff) + 0.587 * (px(o + 1) & 0xff) +
+          0.114 * (px(o + 2) & 0xff)).toByte
+      }
+    psnr(lum(a), lum(b))
+  }
+
+  it should "decode the JDK's progressive (SOF2) streams within the PSNR bound" in {
+    for ((w, h) <- Seq((40, 28), (17, 13), (64, 48)); q <- Seq(0.7f, 0.95f)) {
+      val src = testImage(w, h, w + 3 * h)
+      val blob = imageioEncodeProgressive(w, h, src, q)
+      // the staged stream must really be progressive, or this test
+      // silently degrades to the sequential path
+      hasSof2(blob) shouldBe true
+      val (dw, dh, ours) = Jpeg.decode(blob)
+      (dw, dh) shouldBe (w, h)
+      val (_, _, theirs) = imageioDecode(blob)
+      // same multi-scan entropy stream, two IDCT/upsample implementations:
+      // ours must land within 1.5 dB of the JDK's own decode overall, and
+      // the luma plane (no upsample filter involved) must match tightly
+      psnr(src, ours) should be > (psnr(src, theirs) - 1.5)
+      psnr(theirs, ours) should be > 22.0
+      lumPsnr(theirs, ours) should be > 38.0
+    }
+  }
+
+  it should "emit progressive streams whose decode matches the baseline decode exactly" in {
+    // spectral selection only: the progressive scans carry the SAME
+    // quantized coefficients as the baseline stream, so the two decodes
+    // must agree pixel-for-pixel, and the JDK must read our SOF2 stream
+    for ((w, h) <- Seq((16, 16), (17, 13), (33, 9), (1, 1))) {
+      val src = testImage(w, h, 2 * w + h)
+      val prog = Jpeg.encodeProgressive(w, h, src, quality = 85)
+      hasSof2(prog) shouldBe true
+      val (dw, dh, ours) = Jpeg.decode(prog)
+      (dw, dh) shouldBe (w, h)
+      val (_, _, base) = Jpeg.decode(Jpeg.encode(w, h, src, quality = 85))
+      ours.toSeq shouldBe base.toSeq // identical coefficients, same IDCT
+      val (iw, ih, theirs) = imageioDecode(prog)
+      (iw, ih) shouldBe (w, h)
+      val maxDiff = ours.zip(theirs)
+        .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+      maxDiff should be <= 4
+    }
+  }
+
+  it should "decode a progressive re-encode of our own baseline output as well as the JDK does" in {
+    // full pipeline: our encoder -> JDK progressive transcode -> our
+    // progressive decoder, referenced against the JDK's own decode of
+    // the same stream (the stream's 4:2:0 chroma loss belongs to the
+    // transcode, not to either decoder)
+    val (w, h) = (32, 24)
+    val src = testImage(w, h, 5)
+    val base = Jpeg.encode(w, h, src, quality = 95)
+    val (_, _, basePx) = Jpeg.decode(base)
+    val prog = imageioEncodeProgressive(w, h, basePx, 0.95f)
+    hasSof2(prog) shouldBe true
+    val (dw, dh, ours) = Jpeg.decode(prog)
+    (dw, dh) shouldBe (w, h)
+    val (_, _, theirs) = imageioDecode(prog)
+    psnr(basePx, ours) should be > (psnr(basePx, theirs) - 1.0)
+    lumPsnr(theirs, ours) should be > 38.0
   }
 
   it should "reject bad encode geometry" in {
