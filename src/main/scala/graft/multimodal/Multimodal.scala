@@ -60,11 +60,12 @@ object Multimodal {
   /** Format-sniffing decode: containers self-identify by magic bytes
     * (what a real lake trusts over user-supplied `meta.format`), so PPM
     * (`P6` + header char), PNG (full 8-byte signature), JPEG (SOI +
-    * marker), GIF (`GIF8xa`) and WAV (`RIFF....WAVE` — RIFF alone also
-    * matches WebP/AVI, which belong on the stub path) route to the REAL
-    * codecs — a blob that matches a full magic but fails to parse is a
-    * loud task error, never a silent stub fallback — and only genuinely
-    * undecodable formats hit the stub.
+    * marker), GIF (`GIF8xa`) and WAV (`RIFF....WAVE`) route to the REAL
+    * codecs; WebP (`RIFF....WEBP`) routes through [[Webp.parseMeta]]
+    * container triage before its (documented) stub features — a blob
+    * that matches a full magic but fails to parse is a loud task error,
+    * never a silent stub fallback — and only genuinely undecodable
+    * formats hit the stub.
     * Image features: 4x4 grid mean luminance in [0,1]; audio:
     * `featureDim` windowed mean |amplitude| in [0,1]. */
   def decode(bytes: Array[Byte]): Array[Float] = {
@@ -95,6 +96,14 @@ object Multimodal {
         }
         out
       }
+    } else if (Webp.isWebp(bytes)) {
+      // WebP triage is container-metadata level ([[Webp.parseMeta]]:
+      // dims/alpha/animation earned from the bitstream headers); SAMPLE
+      // decode needs a full VP8/VP8L decoder and stays on the stub path
+      // per the MP3/MP4 precedent — but parseMeta must ACCEPT the blob,
+      // so a corrupt WebP is a loud error, never a silent stub feature.
+      Webp.parseMeta(bytes)
+      decodeStub(bytes)
     } else decodeStub(bytes)
   }
 

@@ -300,6 +300,7 @@ object MultimodalPack extends QueryPack {
     "jpeg_progressive" -> jpegProgressive,
     "gif_codec" -> gifCodec,
     "mp4_meta" -> mp4Meta,
+    "webp_meta" -> webpMeta,
     "mp3_meta" -> mp3Meta,
     "wav_codec" -> wavCodec,
     "media_frames" -> mediaFrames,
@@ -350,6 +351,41 @@ object MultimodalPack extends QueryPack {
       }
       .toDF("media_id", "brand", "timescale", "duration_ms",
         "video_w", "video_h", "audio_duration_ms", "n_tracks")
+      .orderBy("media_id")
+  }
+
+  /** WebP container-metadata contract, cross-engine: each doc stages as
+    * one of the three container shapes (doc_id mod 3 cycles lossy VP8 /
+    * lossless VP8L / extended VP8X with alpha still or animation), all
+    * parameters derived deterministically from the doc's fields, then
+    * walked back through the REAL chunk parser
+    * ([[graft.multimodal.Webp]] — bounds-checked RIFF walk, start codes
+    * and signatures verified). The oracle recomputes every expected value
+    * straight from `documents` and never sees a WebP byte, so parity
+    * proves the build→parse identity. Row-local typed-map work —
+    * embarrassingly parallel, no shuffle but the final sort. */
+  def webpMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Webp
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 640).toInt + 1; val h = (nChars % 480).toInt + 1
+        val blob = (id % 3) match {
+          case 0 => Webp.buildLossy(w, h)
+          case 1 => Webp.buildLossless(w, h, alpha = nChars % 2 == 0)
+          case _ =>
+            val animated = nChars % 2 == 0
+            Webp.buildExtended(w, h, alpha = !animated, animated = animated,
+              nFrames = (nChars % 4).toInt + 1)
+        }
+        val m = Webp.parseMeta(blob)
+        (id, m.format, m.width.toLong, m.height.toLong,
+          if (m.hasAlpha) 1L else 0L, if (m.animated) 1L else 0L,
+          m.nFrames.toLong, m.nChunks.toLong)
+      }
+      .toDF("media_id", "format", "width", "height", "has_alpha",
+        "animated", "n_frames", "n_chunks")
       .orderBy("media_id")
   }
 
@@ -527,6 +563,25 @@ object MultimodalPack extends QueryPack {
         | ((n_chars % 20) + 1) * 1152 * 1000
         |   // list_value(44100,48000,32000)[(n_chars % 3) + 1] AS duration_ms,
         | 10 + least(40, greatest(1, length(text))) AS id3_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "webp_meta" ->
+      // expected metadata straight from the docs table — the oracle
+      // never sees a RIFF byte, so parity proves the build→parse identity
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+        |   ELSE 'extended' END AS format,
+        | (n_chars % 640) + 1 AS width,
+        | (n_chars % 480) + 1 AS height,
+        | (CASE WHEN doc_id % 3 = 1 AND n_chars % 2 = 0 THEN 1
+        |   WHEN doc_id % 3 = 2 AND n_chars % 2 = 1 THEN 1
+        |   ELSE 0 END)::BIGINT AS has_alpha,
+        | (CASE WHEN doc_id % 3 = 2 AND n_chars % 2 = 0 THEN 1
+        |   ELSE 0 END)::BIGINT AS animated,
+        | (CASE WHEN doc_id % 3 = 2 AND n_chars % 2 = 0
+        |   THEN (n_chars % 4) + 1 ELSE 1 END)::BIGINT AS n_frames,
+        | (CASE WHEN doc_id % 3 = 2
+        |   THEN CASE WHEN n_chars % 2 = 0 THEN (n_chars % 4) + 3 ELSE 3 END
+        |   ELSE 1 END)::BIGINT AS n_chunks
         |FROM documents ORDER BY media_id""".stripMargin,
     "mp4_meta" ->
       // expected metadata straight from the docs table — the oracle
