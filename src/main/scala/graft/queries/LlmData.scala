@@ -1174,8 +1174,14 @@ object LlmData extends QueryPack {
     * table's files, hashed. O(files) driver-side metadata listing — the
     * same scheme-dispatched Hadoop FS the read itself uses, so it works
     * on any store a cluster would read from. */
-  private def embeddingsSignature(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private def embeddingsSignature(s: SparkSession, dir: String): String =
+    fileSignature(s, s"$dir/embeddings.parquet")
+
+  private def documentsSignature(s: SparkSession, dir: String): String =
+    fileSignature(s, s"$dir/documents.parquet")
+
+  private def fileSignature(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     val parts =
@@ -1910,14 +1916,21 @@ object LlmData extends QueryPack {
     * k row-local folds; the corpus-sized frame only pays a broadcast-sized
     * join against that vocab table — at 100 TB the tokenization cost is
     * the scan, not the merge table. */
-  def bpeApply(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeFit(s, dir)
+  def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyWith(s, dir, bpeFit(s, dir).map(m => (m._2, m._3)))
+
+  /** Tokenize with an explicit (ordered) merge list — shared by the
+    * inline [[bpeApply]] and the artifact-loading [[bpeApplyPersisted]],
+    * so "persisted path ≡ inline path" is equality of inputs, not of two
+    * implementations. */
+  private def bpeApplyWith(s: SparkSession, dir: String,
+                           merges: Seq[(String, String)]): DataFrame = {
     val docWords = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
     var vocab = docWords.select("word").distinct()
       .withColumn("syms", split(col("word"), ""))
-    merges.foreach { case (_, a, b, _) =>
+    merges.foreach { case (a, b) =>
       vocab = vocab.withColumn("syms", bpeMergeFold(col("syms"), a, b))
     }
     val tok = vocab.select(col("word"),
@@ -1931,6 +1944,58 @@ object LlmData extends QueryPack {
         round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
         round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
       .orderBy("doc_id")
+  }
+
+  private val bpeArtifactRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Publish the trained BPE merge table as a versioned
+    * [[graft.plans.SnapshotStore]] artifact (the [[ivfIndexPublish]]
+    * pattern): training runs once per corpus signature, the merge list
+    * commits atomically under `<root>/merges`, and serve-time tokenizers
+    * load the committed version instead of re-deriving it — the artifact
+    * lifecycle a tokenizer team needs (re-train publishes v2 while
+    * running tokenization keeps reading v1; SnapshotStoreSpec covers the
+    * atomicity, [[bpeApplyPersisted]] covers load ≡ inline). Returns the
+    * artifact root. */
+  def bpeTokenizerPublish(s: SparkSession, dir: String,
+                          publishRoot: Option[String] = None): String = {
+    import s.implicits._
+    val confRoot = s.conf.getOption("spark.graft.tokenizer.root")
+    val base = publishRoot.orElse(confRoot)
+    val sig = documentsSignature(s, dir)
+    bpeArtifactRoots.computeIfAbsent(s"$dir#$sig#${base.getOrElse("")}", _ => {
+      val root = base.map(b => s"$b/bpe-$sig").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-bpe-tokenizer").toString)
+      val committed = // a committed artifact IS the training run
+        graft.plans.SnapshotStore.latestVersion(s"$root/merges").isDefined
+      if (!committed) {
+        val merges = bpeFit(s, dir).toDF("step", "lhs", "rhs", "n")
+        graft.plans.SnapshotStore.publish(merges, s"$root/merges", 1L)
+      }
+      root
+    })
+  }
+
+  /** BPE tokenization FROM THE COMMITTED ARTIFACT — the serve-time half
+    * of the publish/load lifecycle: the ordered merge list comes out of
+    * the latest SnapshotStore version (O(k) driver rows, the same bounded
+    * collect as training's argmax), then tokenizes through the SAME
+    * [[bpeApplyWith]] fold as the inline path, so the output is
+    * byte-identical to [[bpeApply]] by construction — which the driver
+    * contract checks cross-engine (identical oracle SQL). */
+  def bpeApplyPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = bpeTokenizerPublish(s, dir)
+    val merges = graft.plans.SnapshotStore
+      .readLatest(s, s"$root/merges")
+      .select(col("step"), col("lhs"), col("rhs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+      .map(m => (m._2, m._3))
+      .toSeq
+    require(merges.nonEmpty, "bpeApplyPersisted: empty merge artifact")
+    bpeApplyWith(s, dir, merges)
   }
 
   /** DuckDB twin of [[bpeTrain]]: the k merge iterations unrolled as
@@ -2099,8 +2164,14 @@ object LlmData extends QueryPack {
     * picking one; LlmQualitySpec asserts the comparison). Same
     * broadcast-the-vocab shape as BPE apply: the corpus-sized frame pays
     * one broadcast join, the folds run on the Heaps-bounded vocab. */
-  def unigramLmApply(s: SparkSession, dir: String): DataFrame = {
-    val (seg, _) = unigramLmFit(s, dir)
+  def unigramLmApply(s: SparkSession, dir: String): DataFrame =
+    unigramLmApplyWith(s, dir, unigramLmFit(s, dir)._1)
+
+  /** Tokenize with an explicit per-word segmentation table — shared by
+    * the inline [[unigramLmApply]] and the artifact-loading
+    * [[unigramLmApplyPersisted]] (same contract as [[bpeApplyWith]]). */
+  private def unigramLmApplyWith(s: SparkSession, dir: String,
+                                 seg: DataFrame): DataFrame = {
     val tok = seg.select(col("word"),
       size(col("pieces")).cast("long").as("n_p"),
       length(col("word")).cast("long").as("n_c"))
@@ -2115,6 +2186,39 @@ object LlmData extends QueryPack {
         round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
         round(col("n_chars").cast("double") / col("n_pieces"), 6).as("chars_per_piece"))
       .orderBy("doc_id")
+  }
+
+  private val unigramArtifactRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Publish the trained unigram-LM segmentation (word → pieces) as a
+    * versioned SnapshotStore artifact — the [[bpeTokenizerPublish]]
+    * lifecycle for the EM-trained tokenizer. */
+  def unigramLmPublish(s: SparkSession, dir: String,
+                       publishRoot: Option[String] = None): String = {
+    val confRoot = s.conf.getOption("spark.graft.tokenizer.root")
+    val base = publishRoot.orElse(confRoot)
+    val sig = documentsSignature(s, dir)
+    unigramArtifactRoots.computeIfAbsent(s"$dir#$sig#${base.getOrElse("")}",
+      _ => {
+        val root = base.map(b => s"$b/unigram-$sig").getOrElse(
+          java.nio.file.Files
+            .createTempDirectory("graft-unigram-tokenizer").toString)
+        if (graft.plans.SnapshotStore.latestVersion(s"$root/pieces").isEmpty) {
+          val seg = unigramLmFit(s, dir)._1.select("word", "pieces")
+          graft.plans.SnapshotStore.publish(seg, s"$root/pieces", 1L)
+        }
+        root
+      })
+  }
+
+  /** Unigram-LM tokenization from the committed artifact — byte-identical
+    * to [[unigramLmApply]] through the shared [[unigramLmApplyWith]];
+    * checked cross-engine against the same oracle. */
+  def unigramLmApplyPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = unigramLmPublish(s, dir)
+    unigramLmApplyWith(s, dir,
+      graft.plans.SnapshotStore.readLatest(s, s"$root/pieces"))
   }
 
   /** DuckDB twin of the unigram-LM EM chain: the iterations unrolled as
@@ -3806,7 +3910,9 @@ object LlmData extends QueryPack {
     "bpe_train" -> bpeTrain,
     "unigram_lm_train" -> unigramLmTrain,
     "unigram_lm_apply" -> unigramLmApply,
+    "unigram_lm_apply_persisted" -> unigramLmApplyPersisted,
     "bpe_apply" -> bpeApply,
+    "bpe_apply_persisted" -> bpeApplyPersisted,
     "langid_markers" -> langidMarkers,
     "doc_fingerprint" -> docFingerprint,
     "doc_winnow" -> docWinnow,
@@ -4547,7 +4653,11 @@ object LlmData extends QueryPack {
     "bpe_train" -> bpeTrainSql,
     "unigram_lm_train" -> unigramLmTrainSql,
     "unigram_lm_apply" -> unigramLmApplySql,
+    "unigram_lm_apply_persisted" -> unigramLmApplySql,
     "bpe_apply" -> bpeApplySql,
+    // the persisted path is byte-identical to the inline path BY CONTRACT,
+    // so it faces the very same oracle
+    "bpe_apply_persisted" -> bpeApplySql,
     "langid_markers" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | sc AS (SELECT doc_id,
