@@ -368,6 +368,39 @@ object Codecs {
     bb.array()
   }
 
+  /** The same PCM content wrapped with a LIST(INFO) metadata chunk before
+    * `data` — the "re-encoded duplicate" shape a crawl sees constantly
+    * (identical audio, different tagging toolchain). Byte-level dedup
+    * misses the pair; content-level dedup over the DECODED samples
+    * ([[decodeWav]] skips the LIST chunk) must find it. */
+  def encodeWavTagged(sampleRate: Int, samples: Array[Short],
+                      comment: String): Array[Byte] = {
+    require(sampleRate > 0, s"wav: bad sample rate $sampleRate")
+    val c = comment.getBytes("US-ASCII")
+    val icmtLen = c.length + 1 // NUL-terminated per INFO convention
+    val icmtPad = icmtLen & 1
+    val listLen = 4 + 8 + icmtLen + icmtPad // "INFO" + ICMT header + text
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + listLen + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 24 + 8 + listLen + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(listLen)
+      .put("INFO".getBytes("US-ASCII"))
+      .put("ICMT".getBytes("US-ASCII")).putInt(icmtLen)
+      .put(c).put(0.toByte)
+    if (icmtPad == 1) bb.put(0.toByte)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
   /** Decode a RIFF/WAVE 16-bit PCM mono file by WALKING THE CHUNK LIST —
     * real WAV files carry LIST/fact/cue chunks before `data`, so the
     * decoder must skip unknown chunks (word-aligned) rather than assume

@@ -35,9 +35,14 @@ object Mp3 {
     144000 * bitrateKbps / sampleRate + padding
 
   /** Structurally valid CBR MPEG-1 Layer III stream: optional ID3v2.4
-    * tag wrapping `tagText`, then `frames` frames of zeroed payload. */
+    * tag wrapping `tagText`, then `frames` frames whose payload bytes
+    * cycle through `content` (zeroed when `content` is empty — the
+    * metadata-triage staging default). The content fill makes the frame
+    * payloads carry actual signal for [[frameEnergies]]: the same
+    * `content` under different tags/bitrates yields the same per-frame
+    * energy profile — the content-level handle audio dedup needs. */
   def build(frames: Int, bitrateIdx: Int, sampleRateIdx: Int,
-            tagText: String = ""): Array[Byte] = {
+            tagText: String = "", content: Array[Byte] = Array.empty): Array[Byte] = {
     require(frames > 0, s"mp3: need at least one frame, got $frames")
     require(bitrateIdx >= 1 && bitrateIdx <= 14,
       s"mp3: bitrate index must be 1..14, got $bitrateIdx")
@@ -57,14 +62,48 @@ object Mp3 {
     }
     val len = frameLen(Bitrates(bitrateIdx), SampleRates(sampleRateIdx), 0)
     var f = 0
+    var ci = 0 // content cursor: payloads cycle the content CONTIGUOUSLY
+               // across frames, so frame f's bytes depend only on content
+               // and position — not on tag presence or tag length
     while (f < frames) {
       out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
       out.write((bitrateIdx << 4) | (sampleRateIdx << 2)) // no padding
       out.write(0x00) // stereo, no extras
-      (4 until len).foreach(_ => out.write(0))
+      var j = 4
+      while (j < len) {
+        if (content.isEmpty) out.write(0)
+        else { out.write(content(ci % content.length) & 0xff); ci += 1 }
+        j += 1
+      }
       f += 1
     }
     out.toByteArray
+  }
+
+  /** Per-frame payload energy: sum of payload byte values per frame —
+    * the coarse content fingerprint of the main-data bytes (a triage
+    * proxy, NOT a synthesis filterbank; the docs of
+    * [[graft.multimodal.Multimodal.decodeStub]] state the sample-decode
+    * boundary). Tags are skipped, headers excluded, so the SAME content
+    * under a different ID3 tag produces the IDENTICAL energy profile —
+    * which is exactly what lets audio dedup work content-level. */
+  def frameEnergies(bytes: Array[Byte]): Array[Long] = {
+    val meta = parseMeta(bytes) // validates the whole stream
+    var p = meta.id3Bytes.toInt
+    val out = new Array[Long](meta.frames.toInt)
+    var f = 0
+    while (f < meta.frames) {
+      val b2 = bytes(p + 2) & 0xff
+      val len = frameLen(Bitrates(b2 >> 4), SampleRates((b2 >> 2) & 3),
+        (b2 >> 1) & 1)
+      var e = 0L
+      var j = 4
+      while (j < len) { e += (bytes(p + j) & 0xff); j += 1 }
+      out(f) = e
+      p += len
+      f += 1
+    }
+    out
   }
 
   /** Walk the whole stream: ID3v2 skip + per-frame header validation.

@@ -134,6 +134,57 @@ object MultimodalPack extends QueryPack {
   }
 
   /** The frame-grain dedup over ANY staged media set. */
+  /** CONTENT-level audio dedup — the step past [[mediaDedup]]'s byte
+    * hashing: a crawl constantly re-serves the same audio under a
+    * different tagging toolchain (identical PCM, different metadata
+    * chunks), which byte-level md5 can never collapse. Every 7th doc
+    * stages a re-tagged duplicate (same samples wrapped with a
+    * LIST/INFO chunk — [[graft.multimodal.Codecs.encodeWavTagged]]); the
+    * fingerprint is the 16-window |amplitude| profile of the DECODED
+    * samples, so the tagged pair collapses to one content group while
+    * its `n_blob_variants = 2` proves the blobs really differed at the
+    * byte level. Row-local decode in a typed map, ONE shuffle on the
+    * uniform fingerprint key — the same hash-groupBy scale shape as
+    * exact dedup, at any corpus size. */
+  def audioDedupContent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Codecs
+    val N = 256; val Rate = 16000
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        lit(false).as("tagged"))
+    // id offset derived from the data so staged re-ingests can never
+    // collide with real ids at ANY scale factor
+    val off = base.agg((max("media_id") + 1).as("__off"))
+    val dups = base.filter(col("media_id") % 7 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("media_id") + col("__off")).as("media_id"), col("text"),
+        lit(true).as("tagged"))
+    base.unionByName(dups)
+      .as[(Long, String, Boolean)]
+      .map { case (id, text, tagged) =>
+        val txt = payloadBytes(text)
+        val samples = Array.tabulate[Short](N)(i =>
+          (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
+        val blob =
+          if (tagged) Codecs.encodeWavTagged(Rate, samples, "retag")
+          else Codecs.encodeWav(Rate, samples)
+        // fingerprint the DECODED samples of the staged container: the
+        // tag-blindness comes from the decode path, not from the staging
+        val (_, decoded) = Codecs.decodeWav(blob)
+        (id, "wav:" + Codecs.windowAbsSum(decoded, 16).mkString(","), blob)
+      }
+      .toDF("media_id", "fp_str", "content")
+      .select(col("media_id"),
+        md5(col("fp_str").cast("binary")).as("content_md5"),
+        md5(col("content")).as("blob_md5"))
+      .groupBy("content_md5")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct("blob_md5").as("n_blob_variants"))
+      .select("keep_id", "n_copies", "n_blob_variants", "content_md5")
+      .orderBy("keep_id")
+  }
+
   def frameDedupOf(s: SparkSession, media: Dataset[MediaFile]): DataFrame =
     Multimodal.sampleFrames(media, everyMs = 5000)
       .select(col("media_id"), md5(col("content")).as("frame_md5"))
@@ -306,6 +357,7 @@ object MultimodalPack extends QueryPack {
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
+    "audio_dedup_content" -> audioDedupContent,
     "media_neardup" -> mediaNeardup,
     "media_neardup_sampled" -> mediaNeardupSampled,
     "frame_dedup" -> frameDedup)
@@ -564,6 +616,36 @@ object MultimodalPack extends QueryPack {
         |   // list_value(44100,48000,32000)[(n_chars % 3) + 1] AS duration_ms,
         | 10 + least(40, greatest(1, length(text))) AS id3_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "audio_dedup_content" ->
+      // the oracle recomputes the decoded-sample window profile straight
+      // from the text (it never sees a WAV byte) and models blob identity
+      // exactly: a blob is determined by (tagged, signed sample string)
+      """WITH d0 AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   FALSE AS tagged FROM documents),
+        | m AS (SELECT * FROM d0
+        |  UNION ALL
+        |  SELECT media_id + (SELECT max(media_id) + 1 FROM d0) AS media_id,
+        |   text, TRUE AS tagged FROM d0 WHERE media_id % 7 = 0),
+        | s AS (SELECT media_id, tagged, i,
+        |   ((ord(substr(text, (i % length(text)) + 1, 1)) - 128) * 256)
+        |     ::BIGINT AS v
+        |  FROM m, unnest(generate_series(0, 255)) AS u(i)),
+        | w AS (SELECT media_id, i // 16 AS win, sum(abs(v))::BIGINT AS sm
+        |  FROM s GROUP BY 1, 2),
+        | k1 AS (SELECT media_id,
+        |   md5('wav:' || string_agg(sm::VARCHAR, ',' ORDER BY win))
+        |     AS content_md5
+        |  FROM w GROUP BY media_id),
+        | k2 AS (SELECT media_id, tagged,
+        |   string_agg(v::VARCHAR, ',' ORDER BY i) AS sk
+        |  FROM s GROUP BY media_id, tagged)
+        |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        | count(DISTINCT (CASE WHEN tagged THEN 't:' ELSE 'u:' END) || sk)
+        |   ::BIGINT AS n_blob_variants,
+        | content_md5
+        |FROM k1 JOIN k2 USING (media_id)
+        |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
     "webp_meta" ->
       // expected metadata straight from the docs table — the oracle
       // never sees a RIFF byte, so parity proves the build→parse identity

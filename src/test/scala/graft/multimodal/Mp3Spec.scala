@@ -61,4 +61,21 @@ class Mp3Spec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy build(1, 15, 0)
     an[IllegalArgumentException] should be thrownBy build(1, 9, 3)
   }
+
+  it should "fingerprint frame payload energy content-level, blind to tags" in {
+    val content = Array.tabulate[Byte](300)(i => ((i * 31 + 7) % 256).toByte)
+    val bare = build(6, 9, 0, content = content)
+    val tagged = build(6, 9, 0, tagText = "Some Tagger 2.0 Wrote This",
+      content = content)
+    // different bytes (the ID3 tag), identical content fingerprint
+    bare.length should not be tagged.length
+    Mp3.frameEnergies(tagged).toSeq shouldBe Mp3.frameEnergies(bare).toSeq
+    Mp3.frameEnergies(bare).length shouldBe 6
+    // a content change MUST change the profile (no degenerate zeros)
+    val other = build(6, 9, 0, content = content.map(b => (b ^ 0x55).toByte))
+    Mp3.frameEnergies(other).toSeq should not be Mp3.frameEnergies(bare).toSeq
+    Mp3.frameEnergies(bare).forall(_ > 0) shouldBe true
+    // zero-filled staging default keeps its historical byte shape
+    Mp3.frameEnergies(build(3, 9, 0)).toSeq shouldBe Seq(0L, 0L, 0L)
+  }
 }
