@@ -59,7 +59,11 @@ object ScalingBench {
     "mp3_meta",           // row-local frame-header walk (scan-bound)
     "unigram_lm_train",   // EM over the Heaps-bounded vocab table
     "embed_corr",         // one-pass array-valued co-moment aggregate
-    "embed_rp")           // row-local JL projection (scan-bound)
+    "embed_rp",           // row-local JL projection (scan-bound)
+    "jpeg_progressive",   // row-local multi-scan codec (CPU/scan-bound)
+    "webp_meta",          // row-local RIFF chunk walk (scan-bound)
+    "audio_dedup_content", // decode + fingerprint, ONE keyed shuffle
+    "bpe_apply_persisted") // artifact load + vocab-bounded fold + bcast join
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq(
