@@ -185,6 +185,54 @@ object MultimodalPack extends QueryPack {
       .orderBy("keep_id")
   }
 
+  /** CONTENT-level VIDEO dedup — [[audioDedupContent]]'s sibling for the
+    * container axis a crawl hits constantly: the faststart remux
+    * (ftyp·moov·mdat ↔ ftyp·mdat·moov) re-serves identical samples under
+    * different bytes. Every 7th doc stages the remuxed twin; the
+    * fingerprint is the per-sample energy profile read THROUGH the
+    * sample table (stsz/stco — [[graft.multimodal.Mp4.sampleEnergies]]),
+    * so it is layout-blind by construction, and `n_blob_variants = 2`
+    * proves the blobs differed. One fingerprint-keyed shuffle. */
+  def videoDedupContent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Mp4
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text"), col("n_chars"),
+        lit(false).as("remuxed"))
+    val off = base.agg((max("media_id") + 1).as("__off"))
+    val dups = base.filter(col("media_id") % 7 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("media_id") + col("__off")).as("media_id"), col("text"),
+        col("n_chars"), lit(true).as("remuxed"))
+    base.unionByName(dups)
+      .as[(Long, String, Long, Boolean)]
+      .map { case (id, text, nChars, remuxed) =>
+        val txt = payloadBytes(text)
+        // the media_frames chunking: one sample per 5s of derived runtime
+        val n = math.max(1, (nChars * 10 / 5000).toInt)
+        val chunk = math.max(1, txt.length / n)
+        val samples = (0 until n).map { i =>
+          val from = math.min(i * chunk, txt.length)
+          val until = math.min(i * chunk + chunk, txt.length)
+          java.util.Arrays.copyOfRange(txt, from, until)
+        }
+        val blob = Mp4.buildWithSamples("isom", 1000L,
+          Seq(Mp4.Mp4Track("vide", (nChars % 640).toInt,
+            (nChars % 480).toInt, nChars * 10)),
+          samples, moovFirst = !remuxed)
+        (id, "mp4:" + Mp4.sampleEnergies(blob).mkString(","), blob)
+      }
+      .toDF("media_id", "fp_str", "content")
+      .select(col("media_id"),
+        md5(col("fp_str").cast("binary")).as("content_md5"),
+        md5(col("content")).as("blob_md5"))
+      .groupBy("content_md5")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct("blob_md5").as("n_blob_variants"))
+      .select("keep_id", "n_copies", "n_blob_variants", "content_md5")
+      .orderBy("keep_id")
+  }
+
   def frameDedupOf(s: SparkSession, media: Dataset[MediaFile]): DataFrame =
     Multimodal.sampleFrames(media, everyMs = 5000)
       .select(col("media_id"), md5(col("content")).as("frame_md5"))
@@ -358,6 +406,7 @@ object MultimodalPack extends QueryPack {
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
     "audio_dedup_content" -> audioDedupContent,
+    "video_dedup_content" -> videoDedupContent,
     "media_neardup" -> mediaNeardup,
     "media_neardup_sampled" -> mediaNeardupSampled,
     "frame_dedup" -> frameDedup)
@@ -645,6 +694,40 @@ object MultimodalPack extends QueryPack {
         |   ::BIGINT AS n_blob_variants,
         | content_md5
         |FROM k1 JOIN k2 USING (media_id)
+        |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
+    "video_dedup_content" ->
+      // the oracle recomputes the per-sample energy profile straight
+      // from the text chunking (it never sees a box) and models blob
+      // identity exactly: a blob is determined by (remuxed, n_chars, text)
+      """WITH d0 AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   n_chars, FALSE AS remuxed FROM documents),
+        | m AS (SELECT * FROM d0
+        |  UNION ALL
+        |  SELECT media_id + (SELECT max(media_id) + 1 FROM d0) AS media_id,
+        |   text, n_chars, TRUE AS remuxed FROM d0 WHERE media_id % 7 = 0),
+        | q AS (SELECT media_id, text, n_chars, remuxed, len,
+        |   greatest(1, len // n) AS chunk, n FROM (
+        |    SELECT *, greatest(1, (n_chars * 10) // 5000) AS n,
+        |     length(text) AS len FROM m)),
+        | f AS (SELECT media_id, text, i,
+        |   least(i * chunk, len) AS f_from,
+        |   least(i * chunk + chunk, len) AS f_until
+        |  FROM q, unnest(generate_series(0, n - 1)) AS u(i)),
+        | e AS (SELECT media_id, i,
+        |   coalesce(list_sum(list_transform(
+        |     generate_series(f_from + 1, f_until),
+        |     j -> ord(substr(text, j, 1)))), 0)::BIGINT AS en
+        |  FROM f),
+        | k1 AS (SELECT media_id,
+        |   md5('mp4:' || string_agg(en::VARCHAR, ',' ORDER BY i))
+        |     AS content_md5
+        |  FROM e GROUP BY media_id)
+        |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        | count(DISTINCT (CASE WHEN remuxed THEN 'r:' ELSE 'o:' END)
+        |   || n_chars || ':' || text)::BIGINT AS n_blob_variants,
+        | content_md5
+        |FROM k1 JOIN m USING (media_id)
         |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
     "webp_meta" ->
       // expected metadata straight from the docs table — the oracle

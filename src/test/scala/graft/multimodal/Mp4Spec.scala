@@ -116,4 +116,39 @@ class Mp4Spec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       build("isom", 1000L, Seq(Mp4Track("text", 1, 1, 1L)))
   }
+
+  it should "fingerprint sample energies identically across a faststart remux" in {
+    val samples = Seq(
+      Array.tabulate[Byte](40)(i => (i * 3 + 1).toByte),
+      Array.emptyByteArray, // zero-length sample must survive as energy 0
+      Array.tabulate[Byte](25)(i => (200 - i).toByte))
+    val tracks = Seq(Mp4Track("vide", 320, 240, 9000L),
+      Mp4Track("soun", 0, 0, 8000L))
+    val fast = Mp4.buildWithSamples("isom", 1000L, tracks, samples)
+    val capture = Mp4.buildWithSamples("isom", 1000L, tracks, samples,
+      moovFirst = false)
+    // different layouts, byte-distinct blobs
+    fast.toSeq should not be capture.toSeq
+    // both parse as full metadata trees (the sample table rides along)
+    parseMeta(fast).tracks.map(_.handler) shouldBe Seq("vide", "soun")
+    parseMeta(capture).brand shouldBe "isom"
+    // the content fingerprint is layout-blind and exact
+    val ef = Mp4.sampleEnergies(fast)
+    ef.toSeq shouldBe Mp4.sampleEnergies(capture).toSeq
+    ef.length shouldBe 3
+    ef(0) shouldBe samples(0).map(_ & 0xff).map(_.toLong).sum
+    ef(1) shouldBe 0L
+    ef(2) shouldBe samples(2).map(_ & 0xff).map(_.toLong).sum
+    // content change MUST change the profile
+    val other = Mp4.buildWithSamples("isom", 1000L, tracks,
+      samples.updated(0, samples(0).map(b => (b + 1).toByte).array))
+    Mp4.sampleEnergies(other).toSeq should not be ef.toSeq
+    // a sample-table-less stream is a loud error, not an empty answer
+    intercept[IllegalArgumentException](
+      Mp4.sampleEnergies(build("isom", 1000L, tracks)))
+      .getMessage should include ("no video sample table")
+    // a truncated mdat (sample overruns the stream) is loud too
+    intercept[IllegalArgumentException](
+      Mp4.sampleEnergies(java.util.Arrays.copyOf(fast, fast.length - 10)))
+  }
 }
