@@ -598,6 +598,7 @@ object Jpeg {
     // progressive state: per-component DCT coefficients accumulated
     // across scans (natural order, 64 per block, MCU-padded block grid)
     var coefs: Array[Array[Int]] = null
+    var scansSeen = 0 // a SOF2 + EOI with no SOS must stay a loud error
     var mcusX = 0; var mcusY = 0; var hMax = 1; var vMax = 1
     var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
     var ceilBW: Array[Int] = null; var ceilBH: Array[Int] = null
@@ -609,7 +610,7 @@ object Jpeg {
       p += 2
       marker match {
         case 0xd9 => // EOI
-          if (progressive && coefs != null)
+          if (progressive && coefs != null && scansSeen > 0)
             return reconstructProgressive(w, h, compId.length, compH, compV,
               hMax, vMax, blocksW, blocksH, compQ, quant, coefs)
           throw new IllegalArgumentException("jpeg: EOI before scan data")
@@ -722,6 +723,7 @@ object Jpeg {
           val ss = bytes(p + 3 + 2 * ns) & 0xff
           val se = bytes(p + 4 + 2 * ns) & 0xff
           val ahal = bytes(p + 5 + 2 * ns) & 0xff
+          scansSeen += 1
           val end = decodeProgScan(bytes, p + len, scanComps,
             ss, se, ahal >> 4, ahal & 0x0f, compH, compV,
             mcusX, mcusY, blocksW, blocksH, ceilBW, ceilBH,

@@ -341,8 +341,15 @@ object Mp4 {
                             val n = rdU32(bytes, s + 8).toInt
                             require(n >= 0 && s + 12 + 4L * n <= bytes.length,
                               "mp4: stsz table overruns the stream")
-                            sz = Array.tabulate(n)(k =>
-                              rdU32(bytes, s + 12 + 4 * k).toInt)
+                            sz = Array.tabulate(n) { k =>
+                              val v = rdU32(bytes, s + 12 + 4 * k)
+                              // a 32-bit size past Int.MaxValue would
+                              // truncate NEGATIVE and walk the cursor
+                              // backwards — loud, never silently wrong
+                              require(v <= Int.MaxValue,
+                                s"mp4: stsz entry $k size $v out of range")
+                              v.toInt
+                            }
                           case ("stco", s, _) =>
                             require(rdU32(bytes, s + 4) == 1,
                               "mp4: single-chunk stco expected")

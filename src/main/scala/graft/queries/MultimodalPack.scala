@@ -146,33 +146,45 @@ object MultimodalPack extends QueryPack {
     * byte level. Row-local decode in a typed map, ONE shuffle on the
     * uniform fingerprint key — the same hash-groupBy scale shape as
     * exact dedup, at any corpus size. */
-  def audioDedupContent(s: SparkSession, dir: String): DataFrame = {
+  def audioDedupContent(s: SparkSession, dir: String): DataFrame =
+    contentDedupQuery(s, dir) { (_, text, _, tagged) =>
+      import graft.multimodal.Codecs
+      val N = 256; val Rate = 16000
+      val txt = payloadBytes(text)
+      val samples = Array.tabulate[Short](N)(i =>
+        (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
+      val blob =
+        if (tagged) Codecs.encodeWavTagged(Rate, samples, "retag")
+        else Codecs.encodeWav(Rate, samples)
+      // fingerprint the DECODED samples of the staged container: the
+      // tag-blindness comes from the decode path, not from the staging
+      val (_, decoded) = Codecs.decodeWav(blob)
+      ("wav:" + Codecs.windowAbsSum(decoded, 16).mkString(","), blob)
+    }
+
+  /** Shared scaffolding of the content-level dedup queries: the corpus
+    * plus a data-offset re-ingested twin for every 7th doc (the offset
+    * derives from the data so staged ids never collide at ANY scale
+    * factor), the row-local (fingerprint, blob) stager, then ONE groupBy
+    * on the content fingerprint with byte-level variant accounting —
+    * the audio and video queries differ only in the stager. */
+  private def contentDedupQuery(s: SparkSession, dir: String)(
+      stage: (Long, String, Long, Boolean) => (String, Array[Byte]))
+      : DataFrame = {
     import s.implicits._
-    import graft.multimodal.Codecs
-    val N = 256; val Rate = 16000
     val base = Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"), col("text"),
-        lit(false).as("tagged"))
-    // id offset derived from the data so staged re-ingests can never
-    // collide with real ids at ANY scale factor
+      .select(col("doc_id").as("media_id"), col("text"), col("n_chars"),
+        lit(false).as("dup"))
     val off = base.agg((max("media_id") + 1).as("__off"))
     val dups = base.filter(col("media_id") % 7 === 0)
       .crossJoin(broadcast(off))
       .select((col("media_id") + col("__off")).as("media_id"), col("text"),
-        lit(true).as("tagged"))
+        col("n_chars"), lit(true).as("dup"))
     base.unionByName(dups)
-      .as[(Long, String, Boolean)]
-      .map { case (id, text, tagged) =>
-        val txt = payloadBytes(text)
-        val samples = Array.tabulate[Short](N)(i =>
-          (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
-        val blob =
-          if (tagged) Codecs.encodeWavTagged(Rate, samples, "retag")
-          else Codecs.encodeWav(Rate, samples)
-        // fingerprint the DECODED samples of the staged container: the
-        // tag-blindness comes from the decode path, not from the staging
-        val (_, decoded) = Codecs.decodeWav(blob)
-        (id, "wav:" + Codecs.windowAbsSum(decoded, 16).mkString(","), blob)
+      .as[(Long, String, Long, Boolean)]
+      .map { case (id, text, nChars, dup) =>
+        val (fp, blob) = stage(id, text, nChars, dup)
+        (id, fp, blob)
       }
       .toDF("media_id", "fp_str", "content")
       .select(col("media_id"),
@@ -193,45 +205,24 @@ object MultimodalPack extends QueryPack {
     * sample table (stsz/stco — [[graft.multimodal.Mp4.sampleEnergies]]),
     * so it is layout-blind by construction, and `n_blob_variants = 2`
     * proves the blobs differed. One fingerprint-keyed shuffle. */
-  def videoDedupContent(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.multimodal.Mp4
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"), col("text"), col("n_chars"),
-        lit(false).as("remuxed"))
-    val off = base.agg((max("media_id") + 1).as("__off"))
-    val dups = base.filter(col("media_id") % 7 === 0)
-      .crossJoin(broadcast(off))
-      .select((col("media_id") + col("__off")).as("media_id"), col("text"),
-        col("n_chars"), lit(true).as("remuxed"))
-    base.unionByName(dups)
-      .as[(Long, String, Long, Boolean)]
-      .map { case (id, text, nChars, remuxed) =>
-        val txt = payloadBytes(text)
-        // the media_frames chunking: one sample per 5s of derived runtime
-        val n = math.max(1, (nChars * 10 / 5000).toInt)
-        val chunk = math.max(1, txt.length / n)
-        val samples = (0 until n).map { i =>
-          val from = math.min(i * chunk, txt.length)
-          val until = math.min(i * chunk + chunk, txt.length)
-          java.util.Arrays.copyOfRange(txt, from, until)
-        }
-        val blob = Mp4.buildWithSamples("isom", 1000L,
-          Seq(Mp4.Mp4Track("vide", (nChars % 640).toInt,
-            (nChars % 480).toInt, nChars * 10)),
-          samples, moovFirst = !remuxed)
-        (id, "mp4:" + Mp4.sampleEnergies(blob).mkString(","), blob)
+  def videoDedupContent(s: SparkSession, dir: String): DataFrame =
+    contentDedupQuery(s, dir) { (_, text, nChars, remuxed) =>
+      import graft.multimodal.Mp4
+      val txt = payloadBytes(text)
+      // the media_frames chunking: one sample per 5s of derived runtime
+      val n = math.max(1, (nChars * 10 / 5000).toInt)
+      val chunk = math.max(1, txt.length / n)
+      val samples = (0 until n).map { i =>
+        val from = math.min(i * chunk, txt.length)
+        val until = math.min(i * chunk + chunk, txt.length)
+        java.util.Arrays.copyOfRange(txt, from, until)
       }
-      .toDF("media_id", "fp_str", "content")
-      .select(col("media_id"),
-        md5(col("fp_str").cast("binary")).as("content_md5"),
-        md5(col("content")).as("blob_md5"))
-      .groupBy("content_md5")
-      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
-        countDistinct("blob_md5").as("n_blob_variants"))
-      .select("keep_id", "n_copies", "n_blob_variants", "content_md5")
-      .orderBy("keep_id")
-  }
+      val blob = Mp4.buildWithSamples("isom", 1000L,
+        Seq(Mp4.Mp4Track("vide", (nChars % 640).toInt,
+          (nChars % 480).toInt, nChars * 10)),
+        samples, moovFirst = !remuxed)
+      ("mp4:" + Mp4.sampleEnergies(blob).mkString(","), blob)
+    }
 
   def frameDedupOf(s: SparkSession, media: Dataset[MediaFile]): DataFrame =
     Multimodal.sampleFrames(media, everyMs = 5000)
@@ -698,7 +689,10 @@ object MultimodalPack extends QueryPack {
     "video_dedup_content" ->
       // the oracle recomputes the per-sample energy profile straight
       // from the text chunking (it never sees a box) and models blob
-      // identity exactly: a blob is determined by (remuxed, n_chars, text)
+      // identity EXACTLY: a blob is determined by (remuxed layout,
+      // n_chars, the COVERED text bytes) — the floor chunking drops the
+      // last len % n bytes from the mdat, so keying on the full text
+      // would over-distinguish byte-identical blobs
       """WITH d0 AS (SELECT doc_id AS media_id,
         |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
         |   n_chars, FALSE AS remuxed FROM documents),
@@ -722,12 +716,15 @@ object MultimodalPack extends QueryPack {
         | k1 AS (SELECT media_id,
         |   md5('mp4:' || string_agg(en::VARCHAR, ',' ORDER BY i))
         |     AS content_md5
-        |  FROM e GROUP BY media_id)
+        |  FROM e GROUP BY media_id),
+        | k2 AS (SELECT media_id, (CASE WHEN remuxed THEN 'r:' ELSE 'o:' END)
+        |   || n_chars || ':' || substr(text, 1, least(n * chunk, len))
+        |     AS blob_key
+        |  FROM q)
         |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
-        | count(DISTINCT (CASE WHEN remuxed THEN 'r:' ELSE 'o:' END)
-        |   || n_chars || ':' || text)::BIGINT AS n_blob_variants,
+        | count(DISTINCT blob_key)::BIGINT AS n_blob_variants,
         | content_md5
-        |FROM k1 JOIN m USING (media_id)
+        |FROM k1 JOIN k2 USING (media_id)
         |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
     "webp_meta" ->
       // expected metadata straight from the docs table — the oracle

@@ -41,14 +41,23 @@ object StreamSink {
       graft.plans.SnapshotStore.publish(df, root, batchId)
   }
 
-  /** Everything the sink has committed so far: the union of all
-    * manifest-committed micro-batches (order-free — batch provenance is
-    * recoverable per-version via [[graft.plans.SnapshotStore.read]]). */
+  /** Everything the sink has committed so far: ONE multi-path parquet
+    * scan over the manifest-committed data directories (order-free —
+    * batch provenance is recoverable per-version via
+    * [[graft.plans.SnapshotStore.read]]). All batches share the sink's
+    * schema, so a single scan beats a per-version read folded with
+    * unionByName: that plan grows one node per micro-batch — thousands
+    * deep after a day of streaming, with per-version footer reads and a
+    * driver StackOverflow risk — while the multi-path scan stays O(1)
+    * plan nodes with predicate pushdown intact. */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val vs = graft.plans.SnapshotStore.versions(root)
     require(vs.nonEmpty, s"StreamSink: nothing committed under $root")
-    vs.map(v => graft.plans.SnapshotStore.read(spark, root, v))
-      .reduce(_ unionByName _)
+    val dirs = vs.map { v =>
+      val d = graft.plans.SnapshotStore.dataDirOf(root, v)
+      if (d.contains(":/") || d.startsWith("/")) d else s"$root/$d"
+    }
+    spark.read.parquet(dirs: _*)
   }
 
   /** Committed batch ids, ascending. */

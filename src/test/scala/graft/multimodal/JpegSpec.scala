@@ -243,6 +243,17 @@ class JpegSpec extends graft.SparkSpec {
     }
   }
 
+  it should "refuse a progressive stream whose scans were stripped, never emit flat gray" in {
+    val prog = Jpeg.encodeProgressive(16, 16, testImage(16, 16), quality = 85)
+    // strip everything from the first SOS to EOI: SOI + tables + SOF2 + EOI
+    val sos = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda).get
+    val stripped = java.util.Arrays.copyOf(prog, sos + 2)
+    stripped(sos) = 0xff.toByte; stripped(sos + 1) = 0xd9.toByte // EOI
+    intercept[IllegalArgumentException](Jpeg.decode(stripped))
+      .getMessage should include ("EOI before scan data")
+  }
+
   it should "decode a progressive re-encode of our own baseline output as well as the JDK does" in {
     // full pipeline: our encoder -> JDK progressive transcode -> our
     // progressive decoder, referenced against the JDK's own decode of

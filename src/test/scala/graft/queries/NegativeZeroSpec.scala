@@ -10,10 +10,19 @@ import graft.{SparkEntry, SparkSpec}
   * `round(x, n)` maps a tiny negative to +0.0 where DuckDB maps it to
   * -0.0 (round 12's only red row, `msprt_peek`, was this). Every
   * sign-crossing rounded statistic is therefore normalized with `+ 0.0`
-  * on both engines; this spec closes the loop by executing EVERY contract
-  * query and scanning every double/float output cell for the -0.0 bit
-  * pattern, so a future sign-crossing statistic that forgets the
-  * normalization fails here before it reaches the driver.
+  * on BOTH engines.
+  *
+  * Scope, stated precisely: Spark's round() goes through BigDecimal and
+  * can never emit -0.0 itself, so for round()-based columns the
+  * DuckDB-side `+ 0.0` is the operative fix and the Spark-side twin is
+  * symmetry/documentation. This spec therefore guards the OTHER
+  * Spark-side sources — unrounded aggregates, products, divisions, and
+  * codegen expressions, any of which can surface -0.0 directly — by
+  * executing every contract query and scanning every double/float cell
+  * for the -0.0 bit pattern. The cross-engine class (a DuckDB oracle
+  * emitting -0.0 where Spark emits +0.0) is gated by the round cadence's
+  * full `tools/compare.py` sweep, which replays every oracle and
+  * bit-compares float columns — the local equal of the driver's hash.
   */
 class NegativeZeroSpec extends SparkSpec {
 
