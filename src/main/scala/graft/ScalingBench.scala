@@ -63,6 +63,7 @@ object ScalingBench {
     "jpeg_progressive",   // row-local multi-scan codec (CPU/scan-bound)
     "webp_meta",          // row-local RIFF chunk walk (scan-bound)
     "audio_dedup_content", // decode + fingerprint, ONE keyed shuffle
+    "video_dedup_content", // sample-table build/walk + fingerprint shuffle
     "bpe_apply_persisted") // artifact load + vocab-bounded fold + bcast join
 
   def main(args: Array[String]): Unit = {
