@@ -233,16 +233,23 @@ object Jpeg {
     c
   }
 
-  /** Encode interleaved RGB as baseline 4:4:4 JFIF. Every standard reader
-    * decodes the output; `quality` drives the IJG table scaling. */
-  def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 50): Array[Byte] = {
+  /** Shared encoder preamble for [[encode]] and [[encodeProgressive]]:
+    * emits SOI → APP0/JFIF → DQT×2 → SOF(`sof`) → DHT×4 into `out` and
+    * runs the full sample→fdct→quantize pass, returning per-component
+    * quantized coefficients in zigzag order for every 8×8 block (raster
+    * block order — the same order both the baseline MCU walk and the
+    * progressive scans serialize). The two entry points differ ONLY in
+    * the SOF marker and how scans serialize these coefficients, so a
+    * future table or colorspace change lands in one place. */
+  private def emitHeaderAndQuantize(w: Int, h: Int, rgb: Array[Byte],
+      quality: Int, sof: Int,
+      out: java.io.ByteArrayOutputStream): Array[Array[Int]] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
       s"jpeg: bad dimensions ${w}x$h")
     require(rgb.length == w.toLong * h * 3,
       s"jpeg: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
     val qLum = scaledQuant(QLumBase, quality)
     val qChrom = scaledQuant(QChromBase, quality)
-    val out = new java.io.ByteArrayOutputStream()
     def m(b: Int): Unit = { out.write(0xff); out.write(b) }
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     m(0xd8) // SOI
@@ -256,7 +263,7 @@ object Jpeg {
       while (k < 64) { out.write(t(ZigZag(k))); k += 1 } // zigzag order
     }
     dqt(0, qLum); dqt(1, qChrom)
-    m(0xc0); u16(17) // SOF0: baseline, 3 components, 1x1 sampling
+    m(sof); u16(17) // SOF0 baseline / SOF2 progressive, 3 comps, 1x1
     out.write(8); u16(h); u16(w); out.write(3)
     out.write(1); out.write(0x11); out.write(0) // Y  → qtable 0
     out.write(2); out.write(0x11); out.write(1) // Cb → qtable 1
@@ -269,17 +276,6 @@ object Jpeg {
     }
     dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
     dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
-    m(0xda); u16(12); out.write(3) // SOS
-    out.write(1); out.write(0x00) // Y  → DC0/AC0
-    out.write(2); out.write(0x11) // Cb → DC1/AC1
-    out.write(3); out.write(0x11)
-    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl (baseline)
-
-    val dcLum = huffCodes(DcLumBits, DcLumVals)
-    val acLum = huffCodes(AcLumBits, AcLumVals)
-    val dcChrom = huffCodes(DcChromBits, DcChromVals)
-    val acChrom = huffCodes(AcChromBits, AcChromVals)
-    val bw = new BitWriter(out)
 
     // per-component planes (4:4:4) from RGB, edge-replicated to 8-multiples
     def sample(x: Int, y: Int, c: Int): Double = {
@@ -294,118 +290,8 @@ object Jpeg {
       }
     }
     val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
-    val dcPred = new Array[Int](3)
-    val block = new Array[Double](64)
-    val zz = new Array[Int](64)
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
-        var comp = 0
-        while (comp < 3) { // interleaved 4:4:4 MCU = one block per comp
-          var i = 0
-          while (i < 64) {
-            block(i) = sample(bx * 8 + i % 8, by * 8 + i / 8, comp) - 128.0
-            i += 1
-          }
-          val coef = fdct(block)
-          val q = if (comp == 0) qLum else qChrom
-          i = 0
-          while (i < 64) {
-            zz(i) = math.round(coef(ZigZag(i)) / q(ZigZag(i))).toInt
-            i += 1
-          }
-          val (dcT, acT) = if (comp == 0) (dcLum, acLum) else (dcChrom, acChrom)
-          val diff = zz(0) - dcPred(comp)
-          dcPred(comp) = zz(0)
-          val s = category(diff)
-          bw.put(dcT(s)(0), dcT(s)(1))
-          if (s > 0)
-            bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            if (zz(k) == 0) run += 1
-            else {
-              while (run > 15) { bw.put(acT(0xf0)(0), acT(0xf0)(1)); run -= 16 }
-              val sz = category(zz(k))
-              val sym = (run << 4) | sz
-              bw.put(acT(sym)(0), acT(sym)(1))
-              bw.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) bw.put(acT(0x00)(0), acT(0x00)(1)) // EOB
-          comp += 1
-        }
-        bx += 1
-      }
-      by += 1
-    }
-    bw.flush()
-    m(0xd9) // EOI
-    out.toByteArray
-  }
-
-  /** Encode interleaved RGB as PROGRESSIVE 4:4:4 JFIF (SOF2) with the
-    * simplest conforming scan script — spectral selection only, no
-    * successive approximation: one interleaved DC scan, then the full
-    * 1..63 AC band per component (Y, Cb, Cr), per-block EOB. The
-    * quantized coefficients are identical to [[encode]]'s at the same
-    * quality, so decode(encodeProgressive(x)) == decode(encode(x))
-    * pixel-for-pixel — the contract `jpeg_progressive` asserts. */
-  def encodeProgressive(w: Int, h: Int, rgb: Array[Byte],
-                        quality: Int = 50): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
-      s"jpeg: bad dimensions ${w}x$h")
-    require(rgb.length == w.toLong * h * 3,
-      s"jpeg: need ${w.toLong * h * 3} bytes for ${w}x$h, got ${rgb.length}")
-    val qLum = scaledQuant(QLumBase, quality)
-    val qChrom = scaledQuant(QChromBase, quality)
-    val out = new java.io.ByteArrayOutputStream()
-    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
-    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    m(0xd8) // SOI
-    m(0xe0); u16(16) // APP0 / JFIF 1.02, no thumbnail
-    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
-    out.write(1); out.write(2); out.write(0)
-    u16(1); u16(1); out.write(0); out.write(0)
-    def dqt(id: Int, t: Array[Int]): Unit = {
-      m(0xdb); u16(67); out.write(id)
-      var k = 0
-      while (k < 64) { out.write(t(ZigZag(k))); k += 1 }
-    }
-    dqt(0, qLum); dqt(1, qChrom)
-    m(0xc2); u16(17) // SOF2: progressive, 3 components, 1x1 sampling
-    out.write(8); u16(h); u16(w); out.write(3)
-    out.write(1); out.write(0x11); out.write(0)
-    out.write(2); out.write(0x11); out.write(1)
-    out.write(3); out.write(0x11); out.write(1)
-    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
-      m(0xc4); u16(19 + vals.length); out.write((cls << 4) | id)
-      var l = 1
-      while (l <= 16) { out.write(bits(l)); l += 1 }
-      out.write(vals)
-    }
-    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
-    dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
-
-    // quantize every block up front (same pipeline as the baseline path)
-    def sample(x: Int, y: Int, c: Int): Double = {
-      val xx = math.min(x, w - 1); val yy = math.min(y, h - 1)
-      val r = rgb(3 * (yy * w + xx)) & 0xff
-      val g = rgb(3 * (yy * w + xx) + 1) & 0xff
-      val b = rgb(3 * (yy * w + xx) + 2) & 0xff
-      c match {
-        case 0 => 0.299 * r + 0.587 * g + 0.114 * b
-        case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-      }
-    }
-    val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
     val nBlocks = blocksX * blocksY
-    val zz = Array.ofDim[Int](3, nBlocks * 64) // zigzag order per comp
+    val zz = Array.ofDim[Int](3, nBlocks * 64)
     val block = new Array[Double](64)
     var b = 0
     while (b < nBlocks) {
@@ -428,6 +314,91 @@ object Jpeg {
       }
       b += 1
     }
+    zz
+  }
+
+  /** DC coefficient: category code + amplitude bits. */
+  private def writeDc(bw: BitWriter, dcT: Array[Array[Int]], diff: Int): Unit = {
+    val s = category(diff)
+    bw.put(dcT(s)(0), dcT(s)(1))
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+  }
+
+  /** AC band 1..63 of one block: run/size symbols, ZRL for runs > 15,
+    * EOB on a trailing zero run — shared by the baseline MCU walk and
+    * the progressive per-component AC scans. */
+  private def writeAcBand(bw: BitWriter, acT: Array[Array[Int]],
+                          zzc: Array[Int], off: Int): Unit = {
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = zzc(off + k)
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { bw.put(acT(0xf0)(0), acT(0xf0)(1)); run -= 16 }
+        val sz = category(v)
+        val sym = (run << 4) | sz
+        bw.put(acT(sym)(0), acT(sym)(1))
+        bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(acT(0x00)(0), acT(0x00)(1)) // EOB
+  }
+
+  /** Encode interleaved RGB as baseline 4:4:4 JFIF. Every standard reader
+    * decodes the output; `quality` drives the IJG table scaling. */
+  def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 50): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zz = emitHeaderAndQuantize(w, h, rgb, quality, 0xc0, out)
+    val nBlocks = zz(0).length / 64
+    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xda); u16(12); out.write(3) // SOS
+    out.write(1); out.write(0x00) // Y  → DC0/AC0
+    out.write(2); out.write(0x11) // Cb → DC1/AC1
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl (baseline)
+
+    val dcLum = huffCodes(DcLumBits, DcLumVals)
+    val acLum = huffCodes(AcLumBits, AcLumVals)
+    val dcChrom = huffCodes(DcChromBits, DcChromVals)
+    val acChrom = huffCodes(AcChromBits, AcChromVals)
+    val bw = new BitWriter(out)
+    val dcPred = new Array[Int](3)
+    var b = 0
+    while (b < nBlocks) { // interleaved 4:4:4 MCU = one block per comp
+      var comp = 0
+      while (comp < 3) {
+        val (dcT, acT) = if (comp == 0) (dcLum, acLum) else (dcChrom, acChrom)
+        val dc = zz(comp)(b * 64)
+        writeDc(bw, dcT, dc - dcPred(comp))
+        dcPred(comp) = dc
+        writeAcBand(bw, acT, zz(comp), b * 64)
+        comp += 1
+      }
+      b += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode interleaved RGB as PROGRESSIVE 4:4:4 JFIF (SOF2) with the
+    * simplest conforming scan script — spectral selection only, no
+    * successive approximation: one interleaved DC scan, then the full
+    * 1..63 AC band per component (Y, Cb, Cr), per-block EOB. The
+    * quantized coefficients are identical to [[encode]]'s at the same
+    * quality, so decode(encodeProgressive(x)) == decode(encode(x))
+    * pixel-for-pixel — the contract `jpeg_progressive` asserts. */
+  def encodeProgressive(w: Int, h: Int, rgb: Array[Byte],
+                        quality: Int = 50): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zz = emitHeaderAndQuantize(w, h, rgb, quality, 0xc2, out)
+    val nBlocks = zz(0).length / 64
+    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
 
     val dcLum = huffCodes(DcLumBits, DcLumVals)
     val acLum = huffCodes(AcLumBits, AcLumVals)
@@ -442,18 +413,13 @@ object Jpeg {
     out.write(0); out.write(0); out.write(0)
     val bw1 = new BitWriter(out)
     val dcPred = new Array[Int](3)
-    b = 0
+    var b = 0
     while (b < nBlocks) {
       var comp = 0
       while (comp < 3) {
-        val dcT = if (comp == 0) dcLum else dcChrom
         val dc = zz(comp)(b * 64)
-        val diff = dc - dcPred(comp)
+        writeDc(bw1, if (comp == 0) dcLum else dcChrom, dc - dcPred(comp))
         dcPred(comp) = dc
-        val s = category(diff)
-        bw1.put(dcT(s)(0), dcT(s)(1))
-        if (s > 0)
-          bw1.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
         comp += 1
       }
       b += 1
@@ -470,22 +436,7 @@ object Jpeg {
       val bw = new BitWriter(out)
       b = 0
       while (b < nBlocks) {
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val v = zz(comp)(b * 64 + k)
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { bw.put(acT(0xf0)(0), acT(0xf0)(1)); run -= 16 }
-            val sz = category(v)
-            val sym = (run << 4) | sz
-            bw.put(acT(sym)(0), acT(sym)(1))
-            bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.put(acT(0x00)(0), acT(0x00)(1)) // EOB0
+        writeAcBand(bw, acT, zz(comp), b * 64)
         b += 1
       }
       bw.flush()

@@ -214,7 +214,33 @@ object Webp {
           width = u24leAt(bytes, at + 4) + 1
           height = u24leAt(bytes, at + 7) + 1
         case "ANMF" =>
+          // 16-byte frame header, then an embedded VP8/VP8L (optionally
+          // ALPH-prefixed) chunk — verify its start code/signature like
+          // any top-level frame, so a corrupt animation frame is a loud
+          // error, not "valid metadata"
           require(len >= 16, "webp: ANMF chunk too short")
+          var q = at + 16
+          val frameEnd = at + len.toInt
+          var sawFrame = false
+          while (!sawFrame && q + 8 <= frameEnd) {
+            val fc = new String(bytes, q, 4, "US-ASCII")
+            val flen = u32leAt(bytes, q + 4)
+            require(q + 8 + flen <= frameEnd,
+              s"webp: ANMF sub-chunk $fc overruns the frame")
+            fc match {
+              case "VP8 " => parseVp8(q + 8, flen.toInt); sawFrame = true
+              case "VP8L" =>
+                require(flen >= 5 && (bytes(q + 8) & 0xff) == 0x2f,
+                  "webp: bad VP8L signature inside ANMF")
+                sawFrame = true
+              case "ALPH" => // alpha plane precedes the frame chunk
+              case other =>
+                throw new IllegalArgumentException(
+                  s"webp: unexpected chunk $other inside ANMF")
+            }
+            q += 8 + flen.toInt + (flen.toInt & 1)
+          }
+          require(sawFrame, "webp: ANMF frame carries no VP8/VP8L chunk")
           nFrames += 1
         case _ => // ANIM, ALPH, ICCP, EXIF, XMP, unknown: skip by size
       }

@@ -36,4 +36,12 @@ final class SessionCache[V] {
         }
       inner.getOrElseUpdate(key, build)
     }
+
+  /** Drop every memoized handle for `s` — call on session stop so a
+    * short-lived session's plan graph doesn't linger until heap
+    * pressure clears the soft reference (the documented SoftReference
+    * tradeoff). The CacheManager blocks themselves die with the
+    * session; this only releases the driver-side handles. */
+  def invalidate(s: SparkSession): Unit =
+    byedSession.synchronized { byedSession.remove(s); () }
 }

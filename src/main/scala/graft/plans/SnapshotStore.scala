@@ -74,8 +74,18 @@ object SnapshotStore {
   /** Publish `df` as version `v`: data into a fresh nonce directory
     * first, manifest last (temp + atomic rename-with-overwrite), so the
     * version becomes visible — or changes content, on a re-publish —
-    * all-at-once. Returns the manifest. */
-  def publish(df: DataFrame, root: String, v: Long): Manifest = {
+    * all-at-once. Returns the manifest.
+    *
+    * With `overwrite = false` the manifest rename carries no OVERWRITE
+    * option, so the commit FAILS with a
+    * `FileAlreadyExistsException` when version `v` is already
+    * committed — the compare-and-swap a caller needs when two writers
+    * may race on the same version id (see
+    * [[graft.streaming.StreamSink.idempotent]]): exactly one writer's
+    * manifest lands, the loser's data directory stays an orphan for
+    * [[vacuum]]. */
+  def publish(df: DataFrame, root: String, v: Long,
+              overwrite: Boolean = true): Manifest = {
     require(v >= 0, s"version must be >= 0, got $v")
     val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
     require(!NonAtomicRenameSchemes.contains(scheme.toLowerCase),
@@ -107,9 +117,12 @@ object SnapshotStore {
         s""""schema":${jsonStr(m.schemaJson)}}""").getBytes(UTF_8))
     finally out.close()
     // FileContext.rename(OVERWRITE): atomic manifest replacement on HDFS
-    // and local FS alike — THE commit point
+    // and local FS alike — THE commit point. Without OVERWRITE the same
+    // rename is an atomic create-if-absent (loud FileAlreadyExists on a
+    // lost race).
     val fc = FileContext.getFileContext(new Path(root).toUri, hc)
-    fc.rename(tmp, manifestPath(root, v), Options.Rename.OVERWRITE)
+    fc.rename(tmp, manifestPath(root, v),
+      (if (overwrite) Options.Rename.OVERWRITE else Options.Rename.NONE))
     m
   }
 

@@ -29,16 +29,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamSink {
 
   /** A `foreachBatch` function writing each micro-batch exactly-once
-    * under `root`. Use: `.writeStream.foreachBatch(StreamSink.idempotent(root) _)`. */
+    * under `root`. Use: `.writeStream.foreachBatch(StreamSink.idempotent(root) _)`.
+    *
+    * Concurrency: the version pre-check is an optimization, not the
+    * guard — the commit itself is a no-clobber manifest rename
+    * (`publish(overwrite = false)`), so when a zombie driver and a
+    * restarted query race on the same batchId exactly ONE manifest
+    * lands; the loser's rename throws `FileAlreadyExistsException`,
+    * which is swallowed here because a redelivered batchId replays the
+    * same data by the streaming contract (deterministic replay from
+    * checkpointed offsets) — its orphan data directory is reclaimed by
+    * [[graft.plans.SnapshotStore.vacuum]]. */
   def idempotent(root: String)(df: DataFrame, batchId: Long): Unit = {
     val committed =
       graft.plans.SnapshotStore.versions(root).contains(batchId)
-    // a redelivered batchId replays the same data by the streaming
-    // contract; re-publishing would only rewrite identical content, so
-    // skip — this is what makes the sink idempotent rather than merely
-    // atomic
     if (!committed)
-      graft.plans.SnapshotStore.publish(df, root, batchId)
+      try graft.plans.SnapshotStore.publish(df, root, batchId,
+        overwrite = false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // lost
+          // a benign race: the concurrent writer committed the same
+          // deterministic batch
+      }
   }
 
   /** Everything the sink has committed so far: ONE multi-path parquet
@@ -53,9 +65,11 @@ object StreamSink {
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val vs = graft.plans.SnapshotStore.versions(root)
     require(vs.nonEmpty, s"StreamSink: nothing committed under $root")
+    // dataDirOf returns root-relative names by contract; resolve against
+    // root exactly like SnapshotStore.read does
     val dirs = vs.map { v =>
-      val d = graft.plans.SnapshotStore.dataDirOf(root, v)
-      if (d.contains(":/") || d.startsWith("/")) d else s"$root/$d"
+      new org.apache.hadoop.fs.Path(root,
+        graft.plans.SnapshotStore.dataDirOf(root, v)).toString
     }
     spark.read.parquet(dirs: _*)
   }

@@ -70,6 +70,31 @@ class WebpSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy Webp.buildLossy(16384, 8)
   }
 
+  it should "verify the VP8 payload EMBEDDED in ANMF frames, not just its length" in {
+    val anim = Webp.buildExtended(24, 16, alpha = false, animated = true,
+      nFrames = 2)
+    // locate the first ANMF chunk, clobber the embedded VP8 start code
+    // (16-byte ANMF header, then the VP8 chunk: 8-byte header + 3-byte
+    // frame tag before the 9D 01 2A start code)
+    var p = 12
+    var anmfAt = -1
+    while (anmfAt < 0) {
+      val fourcc = new String(anim, p, 4, "US-ASCII")
+      val len = (anim(p + 4) & 0xff) | ((anim(p + 5) & 0xff) << 8) |
+        ((anim(p + 6) & 0xff) << 16) | ((anim(p + 7) & 0xff) << 24)
+      if (fourcc == "ANMF") anmfAt = p + 8 else p = p + 8 + len + (len & 1)
+    }
+    val bad = anim.clone()
+    bad(anmfAt + 16 + 8 + 3) = 0x00 // embedded VP8 start byte 0x9d
+    an[IllegalArgumentException] should be thrownBy Webp.parseMeta(bad)
+    // and a frame whose payload is no chunk at all
+    val noChunk = anim.clone()
+    noChunk(anmfAt + 16) = 'X'; noChunk(anmfAt + 17) = 'X'
+    an[IllegalArgumentException] should be thrownBy Webp.parseMeta(noChunk)
+    // the untouched animation still parses
+    Webp.parseMeta(anim).nFrames shouldBe 2
+  }
+
   behavior of "Multimodal webp dispatch"
 
   it should "triage-accept WebP blobs and reject corrupt ones loudly" in {

@@ -88,4 +88,25 @@ class StreamSinkSpec extends SparkSpec {
     StreamSink.committedBatches(root) shouldBe Seq(0L, 7L)
     StreamSink.readCommitted(spark, root).count() shouldBe 2
   }
+
+  it should "let exactly one of two racing writers commit a batch id" in {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sink-race").toString
+    // model the zombie-driver race: both writers passed the versions()
+    // pre-check (nothing committed yet), then publish the same batchId.
+    // The no-clobber manifest rename lets exactly one in; the direct
+    // publish surfaces the loss loudly, and idempotent() swallows it
+    // (deterministic replay ⇒ same data).
+    graft.plans.SnapshotStore.publish(
+      Seq(Event(1, ts(0), 1, "view", 1.0)).toDF(), root, 3L,
+      overwrite = false)
+    an[org.apache.hadoop.fs.FileAlreadyExistsException] should be thrownBy
+      graft.plans.SnapshotStore.publish(
+        Seq(Event(1, ts(0), 1, "view", 1.0)).toDF(), root, 3L,
+        overwrite = false)
+    noException should be thrownBy StreamSink.idempotent(root)(
+      Seq(Event(1, ts(0), 1, "view", 1.0)).toDF(), 3L)
+    StreamSink.committedBatches(root) shouldBe Seq(3L)
+    StreamSink.readCommitted(spark, root).count() shouldBe 1
+  }
 }
