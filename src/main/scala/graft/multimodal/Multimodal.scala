@@ -25,12 +25,14 @@ final case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
   * serialize the decode — and so are the codecs for every major crawl
   * container: PPM and RIFF/WAVE through the REAL parsers in [[Codecs]],
   * PNG (chunk-walking zlib decode), baseline [[Jpeg]] (DCT + Huffman),
-  * [[Gif]] (LZW, interlace, index-space exact resize), plus the
-  * metadata-triage walkers [[Mp4]] (BMFF boxes) and [[Mp3]] (frame
-  * headers). Only genuinely undecodable payloads — compressed A/V sample
-  * bitstreams (H.264 inside mp4, MPEG audio frames) and unknown magic —
-  * fall back to `decodeStub`, a deterministic fake, so every op stays
-  * testable end-to-end and a new codec changes one dispatch arm.
+  * [[Gif]] (LZW, interlace, index-space exact resize), lossless WebP
+  * through the full [[Vp8l]] bitstream decoder, plus the
+  * metadata-triage walkers [[Mp4]] (BMFF boxes), [[Mp3]] (frame
+  * headers) and lossy-WebP [[Webp]] chunks. Only genuinely undecodable
+  * payloads — compressed A/V sample bitstreams (H.264 inside mp4, MPEG
+  * audio frames, lossy VP8) and unknown magic — fall back to
+  * `decodeStub`, a deterministic fake, so every op stays testable
+  * end-to-end and a new codec changes one dispatch arm.
   *
   * At 100 TB: blobs stay in parquet binary columns (scan-pruned when a
   * query only needs `meta`), decode runs once per partition batch via
@@ -97,13 +99,18 @@ object Multimodal {
         out
       }
     } else if (Webp.isWebp(bytes)) {
-      // WebP triage is container-metadata level ([[Webp.parseMeta]]:
-      // dims/alpha/animation earned from the bitstream headers); SAMPLE
-      // decode needs a full VP8/VP8L decoder and stays on the stub path
-      // per the MP3/MP4 precedent — but parseMeta must ACCEPT the blob,
-      // so a corrupt WebP is a loud error, never a silent stub feature.
-      Webp.parseMeta(bytes)
-      decodeStub(bytes)
+      // Lossless WebP (VP8L) decodes to REAL pixels through the full
+      // [[Vp8l]] decoder; lossy (VP8) stays container-triage + stub per
+      // the MP3/MP4 precedent (a VP8 sample decoder is out of scope) —
+      // but parseMeta must ACCEPT the blob either way, so a corrupt
+      // WebP is a loud error, never a silent stub feature.
+      if (Webp.isLossless(bytes)) {
+        val (w, h, px) = Webp.decodeLossless(bytes)
+        imageFeatures(w, h, px)
+      } else {
+        Webp.parseMeta(bytes)
+        decodeStub(bytes)
+      }
     } else decodeStub(bytes)
   }
 
@@ -163,6 +170,9 @@ object Multimodal {
         } else if (Jpeg.isJpeg(m.content)) {
           val (sw, sh, px) = Jpeg.decode(m.content)
           Jpeg.encode(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
+        } else if (Webp.isWebp(m.content) && Webp.isLossless(m.content)) {
+          val (sw, sh, px) = Webp.decodeLossless(m.content)
+          Webp.buildLosslessPixels(w, h, Codecs.resizeNearest(sw, sh, px, w, h))
         } else if (Gif.isGif(m.content)) {
           // resample in INDEX space against the frame's own palette —
           // nearest-neighbor never invents colors, so the re-encode is

@@ -103,6 +103,48 @@ object Webp {
                     dataLen: Int = 10): Array[Byte] =
     wrapRiff(chunk("VP8L", vp8lPayload(w, h, alpha, dataLen)))
 
+  /** Simple lossless still with REAL pixels: RIFF("WEBP", VP8L) around a
+    * complete [[Vp8l]] bitstream — decode(buildLosslessPixels(px)) == px
+    * exactly (VP8L is lossless). */
+  def buildLosslessPixels(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    wrapRiff(chunk("VP8L", Vp8l.encode(w, h, rgb)))
+
+  /** Decode the pixels of a lossless WebP: walk the container to the
+    * VP8L chunk (simple or extended shape) and run the full [[Vp8l]]
+    * decoder. Lossy (VP8) stills have no sample decoder here — loud
+    * error, triage via [[parseMeta]] remains their contract. */
+  def decodeLossless(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val meta = parseMeta(bytes) // full structural validation first
+    val riffSize = u32leAt(bytes, 4)
+    var p = 12
+    val end = 8 + riffSize.toInt
+    while (p + 8 <= end) {
+      val fourcc = new String(bytes, p, 4, "US-ASCII")
+      val len = u32leAt(bytes, p + 4).toInt
+      if (fourcc == "VP8L")
+        return Vp8l.decode(java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len))
+      p += 8 + len + (len & 1)
+    }
+    throw new IllegalArgumentException(
+      s"webp: no VP8L chunk — '${meta.format}' has no sample decoder " +
+        "(lossy VP8 is triage-only)")
+  }
+
+  /** True when the container's image payload is a VP8L lossless stream
+    * (the shape [[decodeLossless]] can decode). */
+  def isLossless(bytes: Array[Byte]): Boolean = {
+    if (!isWebp(bytes)) return false
+    val riffSize = u32leAt(bytes, 4)
+    var p = 12
+    val end = math.min(8 + riffSize.toInt, bytes.length)
+    while (p + 8 <= end) {
+      if (new String(bytes, p, 4, "US-ASCII") == "VP8L") return true
+      val len = u32leAt(bytes, p + 4).toInt
+      p += 8 + len + (len & 1)
+    }
+    false
+  }
+
   /** Extended container: VP8X + (ALPH + VP8 still | ANIM + n ANMF). */
   def buildExtended(w: Int, h: Int, alpha: Boolean, animated: Boolean,
                     nFrames: Int = 1, dataLen: Int = 10): Array[Byte] = {

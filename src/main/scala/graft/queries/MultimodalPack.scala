@@ -389,6 +389,7 @@ object MultimodalPack extends QueryPack {
     "jpeg_codec" -> jpegCodec,
     "jpeg_progressive" -> jpegProgressive,
     "gif_codec" -> gifCodec,
+    "webp_codec" -> webpCodec,
     "mp4_meta" -> mp4Meta,
     "webp_meta" -> webpMeta,
     "mp3_meta" -> mp3Meta,
@@ -511,6 +512,43 @@ object MultimodalPack extends QueryPack {
           java.util.Arrays.copyOf(rt, 768))
         val (sw, sh, spx) = Gif.decode(small)
         val rz = graft.multimodal.Codecs.gridLuminance(sw, sh, spx, 4, 4)
+        val f0 = graft.multimodal.Multimodal.decode(blob)(0)
+        val viaDispatch = math.round(f0.toDouble * (16 * 3 * 255))
+        full.indices.map(cell =>
+          (id, cell.toLong, full(cell), rz(cell),
+            if (cell == 0) viaDispatch else full(cell)))
+      }
+      .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8", "lum_sum_dispatch")
+      .orderBy("media_id", "cell")
+  }
+
+  /** Lossless-WebP (VP8L) codec ROUNDTRIP proof, cross-engine: the
+    * [[pngCodec]] contract through the REAL RIFF/WEBP container and the
+    * full [[graft.multimodal.Vp8l]] bitstream — prefix codes through the
+    * code-length machinery, palette (color-indexing, sub-byte bundling)
+    * or subtract-green path picked per image by its distinct-color count,
+    * so BOTH encoder paths and their inverse transforms run across the
+    * corpus. The 8x8 resize is re-encoded and re-decoded through VP8L a
+    * second time (the GIF double-roundtrip pattern). The DuckDB oracle
+    * computes expected sums straight from `documents.text` and never
+    * sees a WebP byte — parity proves decode∘encode = id bit-exactly.
+    * Cell 0 re-derives from [[Multimodal.decode]], pinning the dispatch
+    * away from the stub for lossless WebP. */
+  def webpCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Codecs, Webp}
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = payloadBytes(text) // ASCII; "." sentinel if empty
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val blob = Webp.buildLosslessPixels(W, H, rgb) // real encode...
+        val (w, h, px) = Webp.decodeLossless(blob)     // ...and decode
+        val full = Codecs.gridLuminance(w, h, px, 4, 4)
+        val small = Webp.decodeLossless(Webp.buildLosslessPixels(
+          8, 8, Codecs.resizeNearest(w, h, px, 8, 8)))._3
+        val rz = Codecs.gridLuminance(8, 8, small, 4, 4)
         val f0 = graft.multimodal.Multimodal.decode(blob)(0)
         val viaDispatch = math.round(f0.toDouble * (16 * 3 * 255))
         full.indices.map(cell =>
@@ -824,6 +862,33 @@ object MultimodalPack extends QueryPack {
       // identical expected sums as ppm_codec (the container changes, the
       // pixels must not), plus the dispatch column which must equal the
       // direct sum — the oracle never parses a PNG byte
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
+        | fk AS (SELECT media_id, i // 3 AS p,
+        |     ord(substr(text, (i % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 767)) AS u(i)),
+        | full16 AS (SELECT media_id,
+        |     ((p // 16) // 4) * 4 + ((p % 16) // 4) AS cell,
+        |     sum(b)::BIGINT AS lum_sum
+        |   FROM fk GROUP BY 1, 2),
+        | rk AS (SELECT media_id,
+        |     (r // 2) * 4 + (c // 2) AS cell,
+        |     ord(substr(text,
+        |       ((3 * ((2 * r) * 16 + 2 * c) + ch) % len) + 1, 1)) AS b
+        |   FROM d, unnest(generate_series(0, 7)) AS ur(r),
+        |     unnest(generate_series(0, 7)) AS uc(c),
+        |     unnest(generate_series(0, 2)) AS uch(ch)),
+        | rz AS (SELECT media_id, cell, sum(b)::BIGINT AS lum_sum_8x8
+        |   FROM rk GROUP BY 1, 2)
+        |SELECT media_id, cell::BIGINT AS cell, lum_sum, lum_sum_8x8,
+        | lum_sum AS lum_sum_dispatch
+        |FROM full16 JOIN rz USING (media_id, cell)
+        |ORDER BY media_id, cell""".stripMargin,
+    "webp_codec" ->
+      // identical expected sums as png_codec (VP8L is lossless, so the
+      // container/bitstream change must not move a single pixel byte) —
+      // the oracle never parses a WebP byte
       """WITH d AS (SELECT doc_id AS media_id,
         |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
         |   greatest(length(text), 1) AS len FROM documents),
