@@ -177,6 +177,14 @@ object SnapshotStore {
       .findFirstMatchIn(readManifest(root, v))
       .map(_.group(1)).getOrElse(s"v=$v")
 
+  /** Un-commit a version by deleting its manifest — the data directory
+    * becomes an orphan for [[vacuum]]. NOT atomic with anything else;
+    * callers own the ordering (e.g. [[graft.streaming.StreamSink.retire]]
+    * drops batch manifests only after their rows are committed inside a
+    * compacted segment). A no-op when the manifest is already gone. */
+  def dropManifest(root: String, v: Long): Unit =
+    fsOf(root).delete(manifestPath(root, v), false)
+
   /** Reclaim unreferenced storage: `v=*` data directories not named by
     * any committed manifest (crashed writers, superseded re-publishes)
     * and stale `.v*.tmp` manifest temp files. Only items whose

@@ -109,4 +109,79 @@ class StreamSinkSpec extends SparkSpec {
     StreamSink.committedBatches(root) shouldBe Seq(3L)
     StreamSink.readCommitted(spark, root).count() shouldBe 1
   }
+
+  behavior of "StreamSink.compact + retire"
+
+  private def commitBatches(root: String, ids: Seq[Long]): Unit =
+    ids.foreach(id => StreamSink.idempotent(root)(
+      Seq(Event(id, ts(id), id, s"view$id", id.toDouble)).toDF(), id))
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    val here = Option(dir.listFiles()).getOrElse(Array.empty)
+    here.filter(_.isDirectory).flatMap(parquetFiles).toSeq ++
+      here.filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  it should "fold batches into segments with equal content and a bounded file count" in {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sink-compact").toString
+    commitBatches(root, 0L to 5L)
+    val before = StreamSink.readCommitted(spark, root)
+      .orderBy("user_id").collect().toSeq
+
+    // COMPACTION EQUALITY: compacted segment + batch tail == pre-compaction
+    StreamSink.compact(spark, root, upToBatch = 3L) shouldBe 3L
+    StreamSink.compactionWatermark(root) shouldBe Some(3L)
+    StreamSink.readCommitted(spark, root)
+      .orderBy("user_id").collect().toSeq shouldBe before
+
+    // FILE-COUNT BOUND: 4 folded batches -> 1 segment file (targetFiles=1)
+    val cRoot = s"$root/_compacted"
+    val segDir = new java.io.File(cRoot,
+      graft.plans.SnapshotStore.dataDirOf(cRoot, 3L))
+    parquetFiles(segDir).length shouldBe 1
+
+    // INCREMENTAL: the next compaction folds only the (3, 5] tail; the
+    // first segment's bytes never move
+    val segBytes = parquetFiles(segDir).map(f => f.getName -> f.length())
+    StreamSink.compact(spark, root, upToBatch = 5L) shouldBe 5L
+    parquetFiles(segDir).map(f => f.getName -> f.length()) shouldBe segBytes
+    StreamSink.readCommitted(spark, root)
+      .orderBy("user_id").collect().toSeq shouldBe before
+
+    // idempotent re-compaction at the same watermark: no-op, no error
+    StreamSink.compact(spark, root, upToBatch = 5L) shouldBe 5L
+    StreamSink.readCommitted(spark, root).count() shouldBe 6
+  }
+
+  it should "retire folded batches under the grace window without breaking live readers" in {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sink-retire").toString
+    commitBatches(root, 0L to 4L)
+    // a LIVE reader resolves its data paths before compaction+retention
+    val live = StreamSink.readCommitted(spark, root)
+    StreamSink.compact(spark, root, upToBatch = 2L)
+
+    // grace window: a default-grace retire reclaims NOTHING young — the
+    // folded batches' files stay on disk for readers mid-scan, only the
+    // batch-grain manifests disappear for new readers
+    StreamSink.retire(root) shouldBe Seq.empty
+    StreamSink.committedBatches(root) shouldBe Seq(3L, 4L)
+    live.orderBy("user_id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(0L, 1L, 2L, 3L, 4L)
+
+    // new readers see the same rows through segment + tail
+    StreamSink.readCommitted(spark, root)
+      .orderBy("user_id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(0L, 1L, 2L, 3L, 4L)
+
+    // force-retire (grace 0): the three folded data dirs are reclaimed
+    val swept = StreamSink.retire(root, graceMs = 0L)
+    swept.count(_.startsWith("v=")) shouldBe 3
+    StreamSink.readCommitted(spark, root)
+      .orderBy("user_id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(0L, 1L, 2L, 3L, 4L)
+    // batch grain is gone below the watermark, intact above it
+    StreamSink.committedBatches(root) shouldBe Seq(3L, 4L)
+  }
 }
