@@ -98,6 +98,7 @@ object LlmData extends QueryPack with LlmDedupOps with LlmQuantOps
     "bigram_ppl" -> bigramPpl,
     "trigram_ppl" -> trigramPpl,
     "fourgram_ppl" -> fourgramPpl,
+    "fivegram_ppl" -> fivegramPpl,
     "bm25_topk" -> bm25TopK,
     "pmi_bigrams" -> pmiBigrams,
     "score_rank_norm" -> scoreRankNorm,

@@ -349,6 +349,129 @@ trait LlmPplOps extends LlmCore {
     }
   }
 
+  /** Interpolated Kneser-Ney 5-gram perplexity with min-count pruning —
+    * full KenLM-order fidelity for the CCNet scoring path (CCNet's
+    * reference filter is a 5-gram KenLM; the ladder previously stopped at
+    * [[fourgramPplOf]]). The same recursion as order 4 shifted one order
+    * up — 5-gram token counts at the top, continuation (type) counts at
+    * every lower level, each level's "token" table derived from the
+    * previous level's suffix-type table, so no countDistinct expansion
+    * anywhere:
+    *
+    *   p5(w5|w1..w4) = max(c5−D,0)/c1234 + D·nt1234/c1234 · p4(w5|w2w3w4)
+    *   p4(w5|w2w3w4) = max(N1+(·w2w3w4w5)−D,0)/N1+(·w2w3w4·)
+    *                 + D·N1+(w2w3w4·)/N1+(·w2w3w4·) · p3(w5|w3w4)
+    *   p3(w5|w3w4)   = max(N1+(··w3w4w5)−D,0)/N1+(··w3w4·)
+    *                 + D·N1+(·w3w4·)/N1+(··w3w4·) · p2(w5|w4)
+    *   p2(w5|w4)     = max(N1+(···w4w5)−D,0)/N1+(···w4·)
+    *                 + D·N1+(··w4·)/N1+(···w4·) · pcont(w5)
+    *
+    * Pruning keeps only 5-gram types with c5 ≥ `minCount` in the scoring
+    * artifact (context totals c1234/nt1234 stay UNPRUNED, so no kept
+    * probability changes); pruned types back off to the full 4-gram-level
+    * continuation probability p4, keyed (w2..w5) — order-4 state, the
+    * same scale class [[fourgramPplOf]] already carries.
+    *
+    * LlmQualitySpec proves the fidelity claim one order up: a doc whose
+    * 4-grams are all corpus-frequent but whose 5-gram is novel ties
+    * `fourgram_ppl` exactly and only this model separates it.
+    *
+    * Scale shape: identical to order 4 — row-local n-gram transform,
+    * map-side-combining aggs on uniform hashed-token keys, one always-hit
+    * (w2..w5)-keyed join plus one left join against the pruned top table,
+    * and the only broadcast is the 1-row N1+(····) scalar. */
+  def fivegramPpl(s: SparkSession, dir: String): DataFrame =
+    fivegramPplOfToks(tokenArraysOf(s, dir), FivegramMinCount)
+      .orderBy("doc_id")
+
+  /** Min-count prune threshold for [[fivegramPplOf]] — shared with the
+    * `fivegram_ppl` oracle string so the two sides cannot drift. */
+  val FivegramMinCount = 2
+
+  /** The pruned KN 5-gram perplexity over ANY (id, text) frame. Docs
+    * shorter than 5 tokens have no 5-grams and get no row. */
+  def fivegramPplOf(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Int = FivegramMinCount): DataFrame =
+    fivegramPplOfToks(docs.selectExpr(s"$idCol AS doc_id",
+      s"transform(split($textCol, ' '), t -> xxhash64(t)) AS toks"),
+      minCount)
+
+  private def fivegramPplOfToks(tokArr: DataFrame, minCount: Int): DataFrame = {
+    require(minCount >= 1, s"fivegram: minCount must be >= 1, got $minCount")
+    val D = 0.75
+    val pg = tokArr
+      .filter("size(toks) >= 5")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(4, size(toks) - 1),
+          |  i -> struct(toks[i - 4] AS w1, toks[i - 3] AS w2,
+          |              toks[i - 2] AS w3, toks[i - 1] AS w4,
+          |              toks[i] AS w5))) AS g""".stripMargin)
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"), col("g.w4").as("w4"), col("g.w5").as("w5"))
+      .cache() // feeds the LM build and the scoring join
+    val c5 = pg.groupBy("w1", "w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("c5"))
+      .cache() // the 5-gram TYPE table every KN count derives from
+    val c1234 = c5.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("c5").as("c1234"), count(lit(1)).as("nt1234"))
+    val m2345 = c5.groupBy("w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("n2345"))
+      .cache() // distinct (w2..w5) continuation types — the backoff
+               // level's own "token" table
+    val d234 = c5.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("nd234"))
+      .join(m2345.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("n234d")),
+        Seq("w2", "w3", "w4"))
+    val m345 = m2345.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("n345"))
+      .cache()
+    val d34 = m2345.groupBy("w3", "w4").agg(count(lit(1)).as("nd34"))
+      .join(m345.groupBy("w3", "w4").agg(count(lit(1)).as("n34d")),
+        Seq("w3", "w4"))
+    val m45 = m345.groupBy("w4", "w5").agg(count(lit(1)).as("n45"))
+      .cache()
+    val d4 = m345.groupBy("w4").agg(count(lit(1)).as("nd4"))
+      .join(m45.groupBy("w4").agg(count(lit(1)).as("n4d")), Seq("w4"))
+    val cw5 = m45.groupBy("w5").agg(count(lit(1)).as("nw5"))
+    val ndd = m45.agg(count(lit(1)).as("ndd"))
+    // full 4-gram-level backoff LM keyed (w2..w5) — always hits for a
+    // self-scored corpus (every scored 5-gram's suffix is a type)
+    val lm4 = m2345.join(d234, Seq("w2", "w3", "w4"))
+      .join(m345, Seq("w3", "w4", "w5"))
+      .join(d34, Seq("w3", "w4")).join(m45, Seq("w4", "w5"))
+      .join(d4, Seq("w4")).join(cw5, Seq("w5")).crossJoin(broadcast(ndd))
+      .select(col("w2"), col("w3"), col("w4"), col("w5"),
+        (greatest(col("n2345") - D, lit(0.0)) / col("nd234") +
+          lit(D) * col("n234d") / col("nd234") *
+            (greatest(col("n345") - D, lit(0.0)) / col("nd34") +
+              lit(D) * col("n34d") / col("nd34") *
+                (greatest(col("n45") - D, lit(0.0)) / col("nd4") +
+                  lit(D) * col("n4d") / col("nd4") *
+                    (col("nw5") / col("ndd"))))).as("p4"))
+    // pruned top level: ONLY types with c5 >= minCount survive into the
+    // scoring artifact; their probabilities use unpruned context totals
+    val lm5 = c5.filter(col("c5") >= minCount)
+      .join(c1234, Seq("w1", "w2", "w3", "w4"))
+      .join(lm4, Seq("w2", "w3", "w4", "w5"))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        (greatest(col("c5") - D, lit(0.0)) / col("c1234") +
+          lit(D) * col("nt1234") / col("c1234") * col("p4")).as("p5"))
+    // per-TYPE score then ONE corpus-sized join keyed like the c5 groupBy
+    // (ReusedExchange against pg's exchange — the order-4 plan shape)
+    val sc = c5.select("w1", "w2", "w3", "w4", "w5")
+      .join(lm4, Seq("w2", "w3", "w4", "w5"))
+      .join(lm5, Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        log(coalesce(col("p5"), col("p4"))).as("lp"))
+    graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
+      pg.join(sc, Seq("w1", "w2", "w3", "w4", "w5"))
+        .groupBy("doc_id")
+        .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
+          count(lit(1)).as("n_fivegrams"))) {
+      pg.unpersist(); c5.unpersist(); m2345.unpersist(); m345.unpersist()
+      m45.unpersist()
+    }
+  }
+
+
   /** Okapi BM25 top-k retrieval (k1=1.2, b=0.75, Lucene's non-negative
     * idf = ln(1 + (N−df+0.5)/(df+0.5))) for a bounded query term set —
     * the retrieval primitive training-data curation leans on (find the
@@ -697,6 +820,72 @@ trait LlmPplOps extends LlmCore {
         | count(*)::BIGINT AS n_fourgrams
         |FROM qg JOIN lm3 USING (w2, w3, w4)
         |  LEFT JOIN lm4 USING (w1, w2, w3, w4)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "fivegram_ppl" ->
+      // the full KN discounting unrolled one order further: kept types
+      // (c5 >= minCount) score the order-5 recursion, everything else
+      // backs off to the 4-gram-level continuation LM — p4 computed ONCE
+      // in its CTE and reused by both branches, exactly like the Spark
+      // plan; every continuation table derives from the previous level's
+      // suffix-type table
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        | pg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+        |     toks[i + 2] AS w3, toks[i + 3] AS w4, toks[i + 4] AS w5
+        |   FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)),
+        | c5 AS (SELECT w1, w2, w3, w4, w5, count(*)::BIGINT AS c5
+        |   FROM pg GROUP BY w1, w2, w3, w4, w5),
+        | c1234 AS (SELECT w1, w2, w3, w4, sum(c5)::BIGINT AS c1234,
+        |     count(*)::BIGINT AS nt1234 FROM c5 GROUP BY w1, w2, w3, w4),
+        | m2345 AS (SELECT w2, w3, w4, w5, count(*)::BIGINT AS n2345
+        |   FROM c5 GROUP BY w2, w3, w4, w5),
+        | d234 AS (SELECT w2, w3, w4, count(*)::BIGINT AS nd234,
+        |     count(DISTINCT w5)::BIGINT AS n234d
+        |   FROM c5 GROUP BY w2, w3, w4),
+        | m345 AS (SELECT w3, w4, w5, count(*)::BIGINT AS n345
+        |   FROM m2345 GROUP BY w3, w4, w5),
+        | d34 AS (SELECT w3, w4, count(*)::BIGINT AS nd34,
+        |     count(DISTINCT w5)::BIGINT AS n34d
+        |   FROM m2345 GROUP BY w3, w4),
+        | m45 AS (SELECT w4, w5, count(*)::BIGINT AS n45
+        |   FROM m345 GROUP BY w4, w5),
+        | d4 AS (SELECT w4, count(*)::BIGINT AS nd4,
+        |     count(DISTINCT w5)::BIGINT AS n4d FROM m345 GROUP BY w4),
+        | cw5 AS (SELECT w5, count(*)::BIGINT AS nw5
+        |   FROM (SELECT DISTINCT w4, w5 FROM m345) GROUP BY w5),
+        | ndd AS (SELECT count(*)::BIGINT AS ndd
+        |   FROM (SELECT DISTINCT w4, w5 FROM m345)),
+        | lm4 AS (SELECT m2345.w2, m2345.w3, m2345.w4, m2345.w5,
+        |     greatest(m2345.n2345 - 0.75, 0.0) / d234.nd234
+        |       + 0.75 * d234.n234d / d234.nd234 *
+        |         (greatest(m345.n345 - 0.75, 0.0) / d34.nd34
+        |          + 0.75 * d34.n34d / d34.nd34 *
+        |            (greatest(m45.n45 - 0.75, 0.0) / d4.nd4
+        |             + 0.75 * d4.n4d / d4.nd4 *
+        |               (cw5.nw5 / ndd.ndd))) AS p4
+        |   FROM m2345
+        |     JOIN d234 ON d234.w2 = m2345.w2 AND d234.w3 = m2345.w3
+        |       AND d234.w4 = m2345.w4
+        |     JOIN m345 ON m345.w3 = m2345.w3 AND m345.w4 = m2345.w4
+        |       AND m345.w5 = m2345.w5
+        |     JOIN d34 ON d34.w3 = m2345.w3 AND d34.w4 = m2345.w4
+        |     JOIN m45 ON m45.w4 = m2345.w4 AND m45.w5 = m2345.w5
+        |     JOIN d4 ON d4.w4 = m2345.w4
+        |     JOIN cw5 ON cw5.w5 = m2345.w5, ndd),
+        | lm5 AS (SELECT c5.w1, c5.w2, c5.w3, c5.w4, c5.w5,
+        |     greatest(c5.c5 - 0.75, 0.0) / c1234.c1234
+        |       + 0.75 * c1234.nt1234 / c1234.c1234 * lm4.p4 AS p5
+        |   FROM c5
+        |     JOIN c1234 ON c1234.w1 = c5.w1 AND c1234.w2 = c5.w2
+        |       AND c1234.w3 = c5.w3 AND c1234.w4 = c5.w4
+        |     JOIN lm4 ON lm4.w2 = c5.w2 AND lm4.w3 = c5.w3
+        |       AND lm4.w4 = c5.w4 AND lm4.w5 = c5.w5
+        |   WHERE c5.c5 >= $FivegramMinCount)
+        |SELECT doc_id, round(exp(-sum(ln(coalesce(lm5.p5, lm4.p4)))
+        |   / count(*)), 4) AS ppl,
+        | count(*)::BIGINT AS n_fivegrams
+        |FROM pg JOIN lm4 USING (w2, w3, w4, w5)
+        |  LEFT JOIN lm5 USING (w1, w2, w3, w4, w5)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "vocab_heaps" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n_tokens,

@@ -162,6 +162,43 @@ object MultimodalPack extends QueryPack {
       ("wav:" + Codecs.windowAbsSum(decoded, 16).mkString(","), blob)
     }
 
+  /** GAIN-INVARIANT audio dedup — the robustness rung above
+    * [[audioDedupContent]]: that query's window-amplitude profile
+    * collapses re-tagged bytes but NOT volume-scaled duplicates (every
+    * window energy scales with the gain). This one fingerprints the
+    * SIGN OF THE ENERGY DELTA between adjacent windows — the time-axis
+    * core of the Haitsma-Kalker sub-fingerprint scheme (their full
+    * scheme signs band-energy deltas in time AND frequency; mono PCM
+    * with no filterbank keeps the time axis) — which any positive gain
+    * leaves bit-identical, because scaling multiplies every window
+    * energy by the same factor and never flips a comparison.
+    *
+    * Every 7th doc re-ingests at 2x volume (clipping-free by staging
+    * headroom); the contract is that the scaled twin COLLAPSES into its
+    * group (`n_copies` = 2, `n_blob_variants` = 2 proving the bytes
+    * differed) while 63-bit fingerprints keep distinct content distinct.
+    * Same ONE fingerprint-keyed shuffle as the content family. */
+  def audioDedupRobust(s: SparkSession, dir: String): DataFrame =
+    contentDedupQuery(s, dir) { (_, text, _, scaled) =>
+      import graft.multimodal.Codecs
+      val N = 256; val Rate = 16000
+      val txt = payloadBytes(text)
+      val g = if (scaled) 2 else 1
+      val samples = Array.tabulate[Short](N)(i =>
+        ((((txt(i % txt.length) & 0xff) - 128) * 128) * g).toShort)
+      val blob = Codecs.encodeWav(Rate, samples)
+      // fingerprint the DECODED samples: gain-invariance must hold on
+      // what a reader actually extracts from the container
+      val (_, decoded) = Codecs.decodeWav(blob)
+      val e = Codecs.windowAbsSum(decoded, 64)
+      val bits = new StringBuilder(e.length - 1)
+      var i = 1
+      while (i < e.length) {
+        bits.append(if (e(i) > e(i - 1)) '1' else '0'); i += 1
+      }
+      ("hk:" + bits, blob)
+    }
+
   /** Shared scaffolding of the content-level dedup queries: the corpus
     * plus a data-offset re-ingested twin for every 7th doc (the offset
     * derives from the data so staged ids never collide at ANY scale
@@ -398,6 +435,7 @@ object MultimodalPack extends QueryPack {
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
     "audio_dedup_content" -> audioDedupContent,
+    "audio_dedup_robust" -> audioDedupRobust,
     "video_dedup_content" -> videoDedupContent,
     "media_neardup" -> mediaNeardup,
     "media_neardup_sampled" -> mediaNeardupSampled,
@@ -721,6 +759,41 @@ object MultimodalPack extends QueryPack {
         |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
         | count(DISTINCT (CASE WHEN tagged THEN 't:' ELSE 'u:' END) || sk)
         |   ::BIGINT AS n_blob_variants,
+        | content_md5
+        |FROM k1 JOIN k2 USING (media_id)
+        |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
+    "audio_dedup_robust" ->
+      // the gain-invariant fingerprint: the oracle signs the adjacent
+      // 64-window energy deltas (gain cancels in every comparison, so the
+      // bit string is computed WITHOUT the gain) and models blob identity
+      // exactly — a blob is determined by the gain-scaled sample string,
+      // so the 2x twin always counts as a second variant
+      """WITH d0 AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   FALSE AS scaled FROM documents),
+        | m AS (SELECT * FROM d0
+        |  UNION ALL
+        |  SELECT media_id + (SELECT max(media_id) + 1 FROM d0) AS media_id,
+        |   text, TRUE AS scaled FROM d0 WHERE media_id % 7 = 0),
+        | s AS (SELECT media_id, scaled, i,
+        |   ((ord(substr(text, (i % length(text)) + 1, 1)) - 128) * 128)
+        |     ::BIGINT AS v
+        |  FROM m, unnest(generate_series(0, 255)) AS u(i)),
+        | w AS (SELECT media_id, i // 4 AS win, sum(abs(v))::BIGINT AS sm
+        |  FROM s GROUP BY 1, 2),
+        | bits AS (SELECT media_id, win, sm,
+        |   lag(sm) OVER (PARTITION BY media_id ORDER BY win) AS prev
+        |  FROM w),
+        | k1 AS (SELECT media_id,
+        |   md5('hk:' || string_agg(CASE WHEN sm > prev THEN '1' ELSE '0' END,
+        |     '' ORDER BY win)) AS content_md5
+        |  FROM bits WHERE prev IS NOT NULL GROUP BY media_id),
+        | k2 AS (SELECT media_id, scaled,
+        |   string_agg((v * CASE WHEN scaled THEN 2 ELSE 1 END)::VARCHAR,
+        |     ',' ORDER BY i) AS sk
+        |  FROM s GROUP BY media_id, scaled)
+        |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        | count(DISTINCT sk)::BIGINT AS n_blob_variants,
         | content_md5
         |FROM k1 JOIN k2 USING (media_id)
         |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,

@@ -475,6 +475,47 @@ class LlmQualitySpec extends SparkSpec {
     at2(200L) should be > at2(0L) // and still ranked worse than fluent
   }
 
+  behavior of "fivegramPplOf"
+
+  it should "separate a 4-gram-fluent doc with a novel 5-gram that fourgram_ppl scores identically" in {
+    import spark.implicits._
+    // the order-4 fidelity construction shifted one order up: two
+    // 5-token templates sharing the 4-gram junction "x y z" — "a x y z b"
+    // and "c x y z d", 20 copies each. The cross probe "a x y z d"
+    // splices them: both of its 4-grams (axyz, xyzd) are corpus-frequent
+    // with EXACTLY the same counts as the in-template probe's (axyz,
+    // xyzb) — so the pruned KN 4-gram model ties the two probes to the
+    // digit — but its one 5-gram "a x y z d" never occurs, falls out of
+    // the pruned table, and scores through the 4-gram backoff alone,
+    // while "a x y z b" rides the kept c5=21 path. Only order 5 can
+    // separate them: CCNet's KenLM operates here.
+    val a = (0 until 20).map(i => (i.toLong, "a x y z b"))
+    val c = (0 until 20).map(i => (100L + i, "c x y z d"))
+    val inTpl = (500L, "a x y z b")
+    val cross = (501L, "a x y z d")
+    val docs = (a ++ c :+ inTpl :+ cross).toDF("doc_id", "text")
+    val four = LlmData.fourgramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val five = LlmData.fivegramPplOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    four(500L) shouldBe four(501L) // the 4-gram model cannot tell them apart
+    five(500L) should be < five(501L) // the pruned 5-gram model can
+  }
+
+  it should "prune rare 5-grams without changing kept-path probabilities" in {
+    import spark.implicits._
+    val freq = (0 until 10).map(i => (i.toLong, "p q r s t u"))
+    val rare = (200L, "p q r s t v")
+    val docs = (freq :+ rare).toDF("doc_id", "text")
+    val at1 = LlmData.fivegramPplOf(docs, "doc_id", "text", minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val at2 = LlmData.fivegramPplOf(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    at1(0L) shouldBe at2(0L) // kept path untouched by the prune
+    at1(200L) should not be at2(200L) // rare mass rerouted to backoff
+    at2(200L) should be > at2(0L) // and still ranked worse than fluent
+  }
+
   behavior of "scoreRankNorm / weightedSample"
 
   it should "normalize ranks per source to [0,1] and bias the sample toward heavy docs" in {
