@@ -210,6 +210,15 @@ object CorpusRunner extends Logging {
           .setPairs(pairs)
           .transform(df)
           .withColumn(text, col("__red")).drop("__red")
+      case "exif_scrub" =>
+        // pii_scrub's media twin: strip EXIF/ICC/XMP/COM metadata
+        // segments from every JPEG blob IN PLACE on the binary column
+        // (decoded pixels bit-identical by construction — the coding
+        // segments pass through verbatim); non-JPEG blobs and nulls ride
+        // through untouched. Row-local, no shuffle.
+        require(df.columns.contains(step.mediaColumn),
+          s"exif_scrub: no binary column '${step.mediaColumn}' in the frame")
+        graft.multimodal.Multimodal.scrubImageMetadata(df, step.mediaColumn)
       case "decontam" =>
         // benchmark decontamination against an EXTERNAL eval set (read
         // through the same scheme dispatch as the main source): drop docs

@@ -160,7 +160,8 @@ object ConfigValidator {
       "lang_filter", "token_bounds", "pii_scrub", "source_mix", "temp_mix",
       "span_dedup", "dsir_sample", "ppl_gate", "normalize", "entropy_gate",
       "dedup_simhash", "model_gate", "span_scrub", "decontam", "token_mix",
-      "rank_gate", "semantic_decontam", "chunk", "curriculum", "soft_dedup")
+      "rank_gate", "semantic_decontam", "chunk", "curriculum", "soft_dedup",
+      "exif_scrub")
     c.corpus.foreach { cc =>
       if (cc.steps.isEmpty) err("corpus", "corpus.steps[] must be non-empty")
       if (cc.steps.exists(_.op == "soft_dedup")) {

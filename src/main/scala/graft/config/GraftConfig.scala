@@ -162,6 +162,7 @@ final case class CorpusStepConf(
     vectorSource: String = "",      // semantic_decontam: corpus embeddings
                                     // (vec_id keyed by the corpus id col)
     pairs: Seq[Seq[String]] = Nil,  // pii_scrub: ordered [regex, class] overrides
+    mediaColumn: String = "content", // exif_scrub: binary blob column
     tiers: Int = 10,                // curriculum: difficulty bands (shuffled
                                     // internally; ordered easy → hard)
     salt: String = "")              // curriculum: epoch re-deal salt — same

@@ -114,6 +114,32 @@ object Multimodal {
     } else decodeStub(bytes)
   }
 
+  /** Strip metadata segments (EXIF/ICC/XMP/COM) from every JPEG blob in
+    * `column`, in place — the media half of a PII scrub: GPS fixes,
+    * device serials and timestamps ride in APP1 and must never reach a
+    * training corpus. Decoded pixels are bit-identical by construction
+    * ([[Jpeg.stripMetadata]] copies the coding segments and entropy tail
+    * verbatim — the `jpeg_exif_meta` contract query proves it per blob);
+    * non-JPEG blobs and nulls pass through untouched, so the step is
+    * safe on a mixed-format media column. Row-local, no shuffle; the
+    * schema is preserved exactly. */
+  def scrubImageMetadata(df: org.apache.spark.sql.DataFrame,
+                         column: String): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(column)
+    require(schema(idx).dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"scrubImageMetadata: column '$column' is ${schema(idx).dataType}, " +
+        "need binary")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.map { r =>
+      val b = r.getAs[Array[Byte]](idx)
+      val out = if (b != null && Jpeg.isJpeg(b)) Jpeg.stripMetadata(b) else b
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, out))
+    }
+  }
+
   /** 4x4 grid mean luminance in [0,1] from decoded RGB — shared by every
     * image codec branch. Exact per-cell pixel counts under the same floor
     * mapping keep the mean in [0,1] even when 4 doesn't divide w or h. */

@@ -425,6 +425,7 @@ object MultimodalPack extends QueryPack {
     "png_codec" -> pngCodec,
     "jpeg_codec" -> jpegCodec,
     "jpeg_progressive" -> jpegProgressive,
+    "jpeg_exif_meta" -> jpegExifMeta,
     "gif_codec" -> gifCodec,
     "webp_codec" -> webpCodec,
     "mp4_meta" -> mp4Meta,
@@ -595,6 +596,45 @@ object MultimodalPack extends QueryPack {
       }
       .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8", "lum_sum_dispatch")
       .orderBy("media_id", "cell")
+  }
+
+  /** EXIF/ICC triage + strip contract, cross-engine: every doc's staged
+    * JPEG gains an APP1/Exif segment (little-endian TIFF, orientation
+    * derived from doc_id) and every 3rd doc an APP2/ICC_PROFILE segment;
+    * the REAL segment walker ([[graft.multimodal.Jpeg.exifMeta]]) reads
+    * them back, and [[graft.multimodal.Jpeg.stripMetadata]] — the
+    * PII-scrub step for media blobs — must remove every metadata
+    * segment while leaving the decoded pixels BIT-IDENTICAL (the coding
+    * segments and entropy tail pass through verbatim). The oracle
+    * replays orientation/flags/byte deltas as doc_id arithmetic plus the
+    * shared segment-size constants, and never sees a JPEG byte. */
+  def jpegExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Jpeg
+    val W = 16; val H = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val txt = payloadBytes(text)
+        val rgb = Array.tabulate[Byte](W * H * 3)(k => txt(k % txt.length))
+        val base = Jpeg.encode(W, H, rgb, quality = 85)
+        val orient = (id % 8).toInt + 1
+        val icc = id % 3 == 0
+        val tagged = Jpeg.withExif(base, orient, icc)
+        val m = Jpeg.exifMeta(tagged)
+        val stripped = Jpeg.stripMetadata(tagged)
+        val m2 = Jpeg.exifMeta(stripped)
+        val pixEq = java.util.Arrays.equals(
+          Jpeg.decode(tagged)._3, Jpeg.decode(stripped)._3)
+        (id, if (m.hasExif) 1L else 0L, m.orientation.toLong,
+          if (m.hasIcc) 1L else 0L,
+          (tagged.length - stripped.length).toLong,
+          if (m2.hasExif || m2.hasIcc) 1L else 0L,
+          if (pixEq && stripped.length == base.length) 1L else 0L)
+      }
+      .toDF("media_id", "has_exif", "orientation", "has_icc",
+        "meta_bytes", "stripped_has_meta", "pixels_equal")
+      .orderBy("media_id")
   }
 
   /** MP3 frame-walker contract, cross-engine (the [[mp4Meta]] pattern on
@@ -875,6 +915,19 @@ object MultimodalPack extends QueryPack {
       // marker present, progressive == baseline decode EXACTLY, dispatch
       """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
         | 1 AS sof2_ok, 1 AS prog_exact, 1 AS dispatch_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "jpeg_exif_meta" ->
+      // flags and orientation are doc_id arithmetic; the byte delta is
+      // the shared segment-size constants — every value the walker must
+      // EARN from the staged segments, none from the text
+      s"""SELECT doc_id AS media_id, 1 AS has_exif,
+        | (doc_id % 8) + 1 AS orientation,
+        | CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_icc,
+        | ${graft.multimodal.Jpeg.ExifSegmentBytes}
+        |   + CASE WHEN doc_id % 3 = 0
+        |       THEN ${graft.multimodal.Jpeg.IccSegmentBytes} ELSE 0 END
+        |   AS meta_bytes,
+        | 0 AS stripped_has_meta, 1 AS pixels_equal
         |FROM documents ORDER BY media_id""".stripMargin,
     "ppm_codec" ->
       // the oracle computes expected cell sums STRAIGHT from the text —

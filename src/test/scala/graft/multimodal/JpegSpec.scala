@@ -304,4 +304,84 @@ class JpegSpec extends graft.SparkSpec {
     (rw, rh) shouldBe (8, 8)
     out.meta.width shouldBe 8
   }
+
+  behavior of "Jpeg exif triage"
+
+  it should "read back exactly the EXIF/ICC segments withExif staged" in {
+    val base = Jpeg.encode(16, 16, testImage(16, 16, 5), quality = 85)
+    for (orient <- 1 to 8; icc <- Seq(false, true)) {
+      val tagged = Jpeg.withExif(base, orient, icc)
+      val m = Jpeg.exifMeta(tagged)
+      m.hasExif shouldBe true
+      m.orientation shouldBe orient
+      m.hasIcc shouldBe icc
+      m.ifdEntries shouldBe 2
+      m.exifBytes shouldBe Jpeg.ExifSegmentBytes - 4 // minus marker+len
+      tagged.length shouldBe base.length + Jpeg.ExifSegmentBytes +
+        (if (icc) Jpeg.IccSegmentBytes else 0)
+    }
+    // a bare encoder stream carries no EXIF and defaults orientation 1
+    val none = Jpeg.exifMeta(base)
+    (none.hasExif, none.orientation, none.hasIcc) shouldBe ((false, 1, false))
+  }
+
+  it should "strip metadata segments without moving a pixel" in {
+    val src16 = testImage(16, 16, 7)
+    for (prog <- Seq(false, true)) {
+      val base =
+        if (prog) Jpeg.encodeProgressive(16, 16, src16, quality = 85)
+        else Jpeg.encode(16, 16, src16, quality = 85)
+      val tagged = Jpeg.withExif(base, orientation = 6, icc = true)
+      val stripped = Jpeg.stripMetadata(tagged)
+      stripped shouldBe base // byte-identical: only the staged segments go
+      val m = Jpeg.exifMeta(stripped)
+      (m.hasExif, m.hasIcc) shouldBe ((false, false))
+      val (w1, h1, p1) = Jpeg.decode(tagged)
+      val (w2, h2, p2) = Jpeg.decode(stripped)
+      (w2, h2) shouldBe ((w1, h1))
+      p2 shouldBe p1
+    }
+  }
+
+  it should "scrub blobs through the CorpusRunner exif_scrub step, non-JPEG untouched" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Jpeg.encode(16, 16, testImage(16, 16, 9), quality = 85)
+    val tagged = Jpeg.withExif(base, orientation = 3, icc = true)
+    val notJpeg = "plain text bytes".getBytes("UTF-8")
+    val df = Seq((1L, tagged), (2L, notJpeg), (3L, null))
+      .toDF("doc_id", "content")
+    val cc = graft.config.CorpusConf(steps = Seq(
+      graft.config.CorpusStepConf(op = "exif_scrub")))
+    val out = graft.CorpusRunner.applyStep(df, cc.steps.head, cc)
+      .orderBy("doc_id").collect()
+    out(0).getAs[Array[Byte]]("content") shouldBe base // EXIF+ICC gone
+    out(1).getAs[Array[Byte]]("content") shouldBe notJpeg // untouched
+    out(2).getAs[Array[Byte]]("content") shouldBe null
+    // the step name validates through the real config parser
+    val conf = graft.config.GraftConf.fromJson(
+      """{"project": {"name": "t", "root": "/tmp/graft-exif-scrub-cfg"},
+        | "data": {"source": "parquet:///tmp/none.parquet"},
+        | "columns": {"response": "lang"},
+        | "corpus": {"steps": [{"op": "exif_scrub"}]}}""".stripMargin)
+    graft.config.ConfigValidator.validate(conf)
+    an[IllegalArgumentException] should be thrownBy
+      graft.CorpusRunner.applyStep(df.drop("content"), cc.steps.head, cc)
+  }
+
+  it should "fail loudly on corrupt EXIF structure" in {
+    val base = Jpeg.encode(8, 8, testImage(8, 8, 3), quality = 85)
+    val tagged = Jpeg.withExif(base, orientation = 2)
+    // find the TIFF header ("II" after Exif\0\0) and corrupt pieces
+    def corrupt(off: Int, v: Byte): Array[Byte] = {
+      val c = tagged.clone(); c(off) = v; c
+    }
+    val tiff = 2 + 4 + 6 // SOI + marker/len + Exif\0\0
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.exifMeta(corrupt(tiff, 'X'.toByte)) // bad byte order
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.exifMeta(corrupt(tiff + 2, 43.toByte)) // bad magic
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.exifMeta(corrupt(tiff + 8 + 2 + 8, 9.toByte)) // orientation 9
+  }
 }
