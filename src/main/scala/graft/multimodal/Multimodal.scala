@@ -43,6 +43,31 @@ object Multimodal {
 
   val featureDim = 16
 
+  /** THE DECODE BOUNDARY, stated as data so MultimodalSpec can pin it
+    * and the stub can never read as accidental:
+    *
+    *  - [[SampleDecodeFormats]] decode to REAL pixels/samples through
+    *    hand-written spec-complete codecs, and those samples feed the
+    *    features: PPM, PNG (zlib+filters), baseline+progressive JPEG,
+    *    GIF (LZW), RIFF/WAVE PCM, and lossless WebP (the full VP8L
+    *    bitstream).
+    *  - [[TriageOnlyFormats]] get structural metadata parsing with loud
+    *    validation (box/frame/chunk walkers — dims, durations, sample
+    *    tables, content fingerprints through stsz/stco), but their
+    *    compressed sample bitstreams (H.264, MPEG audio, lossy VP8) are
+    *    out of scope for a hand-rolled engine, PERMANENTLY and by
+    *    decision, not omission: features come from the DOCUMENTED
+    *    deterministic `decodeStub`, never from half-decoded samples.
+    *
+    * Adding a codec means moving its format between these sets AND
+    * updating the dispatch arm — MultimodalSpec fails if the table and
+    * the dispatch behavior ever disagree. */
+  val SampleDecodeFormats: Set[String] =
+    Set("ppm", "png", "jpeg", "gif", "wav", "webp-vp8l")
+
+  /** See [[SampleDecodeFormats]] — triage-parsed, stub-featured. */
+  val TriageOnlyFormats: Set[String] = Set("mp4", "mp3", "webp-vp8")
+
   /** STUB CODEC — deterministic fake standing in for the A/V SAMPLE
     * decoders out of scope here (H.264/MPEG-audio bitstreams) and for
     * unknown magic; PPM, PNG, JPEG, GIF and WAV blobs never reach it
