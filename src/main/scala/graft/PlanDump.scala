@@ -26,6 +26,7 @@ object PlanDump {
     "ann_probe_pq",        // ADC codes-scan probe + bounded exact re-rank
     "trigram_ppl",         // KN LM aggs + trigram-keyed score join
     "fourgram_ppl",        // pruned 4-gram left join + backoff coalesce
+    "fivegram_ppl",        // pruned 5-gram left join + backoff coalesce
     "funnel_windowed",     // stage filter below ONE user-keyed shuffle
     "bm25_topk",           // pre-shuffle term filter + TakeOrdered top-k
     "semantic_decontam_ann", // eval probes × inverted lists, no crossJoin
@@ -62,6 +63,8 @@ object PlanDump {
     "media_neardup",       // codegen ByteFold features + broadcast pair join
     "jpeg_codec",          // row-local DCT codec (scan-bound map)
     "gif_codec",           // row-local LZW codec (scan-bound generator)
+    "webp_codec",          // row-local VP8L codec (scan-bound generator)
+    "jpeg_exif_meta",      // row-local segment walk + strip (scan-bound)
     "mp4_meta",            // row-local box walk (scan-bound map)
     "mp3_meta",            // row-local frame-header walk (scan-bound map)
     "unigram_lm_train",    // EM over the vocab table, 1-row ok-set broadcasts

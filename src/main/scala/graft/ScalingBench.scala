@@ -30,6 +30,7 @@ object ScalingBench {
     "hard_negatives",     // broadcast-bounded query set × streamed corpus
     "trigram_ppl",        // KN trigram LM fit + trigram-keyed score join
     "fourgram_ppl",       // pruned KN 4-gram + trigram backoff scoring
+    "fivegram_ppl",       // pruned KN 5-gram + 4-gram backoff scoring
     "funnel_windowed",    // one user-keyed shuffle + codegen HOF chain DP
     "ppm_codec",          // row-local real encode/decode/resize throughput
     "interevent_gaps",    // keyed lag window + rank-selected percentiles
@@ -55,6 +56,7 @@ object ScalingBench {
     "png_codec",          // row-local deflate codec (CPU/scan-bound)
     "jpeg_codec",         // row-local DCT codec (CPU/scan-bound)
     "gif_codec",          // row-local LZW codec (CPU/scan-bound)
+    "webp_codec",         // row-local VP8L codec (CPU/scan-bound)
     "mp4_meta",           // row-local box walk (scan-bound)
     "mp3_meta",           // row-local frame-header walk (scan-bound)
     "unigram_lm_train",   // EM over the Heaps-bounded vocab table
@@ -63,6 +65,7 @@ object ScalingBench {
     "jpeg_progressive",   // row-local multi-scan codec (CPU/scan-bound)
     "webp_meta",          // row-local RIFF chunk walk (scan-bound)
     "audio_dedup_content", // decode + fingerprint, ONE keyed shuffle
+    "audio_dedup_robust",  // gain-invariant sign-delta fingerprint shuffle
     "video_dedup_content", // sample-table build/walk + fingerprint shuffle
     "bpe_apply_persisted") // artifact load + vocab-bounded fold + bcast join
 

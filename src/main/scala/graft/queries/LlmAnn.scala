@@ -9,7 +9,20 @@ import graft.functions.GraftFunctions.{vecDot, vecL2, vecNorm, vecSig}
 /** Similarity-search / embedding family: brute-force, LSH, IVF (raw,
   * trained, persisted), PQ and SQ8 quantization, k-means, MMR, semantic
   * dedup + decontamination, embedding diagnostics. Mixed into
-  * [[LlmData]]; see its scaladoc for the engine-wide scale notes. */
+  * [[LlmData]]; see its scaladoc for the engine-wide scale notes.
+  *
+  * THE ANN BOUNDARY, by decision rather than omission: this engine
+  * serves the LAKE side of vector search — partition-parallel scans
+  * over bucketed inverted lists (IVF), with PQ/SQ8 compression for the
+  * memory-bound tier and the SnapshotStore artifact for build-once/
+  * probe-many serving. Graph-ANN indexes (HNSW and kin) are the
+  * industry's low-latency ONLINE-serving default, but their navigable
+  * graph is inherently driver-state-shaped: greedy best-first walks
+  * over a mutable neighbor graph do not decompose into Spark's
+  * scan/shuffle model without per-query driver round-trips. A
+  * deployment that needs sub-millisecond point lookups should export
+  * the published IVF/PQ artifact into a dedicated online server; this
+  * engine deliberately does not pretend to be one. */
 trait LlmAnnOps extends LlmCore {
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 8) — the
