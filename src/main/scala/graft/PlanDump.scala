@@ -64,6 +64,7 @@ object PlanDump {
     "jpeg_codec",          // row-local DCT codec (scan-bound map)
     "gif_codec",           // row-local LZW codec (scan-bound generator)
     "webp_codec",          // row-local VP8L codec (scan-bound generator)
+    "flac_codec",          // row-local Rice/predictor codec (scan-bound)
     "jpeg_exif_meta",      // row-local segment walk + strip (scan-bound)
     "mp4_meta",            // row-local box walk (scan-bound map)
     "mp3_meta",            // row-local frame-header walk (scan-bound map)

@@ -57,6 +57,7 @@ object ScalingBench {
     "jpeg_codec",         // row-local DCT codec (CPU/scan-bound)
     "gif_codec",          // row-local LZW codec (CPU/scan-bound)
     "webp_codec",         // row-local VP8L codec (CPU/scan-bound)
+    "flac_codec",         // row-local Rice/predictor codec (CPU/scan-bound)
     "mp4_meta",           // row-local box walk (scan-bound)
     "mp3_meta",           // row-local frame-header walk (scan-bound)
     "unigram_lm_train",   // EM over the Heaps-bounded vocab table

@@ -26,7 +26,8 @@ final case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
   * container: PPM and RIFF/WAVE through the REAL parsers in [[Codecs]],
   * PNG (chunk-walking zlib decode), baseline [[Jpeg]] (DCT + Huffman),
   * [[Gif]] (LZW, interlace, index-space exact resize), lossless WebP
-  * through the full [[Vp8l]] bitstream decoder, plus the
+  * through the full [[Vp8l]] bitstream decoder, [[Flac]] (fixed/LPC
+  * prediction + Rice residuals, CRC/MD5 verified), plus the
   * metadata-triage walkers [[Mp4]] (BMFF boxes), [[Mp3]] (frame
   * headers) and lossy-WebP [[Webp]] chunks. Only genuinely undecodable
   * payloads — compressed A/V sample bitstreams (H.264 inside mp4, MPEG
@@ -49,8 +50,9 @@ object Multimodal {
     *  - [[SampleDecodeFormats]] decode to REAL pixels/samples through
     *    hand-written spec-complete codecs, and those samples feed the
     *    features: PPM, PNG (zlib+filters), baseline+progressive JPEG,
-    *    GIF (LZW), RIFF/WAVE PCM, and lossless WebP (the full VP8L
-    *    bitstream).
+    *    GIF (LZW), RIFF/WAVE PCM, FLAC (fixed/LPC prediction + Rice
+    *    residuals, CRC- and MD5-verified), and lossless WebP (the full
+    *    VP8L bitstream).
     *  - [[TriageOnlyFormats]] get structural metadata parsing with loud
     *    validation (box/frame/chunk walkers — dims, durations, sample
     *    tables, content fingerprints through stsz/stco), but their
@@ -63,7 +65,7 @@ object Multimodal {
     * updating the dispatch arm — MultimodalSpec fails if the table and
     * the dispatch behavior ever disagree. */
   val SampleDecodeFormats: Set[String] =
-    Set("ppm", "png", "jpeg", "gif", "wav", "webp-vp8l")
+    Set("ppm", "png", "jpeg", "gif", "wav", "flac", "webp-vp8l")
 
   /** See [[SampleDecodeFormats]] — triage-parsed, stub-featured. */
   val TriageOnlyFormats: Set[String] = Set("mp4", "mp3", "webp-vp8")
@@ -120,6 +122,28 @@ object Multimodal {
         while (i < nW) {
           val n = if (i == nW - 1) samples.length - per * (nW - 1) else per
           out(i) = (wins(i).toDouble / (n.toLong * 32768)).toFloat; i += 1
+        }
+        out
+      }
+    } else if (Flac.isFlac(bytes)) {
+      // full lossless decode (CRC + MD5 verified); features from the
+      // first channel — the same windowed |amplitude| read as WAV
+      val (meta, chans) = Flac.decode(bytes)
+      val samples = chans(0)
+      if (samples.isEmpty) out
+      else {
+        val nW = math.min(featureDim, samples.length)
+        val scale = 1L << (meta.bps - 1)
+        val per = math.max(1, samples.length / nW)
+        var i = 0
+        while (i < nW) {
+          val from = i * per
+          val until = if (i == nW - 1) samples.length else from + per
+          var s = 0L
+          var j = from
+          while (j < until) { s += math.abs(samples(j).toLong); j += 1 }
+          out(i) = (s.toDouble / ((until - from).toLong * scale)).toFloat
+          i += 1
         }
         out
       }

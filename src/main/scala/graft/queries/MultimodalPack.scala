@@ -432,6 +432,7 @@ object MultimodalPack extends QueryPack {
     "webp_meta" -> webpMeta,
     "mp3_meta" -> mp3Meta,
     "wav_codec" -> wavCodec,
+    "flac_codec" -> flacCodec,
     "media_frames" -> mediaFrames,
     "media_meta" -> mediaMeta,
     "media_dedup" -> mediaDedup,
@@ -596,6 +597,44 @@ object MultimodalPack extends QueryPack {
       }
       .toDF("media_id", "cell", "lum_sum", "lum_sum_8x8", "lum_sum_dispatch")
       .orderBy("media_id", "cell")
+  }
+
+  /** FLAC codec ROUNDTRIP proof, cross-engine: the [[wavCodec]] contract
+    * through the REAL compressed-lossless tier — stage the same
+    * 256-sample 16-bit PCM clips (sample i = (textByte − 128)·256), push
+    * them through the full [[graft.multimodal.Flac]] encoder (fixed
+    * prediction + Rice residuals, CRC-8/16 + STREAMINFO MD5) and the
+    * frame decoder, and emit integer per-window |amplitude| masses from
+    * the DECODED samples plus the STREAMINFO fields read back. The
+    * oracle recomputes everything from text and never sees a FLAC
+    * byte — parity proves decode∘encode = id sample-exactly through
+    * prediction, residual coding and both CRCs. Window 0 additionally
+    * re-derives from [[Multimodal.decode]]'s dispatch (mean·count·2^15
+    * is integral), pinning FLAC to the real-samples side of the decode
+    * boundary. */
+  def flacCodec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Flac
+    val N = 256; val Rate = 16000
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val txt = payloadBytes(text)
+        val samples = Array.tabulate[Short](N)(i =>
+          (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
+        val blob = Flac.encode(Rate, Array(samples))
+        val (meta, chans) = Flac.decode(blob)
+        val decoded = chans(0).map(_.toShort)
+        val wins = graft.multimodal.Codecs.windowAbsSum(decoded, 16)
+        val f0 = graft.multimodal.Multimodal.decode(blob)(0)
+        val viaDispatch = math.round(f0.toDouble * 16 * 32768)
+        wins.indices.map(w => (id, w.toLong, wins(w),
+          if (w == 0) viaDispatch else wins(w),
+          meta.sampleRate.toLong, meta.totalSamples, meta.channels.toLong))
+      }
+      .toDF("media_id", "win", "abs_sum", "abs_sum_dispatch",
+        "sample_rate", "n_samples", "n_channels")
+      .orderBy("media_id", "win")
   }
 
   /** EXIF/ICC triage + strip contract, cross-engine: every doc's staged
@@ -1047,6 +1086,22 @@ object MultimodalPack extends QueryPack {
         |   FROM d, unnest(generate_series(0, 255)) AS u(i))
         |SELECT media_id, win::BIGINT AS win, sum(a)::BIGINT AS abs_sum,
         | 16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples
+        |FROM s GROUP BY media_id, win ORDER BY media_id, win""".stripMargin,
+    "flac_codec" ->
+      // identical window masses as wav_codec (FLAC is lossless, so the
+      // compressed container must not move a single sample) plus the
+      // STREAMINFO constants and the dispatch re-derivation — the
+      // oracle never parses a FLAC byte
+      """WITH d AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   greatest(length(text), 1) AS len FROM documents),
+        | s AS (SELECT media_id, i // 16 AS win,
+        |     abs((ord(substr(text, (i % len) + 1, 1)) - 128) * 256)::BIGINT AS a
+        |   FROM d, unnest(generate_series(0, 255)) AS u(i))
+        |SELECT media_id, win::BIGINT AS win, sum(a)::BIGINT AS abs_sum,
+        | sum(a)::BIGINT AS abs_sum_dispatch,
+        | 16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+        | 1::BIGINT AS n_channels
         |FROM s GROUP BY media_id, win ORDER BY media_id, win""".stripMargin,
     "media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
