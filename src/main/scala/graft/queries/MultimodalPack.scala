@@ -199,6 +199,33 @@ object MultimodalPack extends QueryPack {
       ("hk:" + bits, blob)
     }
 
+  /** CROSS-CONTAINER audio dedup — the strongest same-content transform
+    * a crawl serves: the SAME PCM re-encoded into a different container
+    * entirely (WAV one mirror, FLAC another). Byte hashing, tag-blind
+    * hashing and even container-aware fingerprints keyed on the encoded
+    * bytes all miss it; this fingerprints the DECODED samples through
+    * the magic-sniffing dispatch, so the WAV original and its FLAC
+    * re-encode (every 7th doc) collapse into one content group while
+    * `n_blob_variants` = 2 proves the byte streams differ wildly. One
+    * fingerprint-keyed shuffle, the exact-dedup scale shape. */
+  def audioDedupCross(s: SparkSession, dir: String): DataFrame =
+    contentDedupQuery(s, dir) { (_, text, _, reencoded) =>
+      import graft.multimodal.{Codecs, Flac}
+      val N = 256; val Rate = 16000
+      val txt = payloadBytes(text)
+      val samples = Array.tabulate[Short](N)(i =>
+        (((txt(i % txt.length) & 0xff) - 128) * 256).toShort)
+      val blob =
+        if (reencoded) Flac.encode(Rate, Array(samples))
+        else Codecs.encodeWav(Rate, samples)
+      // decode through the container the blob actually is — the
+      // fingerprint must come from what a reader extracts, not staging
+      val decoded =
+        if (Flac.isFlac(blob)) Flac.decode(blob)._2(0).map(_.toShort)
+        else Codecs.decodeWav(blob)._2
+      ("pcm:" + Codecs.windowAbsSum(decoded, 16).mkString(","), blob)
+    }
+
   /** Shared scaffolding of the content-level dedup queries: the corpus
     * plus a data-offset re-ingested twin for every 7th doc (the offset
     * derives from the data so staged ids never collide at ANY scale
@@ -438,6 +465,7 @@ object MultimodalPack extends QueryPack {
     "media_dedup" -> mediaDedup,
     "audio_dedup_content" -> audioDedupContent,
     "audio_dedup_robust" -> audioDedupRobust,
+    "audio_dedup_cross" -> audioDedupCross,
     "video_dedup_content" -> videoDedupContent,
     "media_neardup" -> mediaNeardup,
     "media_neardup_sampled" -> mediaNeardupSampled,
@@ -838,6 +866,38 @@ object MultimodalPack extends QueryPack {
         |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
         | count(DISTINCT (CASE WHEN tagged THEN 't:' ELSE 'u:' END) || sk)
         |   ::BIGINT AS n_blob_variants,
+        | content_md5
+        |FROM k1 JOIN k2 USING (media_id)
+        |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
+    "audio_dedup_cross" ->
+      // the fingerprint is container-free (decoded-sample window
+      // profile), so the oracle computes it once from text; blob
+      // identity is modeled exactly: WAV and FLAC encodings of the same
+      // samples are always distinct byte streams, so a group with a
+      // re-encoded twin counts 2 variants
+      """WITH d0 AS (SELECT doc_id AS media_id,
+        |   CASE WHEN text = '' THEN '.' ELSE text END AS text,
+        |   FALSE AS reenc FROM documents),
+        | m AS (SELECT * FROM d0
+        |  UNION ALL
+        |  SELECT media_id + (SELECT max(media_id) + 1 FROM d0) AS media_id,
+        |   text, TRUE AS reenc FROM d0 WHERE media_id % 7 = 0),
+        | s AS (SELECT media_id, reenc, i,
+        |   ((ord(substr(text, (i % length(text)) + 1, 1)) - 128) * 256)
+        |     ::BIGINT AS v
+        |  FROM m, unnest(generate_series(0, 255)) AS u(i)),
+        | w AS (SELECT media_id, i // 16 AS win, sum(abs(v))::BIGINT AS sm
+        |  FROM s GROUP BY 1, 2),
+        | k1 AS (SELECT media_id,
+        |   md5('pcm:' || string_agg(sm::VARCHAR, ',' ORDER BY win))
+        |     AS content_md5
+        |  FROM w GROUP BY media_id),
+        | k2 AS (SELECT media_id, reenc,
+        |   (CASE WHEN reenc THEN 'flac:' ELSE 'wav:' END) ||
+        |     string_agg(v::VARCHAR, ',' ORDER BY i) AS sk
+        |  FROM s GROUP BY media_id, reenc)
+        |SELECT min(media_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        | count(DISTINCT sk)::BIGINT AS n_blob_variants,
         | content_md5
         |FROM k1 JOIN k2 USING (media_id)
         |GROUP BY content_md5 ORDER BY keep_id""".stripMargin,
