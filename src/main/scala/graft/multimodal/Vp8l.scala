@@ -205,30 +205,83 @@ object Vp8l {
 
   /** Length-limited Huffman code lengths via package-merge — optimal
     * under the limit, always a COMPLETE code (Kraft == 1), which is what
-    * both this decoder and libwebp's table builder require. */
+    * both this decoder and libwebp's table builder require.
+    *
+    * Array-based: one sort of the base symbols, then each round MERGES
+    * the (sorted) base with the (sorted) pairwise packages of the
+    * previous round — pairwise sums of a sorted list are sorted, so no
+    * per-round sort; packages carry child indices instead of symbol
+    * lists and the final symbol counts come from one stack walk. This
+    * is the encoder's hottest helper (4 codes per stream, 2 streams per
+    * image on the palette path). */
   private[multimodal] def huffmanLengths(freq: Array[Long],
                                          limit: Int): Array[Int] = {
-    val syms = freq.indices.filter(freq(_) > 0)
     val out = new Array[Int](freq.length)
-    if (syms.isEmpty) return out
-    if (syms.length == 1) { out(syms.head) = 1; return out }
-    require(syms.length <= (1 << limit),
-      s"vp8l: ${syms.length} symbols cannot fit in $limit-bit codes")
-    // package-merge: `limit` rounds of pairwise packaging; count how many
-    // times each original symbol appears in the first 2(n-1) items
-    var pkgs: Vector[(Long, List[Int])] =
-      syms.sortBy(s => (freq(s), s)).map(s => (freq(s), List(s))).toVector
-    val base = pkgs
+    var n = 0
+    var s = 0
+    while (s < freq.length) { if (freq(s) > 0) n += 1; s += 1 }
+    if (n == 0) return out
+    val baseSym = new Array[Int](n)
+    var i = 0
+    s = 0
+    while (s < freq.length) { if (freq(s) > 0) { baseSym(i) = s; i += 1 }; s += 1 }
+    if (n == 1) { out(baseSym(0)) = 1; return out }
+    require(n <= (1 << limit),
+      s"vp8l: $n symbols cannot fit in $limit-bit codes")
+    // base sorted by (freq, symbol)
+    val order = baseSym.sortBy(sym => (freq(sym), sym))
+    val baseW = order.map(freq)
+    // rounds: item = symbol (idx < n -> order(idx)) or package of two
+    // previous-round items (children stored per round)
+    var prevW = baseW
+    val rounds = new Array[(Array[Long], Array[Int], Boolean)](limit)
+    rounds(0) = (baseW, null, true)
     var round = 1
     while (round < limit) {
-      val paired = pkgs.grouped(2).collect {
-        case Vector((w1, s1), (w2, s2)) => (w1 + w2, s1 ++ s2)
-      }.toVector
-      pkgs = (base ++ paired).sortBy(_._1)
+      val m = prevW.length / 2
+      val pkgW = new Array[Long](m)
+      val pkgC = new Array[Int](m)
+      i = 0
+      while (i < m) { pkgW(i) = prevW(2 * i) + prevW(2 * i + 1); pkgC(i) = 2 * i; i += 1 }
+      // merge sorted base with sorted packages; item encoding: idx < n
+      // -> base symbol order(idx); else package (idx - n) of prev round
+      val merged = new Array[Long](n + m)
+      val kind = new Array[Int](n + m) // base idx or n + pkg idx
+      var a = 0; var b = 0; var k = 0
+      while (a < n || b < m) {
+        val takeBase = b >= m || (a < n && baseW(a) <= pkgW(b))
+        if (takeBase) { merged(k) = baseW(a); kind(k) = a; a += 1 }
+        else { merged(k) = pkgW(b); kind(k) = n + b; b += 1 }
+        k += 1
+      }
+      rounds(round) = (merged, kind, false)
+      prevW = merged
       round += 1
     }
-    val take = 2 * (syms.length - 1)
-    pkgs.take(take).foreach { case (_, ss) => ss.foreach(out(_) += 1) }
+    // count symbol occurrences in the first 2(n-1) items of the last
+    // round via an explicit (round, item) stack walk
+    val stack = new Array[Int](2 * limit * n + 4) // (round<<20 | item) pairs
+    var sp = 0
+    val last = limit - 1
+    i = 0
+    val take = 2 * (n - 1)
+    while (i < take) { stack(sp) = (last << 20) | i; sp += 1; i += 1 }
+    while (sp > 0) {
+      sp -= 1
+      val r = stack(sp) >>> 20
+      val it = stack(sp) & 0xfffff
+      if (r == 0) out(order(it)) += 1
+      else {
+        val (_, kindR, _) = rounds(r)
+        val kd = if (kindR == null) it else kindR(it)
+        if (kd < n) out(order(kd)) += 1
+        else { // package of prev-round items 2p and 2p+1
+          val p = kd - n
+          stack(sp) = ((r - 1) << 20) | (2 * p); sp += 1
+          stack(sp) = ((r - 1) << 20) | (2 * p + 1); sp += 1
+        }
+      }
+    }
     out
   }
 
@@ -819,17 +872,16 @@ object Vp8l {
     bw.put(0, 1) // one symbol
     bw.put(0, 1) // 1-bit first symbol
     bw.put(0, 1) // symbol 0
+    // unrolled hot loop: no per-pixel allocation, no tuple unpacking
+    val (gl, gc, gs) = codes(0); val (rl, rc, rs) = codes(1)
+    val (bl, bc, bs) = codes(2); val (al, ac, as_) = codes(3)
     i = 0
     while (i < px.length) {
       val v = px(i)
-      val chans = Array((v >> 8) & 0xff, (v >> 16) & 0xff, v & 0xff, v >>> 24)
-      var c = 0
-      while (c < 4) {
-        val (lengths, cc, single) = codes(c)
-        val sym = chans(c)
-        if (!single) bw.put(cc(sym), lengths(sym))
-        c += 1
-      }
+      if (!gs) { val sym = (v >> 8) & 0xff; bw.put(gc(sym), gl(sym)) }
+      if (!rs) { val sym = (v >> 16) & 0xff; bw.put(rc(sym), rl(sym)) }
+      if (!bs) { val sym = v & 0xff; bw.put(bc(sym), bl(sym)) }
+      if (!as_) { val sym = v >>> 24; bw.put(ac(sym), al(sym)) }
       i += 1
     }
   }
