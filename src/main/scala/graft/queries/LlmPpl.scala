@@ -178,8 +178,11 @@ trait LlmPplOps extends LlmCore {
     *
     * Scale shape: trigrams are a row-local transform of the token array;
     * every LM table is a map-side-combining agg on uniform token keys
-    * (trigram/bigram/unigram types); scoring is one trigram-keyed join.
-    * The only driver/broadcast state is the 1-row N1+(··) scalar. */
+    * (trigram/bigram/unigram types); each backoff level is evaluated at
+    * its own granularity and joined one level up, so the big type table
+    * is joined exactly twice; the corpus-side scoring join shuffles only
+    * (doc_id, 128-bit gram key). The only driver/broadcast state is the
+    * 1-row N1+(··) scalar. */
   def trigramPpl(s: SparkSession, dir: String): DataFrame =
     trigramPplOfToks(tokenArraysOf(s, dir)).orderBy("doc_id")
 
@@ -193,41 +196,62 @@ trait LlmPplOps extends LlmCore {
 
   private def trigramPplOfToks(tokArr: DataFrame): DataFrame = {
     val D = 0.75
-    val tg = tokArr
-      .filter("size(toks) >= 3")
+    val t3 = tokArr.filter("size(toks) >= 3")
+    // corpus-side gram stream: ONLY (doc_id, 128-bit gram key) ever flows
+    // into the scoring join's exchange — the heavy component columns never
+    // leave the row-local explode (guide §2.3: shuffle keys, not payloads).
+    // The key is a pair of independent 64-bit mixes (forward + reversed
+    // argument order), collision-free in expectation far past 10^15 gram
+    // TYPES — the order-6+ safety margin a single 64-bit key lacks once a
+    // 100 TB corpus carries ~10^12 n-gram types (birthday bound ≈ 4·10^9).
+    val tg = t3.selectExpr("doc_id",
+      """explode(transform(sequence(2, size(toks) - 1),
+        |  i -> struct(xxhash64(toks[i-2], toks[i-1], toks[i]) AS g1,
+        |              xxhash64(toks[i], toks[i-1], toks[i-2]) AS g2))) AS g"""
+        .stripMargin)
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+    // TYPE tables keep raw component columns (no hashing → zero collision
+    // surface in the LM counts); each level derives from the previous
+    // level's suffix-type table, so no countDistinct expansion anywhere.
+    val c3 = t3
       .selectExpr("doc_id",
         """explode(transform(sequence(2, size(toks) - 1),
           |  i -> struct(toks[i - 2] AS w1, toks[i - 1] AS w2,
           |              toks[i] AS w3))) AS g""".stripMargin)
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
-      .cache() // feeds the LM build and the scoring join
-    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .agg(count(lit(1)).as("c3"))
       .cache() // the trigram TYPE table every KN count derives from
     val c12 = c3.groupBy("w1", "w2")
       .agg(sum("c3").as("c12"), count(lit(1)).as("nt12"))
     val m23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n23"))
-      .cache() // m23's rows ARE the distinct (w2,w3) types: every
-               // lower-order continuation count derives from it below,
-               // so no countDistinct/distinct expansion is ever needed
-    val d2 = c3.groupBy("w2").agg(count(lit(1)).as("nd2"))
-      .join(m23.groupBy("w2").agg(count(lit(1)).as("n2d")), "w2")
+      .cache() // m23's rows ARE the distinct (w2,w3) types
+    // nd2 = |{c3 types per w2}| = Σ n23 over m23's w2 bucket — ONE agg of
+    // the SMALLER m23 table replaces the former agg-over-c3 + join shape
+    val d2 = m23.groupBy("w2")
+      .agg(sum("n23").as("nd2"), count(lit(1)).as("n2d"))
     val c3c = m23.groupBy("w3").agg(count(lit(1)).as("nd3"))
     val ndd = m23.agg(count(lit(1)).as("ndd"))
-    val lm = c3.join(c12, Seq("w1", "w2")).join(m23, Seq("w2", "w3"))
-      .join(d2, Seq("w2")).join(c3c, Seq("w3")).crossJoin(broadcast(ndd))
-      .select(col("w1"), col("w2"), col("w3"),
+    // hierarchical backoff: each KN level is evaluated AT ITS OWN
+    // GRANULARITY and joined one level up — the big c3 table is joined
+    // exactly twice (c12, p2) instead of carrying all four side tables
+    val p2 = m23.join(d2, Seq("w2")).join(c3c, Seq("w3"))
+      .crossJoin(broadcast(ndd))
+      .select(col("w2"), col("w3"),
+        (greatest(col("n23") - D, lit(0.0)) / col("nd2") +
+          lit(D) * col("n2d") / col("nd2") *
+            (col("nd3") / col("ndd"))).as("p2"))
+    val sc = c3.join(c12, Seq("w1", "w2")).join(p2, Seq("w2", "w3"))
+      .select(xxhash64(col("w1"), col("w2"), col("w3")).as("g1"),
+        xxhash64(col("w3"), col("w2"), col("w1")).as("g2"),
         log(greatest(col("c3") - D, lit(0.0)) / col("c12") +
-          lit(D) * col("nt12") / col("c12") *
-            (greatest(col("n23") - D, lit(0.0)) / col("nd2") +
-              lit(D) * col("n2d") / col("nd2") *
-                (col("nd3") / col("ndd")))).as("lp"))
+          lit(D) * col("nt12") / col("c12") * col("p2")).as("lp"))
     graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
-      tg.join(lm, Seq("w1", "w2", "w3"))
+      tg.join(sc, Seq("g1", "g2"))
         .groupBy("doc_id")
         .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
           count(lit(1)).as("n_trigrams"))) {
-      tg.unpersist(); c3.unpersist(); m23.unpersist()
+      c3.unpersist(); m23.unpersist()
     }
   }
 
@@ -263,9 +287,11 @@ trait LlmPplOps extends LlmCore {
     *
     * Scale shape: 4-grams are a row-local transform of the token array;
     * every LM table is a map-side-combining agg on uniform n-gram keys;
-    * scoring is one always-hit trigram-keyed join plus one left join
-    * against the PRUNED 4-gram table; the only broadcast is the 1-row
-    * N1+(···) scalar. */
+    * the backoff ladder is evaluated hierarchically (p2 at (w3,w4), p3 at
+    * (w2,w3,w4), pruned top level inline on the type table), so each
+    * level joins two frames at its own size; the corpus-side scoring join
+    * shuffles only (doc_id, 128-bit gram key); the only broadcast is the
+    * 1-row N1+(···) scalar. */
   def fourgramPpl(s: SparkSession, dir: String): DataFrame =
     fourgramPplOfToks(tokenArraysOf(s, dir), FourgramMinCount)
       .orderBy("doc_id")
@@ -287,16 +313,24 @@ trait LlmPplOps extends LlmCore {
   private def fourgramPplOfToks(tokArr: DataFrame, minCount: Int): DataFrame = {
     require(minCount >= 1, s"fourgram: minCount must be >= 1, got $minCount")
     val D = 0.75
-    val qg = tokArr
-      .filter("size(toks) >= 4")
+    val t4 = tokArr.filter("size(toks) >= 4")
+    // corpus-side gram stream: (doc_id, 128-bit gram key) only — see
+    // trigramPplOfToks for the key-pair collision argument
+    val qg = t4.selectExpr("doc_id",
+      """explode(transform(sequence(3, size(toks) - 1),
+        |  i -> struct(
+        |    xxhash64(toks[i-3], toks[i-2], toks[i-1], toks[i]) AS g1,
+        |    xxhash64(toks[i], toks[i-1], toks[i-2], toks[i-3]) AS g2))) AS g"""
+        .stripMargin)
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+    val c4 = t4
       .selectExpr("doc_id",
         """explode(transform(sequence(3, size(toks) - 1),
           |  i -> struct(toks[i - 3] AS w1, toks[i - 2] AS w2,
           |              toks[i - 1] AS w3, toks[i] AS w4))) AS g""".stripMargin)
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"), col("g.w4").as("w4"))
-      .cache() // feeds the LM build and the scoring join
-    val c4 = qg.groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4"))
+      .agg(count(lit(1)).as("c4"))
       .cache() // the 4-gram TYPE table every KN count derives from
     val c123 = c4.groupBy("w1", "w2", "w3")
       .agg(sum("c4").as("c123"), count(lit(1)).as("nt123"))
@@ -304,48 +338,50 @@ trait LlmPplOps extends LlmCore {
       .cache() // distinct (w2,w3,w4) continuation types — the backoff
                // level's own "token" table, same derivation trick as
                // trigramPplOf's m23: no countDistinct expansion anywhere
-    val d23 = c4.groupBy("w2", "w3").agg(count(lit(1)).as("nd23"))
-      .join(m234.groupBy("w2", "w3").agg(count(lit(1)).as("n23d")),
-        Seq("w2", "w3"))
     val m34 = m234.groupBy("w3", "w4").agg(count(lit(1)).as("n34"))
       .cache()
-    val d3 = m234.groupBy("w3").agg(count(lit(1)).as("nd3"))
-      .join(m34.groupBy("w3").agg(count(lit(1)).as("n3d")), Seq("w3"))
+    // nd23 = |{c4 types per (w2,w3)}| = Σ n234 over m234's bucket; n3d
+    // likewise from m34 — each d-table is ONE agg of the NEXT-SMALLER
+    // m-table (the former shape re-aggregated the big table AND joined)
+    val d23 = m234.groupBy("w2", "w3")
+      .agg(sum("n234").as("nd23"), count(lit(1)).as("n23d"))
+    val d3 = m34.groupBy("w3")
+      .agg(sum("n34").as("nd3"), count(lit(1)).as("n3d"))
     val cw4 = m34.groupBy("w4").agg(count(lit(1)).as("nw4"))
     val ndd = m34.agg(count(lit(1)).as("ndd"))
-    // full trigram-level backoff LM keyed (w2,w3,w4) — always hits for a
-    // self-scored corpus (every scored 4-gram's suffix is a type)
-    val lm3 = m234.join(d23, Seq("w2", "w3")).join(m34, Seq("w3", "w4"))
-      .join(d3, Seq("w3")).join(cw4, Seq("w4")).crossJoin(broadcast(ndd))
+    // hierarchical backoff: p2 at the (w3,w4) level, p3 at (w2,w3,w4),
+    // top level inline on the type table — each level joins exactly two
+    // frames AT ITS OWN SIZE instead of dragging every side table onto
+    // the m234-sized frame
+    val p2 = m34.join(d3, Seq("w3")).join(cw4, Seq("w4"))
+      .crossJoin(broadcast(ndd))
+      .select(col("w3"), col("w4"),
+        (greatest(col("n34") - D, lit(0.0)) / col("nd3") +
+          lit(D) * col("n3d") / col("nd3") *
+            (col("nw4") / col("ndd"))).as("p2"))
+    val p3 = m234.join(d23, Seq("w2", "w3")).join(p2, Seq("w3", "w4"))
       .select(col("w2"), col("w3"), col("w4"),
         (greatest(col("n234") - D, lit(0.0)) / col("nd23") +
-          lit(D) * col("n23d") / col("nd23") *
-            (greatest(col("n34") - D, lit(0.0)) / col("nd3") +
-              lit(D) * col("n3d") / col("nd3") *
-                (col("nw4") / col("ndd")))).as("p3"))
-    // pruned top level: ONLY types with c4 >= minCount survive into the
-    // scoring artifact; their probabilities use unpruned context totals
-    val lm4 = c4.filter(col("c4") >= minCount)
-      .join(c123, Seq("w1", "w2", "w3")).join(lm3, Seq("w2", "w3", "w4"))
-      .select(col("w1"), col("w2"), col("w3"), col("w4"),
-        (greatest(col("c4") - D, lit(0.0)) / col("c123") +
-          lit(D) * col("nt123") / col("c123") * col("p3")).as("p4"))
-    // per-TYPE score (coalesce(pruned p4, backoff p3) on the 4-gram TYPE
-    // table), then ONE corpus-sized join keyed exactly like the c4
-    // groupBy — so the scoring join REUSES qg's (w1..w4) exchange
-    // (ReusedExchange) instead of re-shuffling the corpus by (w2,w3,w4)
-    // for lm3 and AGAIN by (w1..w4) for lm4 as two separate passes
-    val sc = c4.select("w1", "w2", "w3", "w4")
-      .join(lm3, Seq("w2", "w3", "w4"))
-      .join(lm4, Seq("w1", "w2", "w3", "w4"), "left")
-      .select(col("w1"), col("w2"), col("w3"), col("w4"),
-        log(coalesce(col("p4"), col("p3"))).as("lp"))
+          lit(D) * col("n23d") / col("nd23") * col("p2")).as("p3"))
+    // pruned top level INLINE: a kept type (c4 >= minCount) scores the
+    // full order-4 recursion, everything else backs off to p3 — the
+    // when() replaces the former separate pruned-LM build + left join
+    // (two more c4-sized exchanges), with bit-identical arithmetic
+    val sc = c4.join(c123, Seq("w1", "w2", "w3"))
+      .join(p3, Seq("w2", "w3", "w4"))
+      .select(
+        xxhash64(col("w1"), col("w2"), col("w3"), col("w4")).as("g1"),
+        xxhash64(col("w4"), col("w3"), col("w2"), col("w1")).as("g2"),
+        log(when(col("c4") >= minCount,
+          greatest(col("c4") - D, lit(0.0)) / col("c123") +
+            lit(D) * col("nt123") / col("c123") * col("p3"))
+          .otherwise(col("p3"))).as("lp"))
     graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
-      qg.join(sc, Seq("w1", "w2", "w3", "w4"))
+      qg.join(sc, Seq("g1", "g2"))
         .groupBy("doc_id")
         .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
           count(lit(1)).as("n_fourgrams"))) {
-      qg.unpersist(); c4.unpersist(); m234.unpersist(); m34.unpersist()
+      c4.unpersist(); m234.unpersist(); m34.unpersist()
     }
   }
 
@@ -377,8 +413,9 @@ trait LlmPplOps extends LlmCore {
     * `fourgram_ppl` exactly and only this model separates it.
     *
     * Scale shape: identical to order 4 — row-local n-gram transform,
-    * map-side-combining aggs on uniform hashed-token keys, one always-hit
-    * (w2..w5)-keyed join plus one left join against the pruned top table,
+    * map-side-combining aggs on uniform hashed-token keys, hierarchical
+    * backoff evaluation (p2→p3→p4 each at its own granularity, pruned top
+    * level inline), a corpus-side scoring join on the 128-bit gram key,
     * and the only broadcast is the 1-row N1+(····) scalar. */
   def fivegramPpl(s: SparkSession, dir: String): DataFrame =
     fivegramPplOfToks(tokenArraysOf(s, dir), FivegramMinCount)
@@ -399,17 +436,24 @@ trait LlmPplOps extends LlmCore {
   private def fivegramPplOfToks(tokArr: DataFrame, minCount: Int): DataFrame = {
     require(minCount >= 1, s"fivegram: minCount must be >= 1, got $minCount")
     val D = 0.75
-    val pg = tokArr
-      .filter("size(toks) >= 5")
+    val t5 = tokArr.filter("size(toks) >= 5")
+    // corpus-side gram stream: (doc_id, 128-bit gram key) only — see
+    // trigramPplOfToks for the key-pair collision argument
+    val pg = t5.selectExpr("doc_id",
+      """explode(transform(sequence(4, size(toks) - 1),
+        |  i -> struct(
+        |    xxhash64(toks[i-4], toks[i-3], toks[i-2], toks[i-1], toks[i]) AS g1,
+        |    xxhash64(toks[i], toks[i-1], toks[i-2], toks[i-3], toks[i-4]) AS g2))) AS g"""
+        .stripMargin)
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+    val c5 = t5
       .selectExpr("doc_id",
         """explode(transform(sequence(4, size(toks) - 1),
           |  i -> struct(toks[i - 4] AS w1, toks[i - 3] AS w2,
           |              toks[i - 2] AS w3, toks[i - 1] AS w4,
           |              toks[i] AS w5))) AS g""".stripMargin)
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"), col("g.w4").as("w4"), col("g.w5").as("w5"))
-      .cache() // feeds the LM build and the scoring join
-    val c5 = pg.groupBy("w1", "w2", "w3", "w4", "w5")
       .agg(count(lit(1)).as("c5"))
       .cache() // the 5-gram TYPE table every KN count derives from
     val c1234 = c5.groupBy("w1", "w2", "w3", "w4")
@@ -418,56 +462,59 @@ trait LlmPplOps extends LlmCore {
       .agg(count(lit(1)).as("n2345"))
       .cache() // distinct (w2..w5) continuation types — the backoff
                // level's own "token" table
-    val d234 = c5.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("nd234"))
-      .join(m2345.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("n234d")),
-        Seq("w2", "w3", "w4"))
     val m345 = m2345.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("n345"))
       .cache()
-    val d34 = m2345.groupBy("w3", "w4").agg(count(lit(1)).as("nd34"))
-      .join(m345.groupBy("w3", "w4").agg(count(lit(1)).as("n34d")),
-        Seq("w3", "w4"))
     val m45 = m345.groupBy("w4", "w5").agg(count(lit(1)).as("n45"))
       .cache()
-    val d4 = m345.groupBy("w4").agg(count(lit(1)).as("nd4"))
-      .join(m45.groupBy("w4").agg(count(lit(1)).as("n4d")), Seq("w4"))
+    // each d-table is ONE agg of the next-smaller m-table (nd234 =
+    // |{c5 types per (w2,w3,w4)}| = Σ n2345 over m2345's bucket, etc.) —
+    // the former shape re-aggregated the bigger table AND joined
+    val d234 = m2345.groupBy("w2", "w3", "w4")
+      .agg(sum("n2345").as("nd234"), count(lit(1)).as("n234d"))
+    val d34 = m345.groupBy("w3", "w4")
+      .agg(sum("n345").as("nd34"), count(lit(1)).as("n34d"))
+    val d4 = m45.groupBy("w4")
+      .agg(sum("n45").as("nd4"), count(lit(1)).as("n4d"))
     val cw5 = m45.groupBy("w5").agg(count(lit(1)).as("nw5"))
     val ndd = m45.agg(count(lit(1)).as("ndd"))
-    // full 4-gram-level backoff LM keyed (w2..w5) — always hits for a
-    // self-scored corpus (every scored 5-gram's suffix is a type)
-    val lm4 = m2345.join(d234, Seq("w2", "w3", "w4"))
-      .join(m345, Seq("w3", "w4", "w5"))
-      .join(d34, Seq("w3", "w4")).join(m45, Seq("w4", "w5"))
-      .join(d4, Seq("w4")).join(cw5, Seq("w5")).crossJoin(broadcast(ndd))
+    // hierarchical backoff: p2 at (w4,w5), p3 at (w3,w4,w5), p4 at
+    // (w2..w5), top level inline on the type table — each level joins
+    // exactly two frames AT ITS OWN SIZE instead of dragging six side
+    // tables onto the m2345-sized frame (six big exchanges → two)
+    val p2 = m45.join(d4, Seq("w4")).join(cw5, Seq("w5"))
+      .crossJoin(broadcast(ndd))
+      .select(col("w4"), col("w5"),
+        (greatest(col("n45") - D, lit(0.0)) / col("nd4") +
+          lit(D) * col("n4d") / col("nd4") *
+            (col("nw5") / col("ndd"))).as("p2"))
+    val p3 = m345.join(d34, Seq("w3", "w4")).join(p2, Seq("w4", "w5"))
+      .select(col("w3"), col("w4"), col("w5"),
+        (greatest(col("n345") - D, lit(0.0)) / col("nd34") +
+          lit(D) * col("n34d") / col("nd34") * col("p2")).as("p3"))
+    val p4 = m2345.join(d234, Seq("w2", "w3", "w4"))
+      .join(p3, Seq("w3", "w4", "w5"))
       .select(col("w2"), col("w3"), col("w4"), col("w5"),
         (greatest(col("n2345") - D, lit(0.0)) / col("nd234") +
-          lit(D) * col("n234d") / col("nd234") *
-            (greatest(col("n345") - D, lit(0.0)) / col("nd34") +
-              lit(D) * col("n34d") / col("nd34") *
-                (greatest(col("n45") - D, lit(0.0)) / col("nd4") +
-                  lit(D) * col("n4d") / col("nd4") *
-                    (col("nw5") / col("ndd"))))).as("p4"))
-    // pruned top level: ONLY types with c5 >= minCount survive into the
-    // scoring artifact; their probabilities use unpruned context totals
-    val lm5 = c5.filter(col("c5") >= minCount)
-      .join(c1234, Seq("w1", "w2", "w3", "w4"))
-      .join(lm4, Seq("w2", "w3", "w4", "w5"))
-      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
-        (greatest(col("c5") - D, lit(0.0)) / col("c1234") +
-          lit(D) * col("nt1234") / col("c1234") * col("p4")).as("p5"))
-    // per-TYPE score then ONE corpus-sized join keyed like the c5 groupBy
-    // (ReusedExchange against pg's exchange — the order-4 plan shape)
-    val sc = c5.select("w1", "w2", "w3", "w4", "w5")
-      .join(lm4, Seq("w2", "w3", "w4", "w5"))
-      .join(lm5, Seq("w1", "w2", "w3", "w4", "w5"), "left")
-      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
-        log(coalesce(col("p5"), col("p4"))).as("lp"))
+          lit(D) * col("n234d") / col("nd234") * col("p3")).as("p4"))
+    // pruned top level INLINE: kept types (c5 >= minCount) score the full
+    // order-5 recursion off UNPRUNED context totals, everything else backs
+    // off to p4 — the when() replaces the former separate pruned-LM build
+    // + left join (two more c5-sized exchanges), bit-identical arithmetic
+    val sc = c5.join(c1234, Seq("w1", "w2", "w3", "w4"))
+      .join(p4, Seq("w2", "w3", "w4", "w5"))
+      .select(
+        xxhash64(col("w1"), col("w2"), col("w3"), col("w4"), col("w5")).as("g1"),
+        xxhash64(col("w5"), col("w4"), col("w3"), col("w2"), col("w1")).as("g2"),
+        log(when(col("c5") >= minCount,
+          greatest(col("c5") - D, lit(0.0)) / col("c1234") +
+            lit(D) * col("nt1234") / col("c1234") * col("p4"))
+          .otherwise(col("p4"))).as("lp"))
     graft.plans.Eager.checkpoint( // per-doc rows: tiny; frees LM caches
-      pg.join(sc, Seq("w1", "w2", "w3", "w4", "w5"))
+      pg.join(sc, Seq("g1", "g2"))
         .groupBy("doc_id")
         .agg(round(exp(-sum("lp") / count(lit(1))), 4).as("ppl"),
           count(lit(1)).as("n_fivegrams"))) {
-      pg.unpersist(); c5.unpersist(); m2345.unpersist(); m345.unpersist()
-      m45.unpersist()
+      c5.unpersist(); m2345.unpersist(); m345.unpersist(); m45.unpersist()
     }
   }
 
