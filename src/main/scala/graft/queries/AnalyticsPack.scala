@@ -44,8 +44,9 @@ object AnalyticsPack extends QueryPack {
   private val PrIters   = 5
 
   /** The sentinel bucket the fused contribution pass routes dangling mass
-    * into — node ids are "c:…"/"p:…", so it can never collide. */
-  private val PrDangKey = "__DANG__"
+    * into — loop node ids are non-negative longs (2·custkey / 2·partkey+1),
+    * so a negative id can never collide. */
+  private val PrDangKey = -1L
 
   /** PageRank over the bipartite customer→part endorsement graph (an edge
     * when a customer's order contains the part). Parts have no out-edges,
@@ -73,11 +74,15 @@ object AnalyticsPack extends QueryPack {
     // propagates both outputPartitioning and outputOrdering, so each
     // iteration's sort-merge join against the (much smaller) rank frame
     // reuses this layout instead of re-exchanging + re-sorting |edges|
-    // rows K times — the dominant cost of iterative graph workloads
+    // rows K times — the dominant cost of iterative graph workloads.
+    // Loop node ids are LONGS (2·custkey for customers, 2·partkey+1 for
+    // parts — collision-free by parity): every per-iteration join, agg
+    // and shuffle keys on a fixed-width 8-byte long instead of a "c:…"
+    // string, and the output strings are reconstructed once at the end.
     val edges = Tables.orders(s, dir)
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
       .distinct().repartition(col("src")).sortWithinPartitions("src")
       .cache()
     val nodes = edges.select(col("src").as("node"))
@@ -139,7 +144,10 @@ object AnalyticsPack extends QueryPack {
               (coalesce(col("contrib"), lit(0.0)) + dmCol / nCol),
             8).as("r"), col("deg"))
       }
-      ranks.select(col("node"), col("r").as("rank")).orderBy("node")
+      ranks.select(
+        concat(when(col("node") % 2 === 0, lit("c:")).otherwise(lit("p:")),
+          shiftright(col("node"), 1)).as("node"),
+        col("r").as("rank")).orderBy("node")
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
@@ -297,7 +305,13 @@ object AnalyticsPack extends QueryPack {
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     if (graft.plans.Eager.enabled) s.conf.set("spark.sql.adaptive.enabled", "false")
     try for (_ <- 1 to LpaIters) {
+      // ONE exchange per round: repartition by d once — HashPartitioning(d)
+      // satisfies the clustering of BOTH the (d, lbl) count and the argmax
+      // agg (rows equal on (d,lbl) are equal on d), so the two aggregates
+      // ride the same exchange instead of shuffling twice
       lab = lab.join(ed, col("node") === col("s"))
+        .select("d", "lbl") // project before the exchange (guide §2.3)
+        .repartition(col("d"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("d").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
