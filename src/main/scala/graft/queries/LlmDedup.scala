@@ -84,10 +84,15 @@ trait LlmDedupOps extends LlmCore {
     val shAll = shingles(s, dir)
     val sh = (maxDf match {
       case Some(k) =>
-        // shingles are distinct per doc, so count(*) per shingle IS the df
+        // shingles are distinct per doc, so count(*) per shingle IS the df.
+        // The semi-join is FORCED to sort-merge: the self-join below needs
+        // sh partitioned by s anyway, so a merge semi-join leaves the cache
+        // already s-partitioned and the self-join runs exchange-free off it
+        // (a broadcast semi-join would keep the scan's layout and the
+        // self-join would re-shuffle the stream twice).
         val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= k).select("s")
-        shAll.join(rare, Seq("s"), "left_semi")
+        shAll.join(rare.hint("merge"), Seq("s"), "left_semi")
       case None => shAll
     }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -142,7 +147,9 @@ trait LlmDedupOps extends LlmCore {
     val shAll = shingles(s, dir)
     val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("s")
-    val sh = shAll.join(rare, Seq("s"), "left_semi").cache()
+    // merge-hinted for the same reason as neardupPairsImpl: the cache comes
+    // out s-partitioned and the intersection self-join rides it shuffle-free
+    val sh = shAll.join(rare.hint("merge"), Seq("s"), "left_semi").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // intersection counted ONCE per unordered pair (da < db halves the
     // heavy aggregate); both directions are then emitted from the tiny
@@ -285,7 +292,12 @@ trait LlmDedupOps extends LlmCore {
     // at 100 TB it can exceed any broadcast budget; below the 64MB
     // threshold AQE still picks a broadcast semi-join on its own
     val candDocs = cand.select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    // candidate shingles are re-clustered by doc_id ONCE (a small frame —
+    // LSH bounds the candidate set at any scale): the size aggregate and
+    // BOTH pair-driven verify joins (keyed da, then (db, s) ⊇ db) then ride
+    // this single exchange instead of re-shuffling the stream three times
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .repartition(col("doc_id")).cache()
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // no broadcast hint on cand: small under the 64MB auto-threshold at
     // test scale; at 100 TB the pair set can be large — AQE decides.
@@ -847,7 +859,10 @@ trait LlmDedupOps extends LlmCore {
       .cache() // candidate-doc semi-join + pair-driven verify
     val candDocs = cand
       .select(explode(array(col("new_id"), col("old_id"))).as("doc_id")).distinct()
-    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    // re-clustered by doc_id once for the same reason as minhashPairsFrom:
+    // the size agg and both verify joins ride this one small exchange
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .repartition(col("doc_id")).cache()
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shC.select(col("doc_id").as("new_id"), col("s")), "new_id")
